@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Run the REFERENCE consolidation code on shared fixtures.
+
+Emits JSON for diffing against the Spark engine's output on the same
+fixtures (graft.VerifyConsolidate). Dev-harness only — never shipped;
+the Scala engine does not depend on this.
+"""
+import json
+import sys
+from datetime import datetime
+
+sys.path.insert(0, "/root/reference")
+
+from concerts_etl.core.consolidate_events import consolidate_events  # noqa: E402
+from concerts_etl.core.matching import merge_shotgun_dice  # noqa: E402
+from concerts_etl.core.models import NormalizedEvent  # noqa: E402
+
+SCRAPE = datetime(2026, 8, 1, 6, 0, 0)
+
+
+def ev(provider, eid, name, dt, artist=None, venue=None, city=None, tickets=None):
+    return NormalizedEvent(
+        provider=provider, event_id_provider=eid, event_name=name,
+        city=city, event_datetime_local=dt, timezone="Europe/Paris",
+        status="on sale", tickets_sold_total=tickets,
+        scrape_ts_utc=SCRAPE, ingestion_run_id="run-0",
+        artist_name=artist, venue_name=venue)
+
+
+SG = [
+    ev("shotgun", "sg1", "Électro Fête @ Le Trianon", datetime(2026, 9, 10, 19, 30),
+       artist="Électro Fête", venue="Le Trianon", tickets=100),
+    ev("shotgun", "sg2", "DJ Snake Live", datetime(2026, 9, 10, 20, 0),
+       city="Paris", tickets=200),
+    ev("shotgun", "sg3", "Jazz Quartet", datetime(2026, 9, 11, 21, 0),
+       artist="Jazz Quartet", tickets=50),
+    ev("shotgun", "sg4", "Rock Night", None, tickets=5),
+    ev("shotgun", "sg5", "Techno Bunker", datetime(2020, 1, 1, 23, 0), tickets=10),
+    ev("shotgun", "sg6", "Mega Fest feat Alpha", datetime(2026, 9, 12, 18, 0),
+       artist="Alpha & Beta", tickets=300),
+    ev("shotgun", "sg7", "Beta Show Cover", datetime(2026, 9, 12, 20, 0),
+       artist="Beta", tickets=60),
+]
+DC = [
+    ev("dice", "dc1", "Electro Fete", datetime(2026, 9, 10, 19, 35),
+       artist="Electro Fête", tickets=90),
+    ev("dice", "dc2", "Alpha", datetime(2026, 9, 12, 18, 0),
+       artist="Alpha", tickets=80),
+    ev("dice", "dc3", "Beta Show", datetime(2026, 9, 12, 19, 0),
+       artist="Beta", tickets=70),
+    ev("dice", "dc4", "Unknown Artist", datetime(2026, 9, 15, 21, 0), tickets=40),
+    ev("dice", "dc5", "No Date", None, tickets=30),
+    ev("dice", "dc6", "DJ Snake", datetime(2026, 9, 10, 20, 10), tickets=55),
+]
+
+rows = consolidate_events(SG, DC)
+print("== J1 ==")
+for r in rows:
+    print(json.dumps(r, sort_keys=True, ensure_ascii=False, default=str))
+
+merged = merge_shotgun_dice(
+    [e for e in SG], [e for e in DC], hour_tolerance_min=30, name_threshold=0.90)
+print("== J2 ==")
+for r in sorted(merged, key=lambda r: r.canonical_event_key):
+    d = r.model_dump() if hasattr(r, "model_dump") else r.dict()
+    d["event_datetime_local"] = str(d["event_datetime_local"])
+    d["scrape_ts_utc"] = str(d["scrape_ts_utc"])
+    print(json.dumps(d, sort_keys=True, ensure_ascii=False))

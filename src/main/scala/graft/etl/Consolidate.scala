@@ -1,0 +1,241 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Functions._
+
+/** The two consolidation joins (SURVEY.md §2.4) re-expressed as
+  * distributed, shuffle-conscious Spark plans.
+  *
+  * Both take NormalizedEvent-schema DataFrames plus an explicit
+  * per-side input-order column: the reference's algorithms are
+  * sequential and order-dependent (greedy `used_sg` matching at
+  * `consolidate_events.py:91-109`; dict insertion order at
+  * `matching.py:48-55`), and a distributed engine must replicate that
+  * determinism via explicit rank columns, not row arrival order.
+  */
+object Consolidate {
+
+  /** J1 — flagship consolidation (`consolidate_events.py:69-169`).
+    *
+    * Fuzzy full-outer entity resolution on (event day × artist-token
+    * overlap), greedy 1:1:
+    *   - drop dateless rows on both sides (FL1);
+    *   - score = |tokens(dc) ∩ tokens(sg)| for same-day pairs, > 0;
+    *   - each DICE takes its max-overlap SG (ties → earliest SG in
+    *     input order); each SG used at most once (conflicts → earliest
+    *     DICE in input order wins; the loser goes unmatched — the one
+    *     documented divergence from the reference's sequential greedy,
+    *     which would hand the loser its next-best SG);
+    *   - matched ∪ unmatched-SG ∪ unmatched-DICE, column-merged with
+    *     SG-priority coalesce;
+    *   - drop days < `today` (FL2, parameterized for determinism);
+    *   - sort by (day, lower(name)) (O1).
+    *
+    * Scale shape: token-explode → equi-join on (day, token) → count
+    * group-by, i.e. a classic similarity-join prefilter. No cartesian
+    * anywhere; AQE handles day/token skew; the two window ranks
+    * partition by dc_id / sg_id so they shuffle by key, not globally.
+    */
+  def consolidate(sg: DataFrame, dc: DataFrame, today: String,
+      sgOrder: Column, dcOrder: Column): DataFrame = {
+    val sgP = sg
+      .withColumn("sg_ord", sgOrder)
+      .filter(col("event_datetime_local").isNotNull)
+      .select(
+        col("event_id_provider").as("sg_id"),
+        dayStr(col("event_datetime_local")).as("day"),
+        artistTokens(col("artist_name"), col("event_name")).as("toks"),
+        col("event_name").as("sg_name"),
+        col("artist_name").as("sg_artist"),
+        col("venue_name").as("sg_venue"),
+        col("city").as("sg_city"),
+        col("tickets_sold_total").as("sg_tickets"),
+        col("sg_ord"))
+
+    val dcP = dc
+      .withColumn("dc_ord", dcOrder)
+      .filter(col("event_datetime_local").isNotNull)
+      .select(
+        col("event_id_provider").as("dc_id"),
+        dayStr(col("event_datetime_local")).as("day"),
+        artistTokens(col("artist_name"), col("event_name")).as("toks"),
+        col("event_name").as("dc_name"),
+        col("artist_name").as("dc_artist"),
+        col("venue_name").as("dc_venue"),
+        col("city").as("dc_city"),
+        col("tickets_sold_total").as("dc_tickets"),
+        col("dc_ord"))
+
+    // (day, token) equi-join → overlap counts. Explode is the prefilter:
+    // only same-day pairs sharing >= 1 token are ever materialized.
+    val sgTok = sgP.select(col("sg_id"), col("day"), explode(col("toks")).as("tok"))
+    val dcTok = dcP.select(col("dc_id"), col("day"), explode(col("toks")).as("tok"))
+    val overlap = dcTok.join(sgTok, Seq("day", "tok"))
+      .groupBy(col("dc_id"), col("sg_id"))
+      .agg(count(lit(1)).as("overlap"))
+
+    val scored = overlap
+      .join(dcP.select(col("dc_id"), col("dc_ord")), Seq("dc_id"))
+      .join(sgP.select(col("sg_id"), col("sg_ord")), Seq("sg_id"))
+
+    // Each DICE's best SG; then each SG granted to its earliest DICE.
+    val wDc = Window.partitionBy(col("dc_id"))
+      .orderBy(col("overlap").desc, col("sg_ord").asc)
+    val wSg = Window.partitionBy(col("sg_id")).orderBy(col("dc_ord").asc)
+    val matchedIds = scored
+      .withColumn("rk_dc", row_number().over(wDc)).filter(col("rk_dc") === 1)
+      .withColumn("rk_sg", row_number().over(wSg)).filter(col("rk_sg") === 1)
+      .select(col("dc_id"), col("sg_id"))
+
+    val matched = matchedIds
+      .join(sgP, Seq("sg_id"))
+      .join(dcP.drop("day"), Seq("dc_id"))
+      .select(
+        coalesce(col("sg_name"), col("dc_name"), lit("")).as("event_name"),
+        col("day").as("event_datetime_local"),
+        coalesce(col("sg_artist"), col("dc_artist"), lit("")).as("artist"),
+        coalesce(col("sg_venue"), col("dc_venue"), col("sg_city"), col("dc_city"), lit(""))
+          .as("venue"),
+        col("sg_tickets").as("shotgun_tickets_sold"),
+        col("dc_tickets").as("dice_tickets_sold"),
+        col("sg_id").as("shotgun_event_id"),
+        col("dc_id").as("dice_event_id"))
+
+    val sgRest = sgP.join(matchedIds.select(col("sg_id")), Seq("sg_id"), "left_anti")
+      .select(
+        coalesce(col("sg_name"), lit("")).as("event_name"),
+        col("day").as("event_datetime_local"),
+        coalesce(col("sg_artist"), lit("")).as("artist"),
+        coalesce(col("sg_venue"), col("sg_city"), lit("")).as("venue"),
+        col("sg_tickets").as("shotgun_tickets_sold"),
+        col("sg_id").as("shotgun_event_id"))
+
+    val dcRest = dcP.join(matchedIds.select(col("dc_id")), Seq("dc_id"), "left_anti")
+      .select(
+        coalesce(col("dc_name"), lit("")).as("event_name"),
+        col("day").as("event_datetime_local"),
+        coalesce(col("dc_artist"), lit("")).as("artist"),
+        coalesce(col("dc_venue"), col("dc_city"), lit("")).as("venue"),
+        col("dc_tickets").as("dice_tickets_sold"),
+        col("dc_id").as("dice_event_id"))
+
+    matched
+      .unionByName(sgRest, allowMissingColumns = true)
+      .unionByName(dcRest, allowMissingColumns = true)
+      .filter(col("event_datetime_local") >= lit(today))
+      .orderBy(col("event_datetime_local"), lower(col("event_name")))
+  }
+
+  /** J2 — alternative similarity merge (`matching.py:46-99`).
+    *
+    * SG rows are keyed by `canonical_key` (last-wins on collisions, as
+    * dict assignment); each DICE attaches to the best same-day SG within
+    * ±`toleranceMin` whose Ratcliff–Obershelp name similarity >= `tau`
+    * (ties → earliest SG); multiple DICE on one SG → last DICE's ticket
+    * count wins; unmatched DICE become standalone rows which overwrite
+    * same-key SG rows (dict last-wins again).
+    *
+    * Scale shape: equi-join on the calendar day + residual range /
+    * similarity predicate — the reference's O(|SG|·|DICE|) nested loop
+    * (`matching.py:65-68`) is replaced by a keyed join; rows with NULL
+    * datetimes (which the reference lets match any day) are handled on a
+    * separate broadcast-nested-loop branch, which stays tiny because
+    * dateless rows are rare by construction.
+    */
+  def mergeSimilarity(sg: DataFrame, dc: DataFrame,
+      sgOrder: Column, dcOrder: Column,
+      toleranceMin: Int = 30, tau: Double = 0.90): DataFrame = {
+    val sgK = sg
+      .withColumn("sg_ord", sgOrder)
+      .withColumn("ckey", canonicalKey(col("event_name"), col("event_datetime_local")))
+    // dict: sg_index[key] = ev → last write wins
+    val wKey = Window.partitionBy(col("ckey")).orderBy(col("sg_ord").desc)
+    val sgD = sgK.withColumn("rk", row_number().over(wKey)).filter(col("rk") === 1)
+      .select(
+        col("ckey"), col("sg_ord"),
+        col("event_name").as("sg_name"),
+        col("event_datetime_local").as("sg_dt"),
+        col("tickets_sold_total").as("sg_tickets"),
+        col("scrape_ts_utc").as("sg_scrape"),
+        col("ingestion_run_id").as("sg_run"))
+
+    val dcP = dc.withColumn("dc_ord", dcOrder)
+      .select(
+        col("dc_ord"),
+        col("event_name").as("dc_name"),
+        col("event_datetime_local").as("dc_dt"),
+        col("tickets_sold_total").as("dc_tickets"),
+        col("scrape_ts_utc").as("dc_scrape"),
+        col("ingestion_run_id").as("dc_run"))
+
+    // Same-day equi-join branch (both datetimes present) + dateless
+    // branch (reference skips the day/tolerance guards when either side
+    // has no datetime, leaving only the name-similarity predicate).
+    val dated = dcP.filter(col("dc_dt").isNotNull)
+      .withColumn("dc_day", to_date(col("dc_dt")))
+      .join(sgD.filter(col("sg_dt").isNotNull)
+          .withColumn("sg_day", to_date(col("sg_dt"))),
+        col("dc_day") === col("sg_day") &&
+          abs(unix_timestamp(col("sg_dt").cast("timestamp")) -
+            unix_timestamp(col("dc_dt").cast("timestamp"))) <= toleranceMin * 60L)
+      .drop("dc_day", "sg_day")
+    val dateless =
+      dcP.filter(col("dc_dt").isNull).crossJoin(broadcast(sgD))
+        .unionByName(
+          dcP.filter(col("dc_dt").isNotNull)
+            .crossJoin(broadcast(sgD.filter(col("sg_dt").isNull))))
+
+    val pairs = dated.unionByName(dateless)
+      .withColumn("score", simName(col("sg_name"), col("dc_name")))
+      .filter(col("score") >= tau)
+
+    val wDc = Window.partitionBy(col("dc_ord"))
+      .orderBy(col("score").desc, col("sg_ord").asc)
+    val best = pairs.withColumn("rk", row_number().over(wDc)).filter(col("rk") === 1)
+
+    // Multiple DICE → one SG key: the LAST processed DICE's tickets stick.
+    val wSg = Window.partitionBy(col("ckey")).orderBy(col("dc_ord").desc)
+    val sgMatched = best.withColumn("rk2", row_number().over(wSg)).filter(col("rk2") === 1)
+      .select(col("ckey"), col("dc_tickets").as("matched_dc_tickets"),
+        col("dc_name").as("m_dc_name"), col("dc_dt").as("m_dc_dt"))
+
+    val sgRows = sgD.join(sgMatched, Seq("ckey"), "left")
+      .select(
+        col("ckey").as("canonical_event_key"),
+        // backfill name/date only when SG lacked them (matching.py:84-86)
+        when(coalesce(col("sg_name"), lit("")) === "", col("m_dc_name"))
+          .otherwise(col("sg_name")).as("event_name"),
+        coalesce(col("sg_dt"), col("m_dc_dt")).as("event_datetime_local"),
+        lit("Europe/Paris").as("timezone"),
+        col("sg_tickets").as("tickets_sold_total_shotgun"),
+        col("matched_dc_tickets").as("tickets_sold_total_dice"),
+        col("sg_scrape").as("scrape_ts_utc"),
+        col("sg_run").as("ingestion_run_id"),
+        lit(0).as("src_priority"),
+        col("sg_ord").as("ord"))
+
+    val dcUnmatched = dcP.join(best.select(col("dc_ord")), Seq("dc_ord"), "left_anti")
+      .select(
+        canonicalKey(col("dc_name"), col("dc_dt")).as("canonical_event_key"),
+        col("dc_name").as("event_name"),
+        col("dc_dt").as("event_datetime_local"),
+        lit("Europe/Paris").as("timezone"),
+        lit(null).cast("long").as("tickets_sold_total_shotgun"),
+        col("dc_tickets").as("tickets_sold_total_dice"),
+        col("dc_scrape").as("scrape_ts_utc"),
+        col("dc_run").as("ingestion_run_id"),
+        lit(1).as("src_priority"),
+        col("dc_ord").as("ord"))
+
+    // dict last-wins across both families: DICE-written keys overwrite
+    // SG-written ones; among DICE, the later dc_ord wins.
+    val wOut = Window.partitionBy(col("canonical_event_key"))
+      .orderBy(col("src_priority").desc, col("ord").desc)
+    sgRows.unionByName(dcUnmatched)
+      .withColumn("rk", row_number().over(wOut)).filter(col("rk") === 1)
+      .drop("rk", "src_priority", "ord")
+  }
+}
