@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.{Consolidate, Functions => F}
+import graft.util.Tables
+
+/** Core relational operator queries (SURVEY.md §2), each paired with a
+  * DuckDB oracle in [[CoreQueries.oracleSql]].
+  *
+  * Determinism rules (SURVEY.md §5): no current_date/uuid — "today" and
+  * run ids are literals; every query ends in a total ORDER BY mirrored
+  * in the oracle; double aggregation goes through DECIMAL(18,2|4)
+  * (exact, associative — immune to partial-aggregation order) and is
+  * cast back to DOUBLE so schemas agree.
+  */
+object CoreQueries {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** Exact money sum: decimal arithmetic inside, double outside. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- A1/A2 aggregation with map-side partials (TPC-H Q1 shape) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- FL5/S1 filter + projection pushdown to parquet ----
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- J1-physical: broadcast dim join + aggregation ----
+    "q03_join_agg" -> ((s, d) => {
+      val c = broadcast(Tables.customer(s, d))
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- A4/O3 window argmax / top-k per group ----
+    "q04_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // ---- U1 unionByName with missing columns ----
+    "q05_union_by_name" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("urgent").as("bucket"),
+          col("o_orderpriority").as("prio"))
+      val big = o.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("big").as("bucket"))
+      urgent.unionByName(big, allowMissingColumns = true)
+        .orderBy(col("bucket"), col("o_orderkey"))
+    }),
+
+    // ---- U4 anti join ----
+    "q06_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "q07_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- grouping-set extension: rollup + grouping() ----
+    "q08_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"))
+        .orderBy(col("g1").asc, col("g2").asc,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- O1/O2 global sort + limit ----
+    "q09_topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- distinct aggregation ----
+    "q10_distinct_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- F4 day truncation + daily aggregate (batch twin of §2.10) ----
+    "q11_events_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- F7 first-int extraction from semi-structured props ----
+    "q12_props_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), F.parseIntFirst(col("props")).as("k"),
+          F.statusOf(col("event_type")).as("status"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- F12 5-minute bucketing ----
+    "q13_bucket5" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(date_format(F.round5(col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- F2/F5 normalization + tokenization over documents ----
+    "q14_doc_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(array_sort(F.artistTokensOne(col("text"))), " ").as("toks"),
+          size(F.artistTokensOne(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- F8/F9 slug + md5 surrogate key (sha1 absent in DuckDB 1.0) ----
+    "q15_slug_id" -> ((s, d) => {
+      val slug = F.slug(col("p_name"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), slug.as("slug"),
+          concat(slug, lit("-"),
+            substring(md5(concat(slug, lit("|"), col("p_partkey").cast("string"))), 1, 8))
+            .as("surrogate_id"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- F10 French datetime parse, validated via round-trip ----
+    "q16_fr_dates" -> ((s, d) => {
+      val frMonths = array(
+        Seq("janvier", "févr.", "mars", "avr.", "mai", "juin", "juil.", "août",
+          "sept.", "oct.", "nov.", "déc.").map(lit): _*)
+      val frStr = concat(
+        dayofmonth(col("o_orderdate")).cast("string"), lit(" "),
+        element_at(frMonths, month(col("o_orderdate"))), lit(" "),
+        year(col("o_orderdate")).cast("string"), lit(" 20:15"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), frStr.as("fr_text"),
+          date_format(F.parseFrDatetime(frStr), "yyyy-MM-dd HH:mm").as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- F1 accent strip (parity with DuckDB strip_accents) ----
+    "q17_accents" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          F.stripAccents(concat(lit("Fête à l'Élysée — "), col("p_name"))).as("stripped"),
+          F.normName(concat(lit("Küsse & Böse "), col("p_name"))).as("normed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- J2-physical: similarity join (char-set Jaccard, equi-prefiltered) ----
+    "q18_similar_parts" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"),
+        col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("brand"),
+        col("p_name").as("b_name"))
+      val chars = (c: Column) => array_distinct(split(c, ""))
+      val jac = size(array_intersect(chars(col("a_name")), chars(col("b_name"))))
+        .cast("double") /
+        size(array_union(chars(col("a_name")), chars(col("b_name")))).cast("double")
+      a.join(b, Seq("brand"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("sim", jac)
+        .filter(col("sim") >= 0.92)
+        .select(col("brand"), col("a_key"), col("b_key"), col("sim"))
+        .orderBy(col("brand"), col("a_key"), col("b_key"))
+    }),
+
+    // ---- J1 flagship: greedy 1:1 consolidation over provider frames ----
+    "q19_consolidate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def nulls(n: String) = lit(null).cast("string").as(n)
+      val sg = ev.filter(col("event_type") === "purchase").select(
+        lit("shotgun").as("provider"),
+        concat(lit("sg-"), col("event_id").cast("string")).as("event_id_provider"),
+        concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
+          lit(" @ V"), (lit(100) + col("event_id") % 37).cast("string")).as("event_name"),
+        col("ts").as("event_datetime_local"),
+        floor(col("value")).cast("long").as("tickets_sold_total"),
+        col("event_id").as("ord"),
+        nulls("artist_name"), nulls("venue_name"), nulls("city"))
+      val dc = ev.filter(col("event_type") === "view").select(
+        lit("dice").as("provider"),
+        concat(lit("dc-"), col("event_id").cast("string")).as("event_id_provider"),
+        concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
+          lit(" Live")).as("event_name"),
+        col("ts").as("event_datetime_local"),
+        floor(col("value")).cast("long").as("tickets_sold_total"),
+        col("event_id").as("ord"),
+        nulls("artist_name"), nulls("venue_name"), nulls("city"))
+      Consolidate.consolidate(sg, dc, "2024-01-15", col("ord"), col("ord"))
+        .orderBy(col("event_datetime_local"), lower(col("event_name")),
+          col("shotgun_event_id").asc_nulls_first, col("dice_event_id").asc_nulls_first)
+    }),
+
+    // ---- J2-shape: interval (range-predicate) join ----
+    "q20_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("a_ts"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("b_ts"))
+      a.join(b, Seq("user_id"))
+        .filter(col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+    }))
+
+  /** 26-word stopword list rendered for DuckDB lambdas. */
+  private val stopList =
+    """['the','and','feat','ft','with','x','&','+','-','–','—','le','la','les','l','de','du','des','et','au','aux','chez','a','an','on','in']"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT o_orderkey) AS n_orders,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q04_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) t WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q05_union_by_name" ->
+      """SELECT * FROM (
+         SELECT o_orderkey, o_totalprice, 'urgent' AS bucket, o_orderpriority AS prio
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_totalprice, 'big' AS bucket
+         FROM orders WHERE o_totalprice > 400000.0) t
+         ORDER BY bucket, o_orderkey""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g2
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q10_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price, COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q11_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q12_props_extract" ->
+      """SELECT event_id,
+         CAST(NULLIF(regexp_extract(props, '[0-9]+', 0), '') AS BIGINT) AS k,
+         CASE WHEN contains(upper(event_type), 'COMPLET') THEN 'sold out'
+              ELSE 'on sale' END AS status
+         FROM events ORDER BY event_id""",
+    "q13_bucket5" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS bucket, COUNT(*) AS n
+         FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY bucket""",
+    "q14_doc_tokens" -> s"""
+         WITH s AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             replace(replace(replace(
+               regexp_replace(regexp_replace(
+                 trim(regexp_replace(lower(strip_accents(text)), '\\s+', ' ', 'g')),
+                 '\\b(feat|ft|with)\\b', ',', 'g'),
+                 '\\s+x\\s+', ',', 'g'),
+               '&', ','), '+', ','), '/', ','),
+             '( @ | – | — | - )', ',', 'g'),
+             '[^\\w\\s,]', ' ', 'g'), '', '') AS cleaned
+           FROM documents),
+         t AS (SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(cleaned, '[,\\s]+'),
+             x -> len(x) > 2 AND NOT list_contains($stopList, x))) AS toks
+           FROM s)
+         SELECT doc_id, array_to_string(list_sort(toks), ' ') AS toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM t ORDER BY doc_id""",
+    "q15_slug_id" ->
+      """WITH s AS (SELECT p_partkey,
+           lower(trim(regexp_replace(strip_accents(p_name), '[^a-zA-Z0-9]+', '-', 'g'), '-')) AS slug
+         FROM part)
+         SELECT p_partkey, slug,
+           slug || '-' || substr(md5(slug || '|' || CAST(p_partkey AS VARCHAR)), 1, 8) AS surrogate_id
+         FROM s ORDER BY p_partkey""",
+    "q16_fr_dates" ->
+      """WITH m AS (SELECT ['janvier','févr.','mars','avr.','mai','juin','juil.','août','sept.','oct.','nov.','déc.'] AS names)
+         SELECT o_orderkey,
+           CAST(day(o_orderdate) AS VARCHAR) || ' ' || names[month(o_orderdate)] || ' ' ||
+             CAST(year(o_orderdate) AS VARCHAR) || ' 20:15' AS fr_text,
+           strftime(o_orderdate + INTERVAL 20 HOURS + INTERVAL 15 MINUTES, '%Y-%m-%d %H:%M') AS parsed
+         FROM orders, m WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
+    "q17_accents" ->
+      """SELECT p_partkey,
+         strip_accents('Fête à l''Élysée — ' || p_name) AS stripped,
+         array_to_string(list_filter(
+           string_split_regex(regexp_replace(lower(strip_accents('Küsse & Böse ' || p_name)), '[^a-zA-Z0-9]+', ' ', 'g'), ' '),
+           x -> x <> '' AND NOT list_contains(['live','concert','tour'], x)), ' ') AS normed
+         FROM part ORDER BY p_partkey""",
+    "q18_similar_parts" ->
+      """SELECT a.p_brand AS brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+         jaccard(a.p_name, b.p_name) AS sim
+         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE jaccard(a.p_name, b.p_name) >= 0.92
+         ORDER BY brand, a_key, b_key""",
+    "q19_consolidate" ->
+      """WITH sgp AS (
+           SELECT 'sg-' || CAST(event_id AS VARCHAR) AS sg_id, event_id AS sg_ord,
+             strftime(ts, '%Y-%m-%d') AS day,
+             'A' || CAST(100 + user_id % 900 AS VARCHAR) || ' @ V' ||
+               CAST(100 + event_id % 37 AS VARCHAR) AS sg_name,
+             CAST(floor(value) AS BIGINT) AS sg_tickets,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS utok
+           FROM events WHERE event_type = 'purchase'),
+         dcp AS (
+           SELECT 'dc-' || CAST(event_id AS VARCHAR) AS dc_id, event_id AS dc_ord,
+             strftime(ts, '%Y-%m-%d') AS day,
+             'A' || CAST(100 + user_id % 900 AS VARCHAR) || ' Live' AS dc_name,
+             CAST(floor(value) AS BIGINT) AS dc_tickets,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS utok
+           FROM events WHERE event_type = 'view'),
+         ov AS (
+           SELECT d.dc_id, s.sg_id, COUNT(*) AS overlap,
+             ANY_VALUE(d.dc_ord) AS dc_ord, ANY_VALUE(s.sg_ord) AS sg_ord
+           FROM dcp d JOIN sgp s ON d.day = s.day AND d.utok = s.utok
+           GROUP BY d.dc_id, s.sg_id),
+         best AS (SELECT * FROM ov
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY dc_id ORDER BY overlap DESC, sg_ord) = 1),
+         matched AS (SELECT * FROM best
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY sg_id ORDER BY dc_ord) = 1),
+         m AS (SELECT s.sg_name AS event_name, s.day AS event_datetime_local,
+             '' AS artist, '' AS venue, s.sg_tickets AS shotgun_tickets_sold,
+             d.dc_tickets AS dice_tickets_sold, s.sg_id AS shotgun_event_id,
+             d.dc_id AS dice_event_id
+           FROM matched x JOIN sgp s ON x.sg_id = s.sg_id JOIN dcp d ON x.dc_id = d.dc_id),
+         sg_rest AS (SELECT sg_name AS event_name, day AS event_datetime_local,
+             '' AS artist, '' AS venue, sg_tickets AS shotgun_tickets_sold,
+             CAST(NULL AS BIGINT) AS dice_tickets_sold, sg_id AS shotgun_event_id,
+             CAST(NULL AS VARCHAR) AS dice_event_id
+           FROM sgp WHERE sg_id NOT IN (SELECT sg_id FROM matched)),
+         dc_rest AS (SELECT dc_name AS event_name, day AS event_datetime_local,
+             '' AS artist, '' AS venue, CAST(NULL AS BIGINT) AS shotgun_tickets_sold,
+             dc_tickets AS dice_tickets_sold, CAST(NULL AS VARCHAR) AS shotgun_event_id,
+             dc_id AS dice_event_id
+           FROM dcp WHERE dc_id NOT IN (SELECT dc_id FROM matched))
+         SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM sg_rest UNION ALL SELECT * FROM dc_rest) u
+         WHERE event_datetime_local >= '2024-01-15'
+         ORDER BY event_datetime_local, lower(event_name),
+           shotgun_event_id NULLS FIRST, dice_event_id NULLS FIRST""",
+    "q20_interval_join" ->
+      """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+         ORDER BY a.user_id, signup_id, purchase_id""")
+}
