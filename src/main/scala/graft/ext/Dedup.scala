@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * All families avoid any cartesian product: exact dedup is a hash
+  * group-by; MinHash-LSH and SimHash reduce near-dup detection to
+  * equi-joins on (band, signature) / fingerprint buckets — the shape
+  * that scales to 10^9+ documents (shuffle keyed by signature, AQE
+  * handles band skew).
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash: keeps the row with the minimum id
+    * per hash bucket (deterministic survivor selection).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct character k-shingles — pure codegen'd builtins
+    * (sequence + substr), no UDF.
+    */
+  def charShingles(c: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => c.substr(i, lit(k))))
+
+  /** MinHash signatures, banded.
+    *
+    * Pipeline: k-shingle → md5 each shingle → band by the first hex
+    * nibble (16 bands) → min digest per (doc, band). md5-as-minhash
+    * keeps the pipeline deterministic and engine-portable (the same
+    * construction runs in any SQL engine for oracle checks).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(charShingles(col(textCol), k)).as("shingle"))
+      .withColumn("digest", md5(col("shingle")))
+      .groupBy(col("doc_id"), substring(col("digest"), 1, 1).as("band"))
+      .agg(min(col("digest")).as("minhash"))
+
+  /** Candidate near-dup pairs: equi-join on (band, minhash) — never a
+    * cross product. `n_bands` = how many of the 16 bands collide.
+    */
+  def minhashCandidates(sig: DataFrame): DataFrame = {
+    val a = sig.select(col("band"), col("minhash"), col("doc_id").as("a_id"))
+    val b = sig.select(col("band"), col("minhash"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "minhash"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 16-bit SimHash over a token array.
+    *
+    * Bit j of the fingerprint is set when the majority of tokens have
+    * an odd hex nibble j in md5(token) (the ±1 vote of classic SimHash).
+    * 16 bits keeps the cross-engine oracle tractable while exercising
+    * the real algorithm; widen with more nibbles for production use.
+    */
+  def simhash(tokens: Column): Column = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    (0 until 16).map { j =>
+      val odd = size(filter(tokens, t =>
+        substring(md5(t), j + 1, 1).isin(oddHex: _*)))
+      when(odd * 2 > size(tokens), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Character n-gram Jaccard similarity of two strings (distinct
+    * n-gram sets), as used for near-dup scoring.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = charShingles(a, n)
+    val sb = charShingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+}

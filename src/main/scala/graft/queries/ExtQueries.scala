@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis => TA}
+import graft.util.Tables
+
+/** Extension operators (BASELINE.json mandate): dedup, similarity
+  * search, text analysis, multimodal plumbing, sessionization — each
+  * with a DuckDB oracle where expressible.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup via content-hash group-by ----
+    "q21_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("norm_key", lower(substring(col("text"), 1, 40)))
+        .transform(df => Dedup.exactDedup(df, "norm_key", "doc_id"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // ---- MinHash + LSH banding near-dup candidates ----
+    "q22_minhash_candidates" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+      Dedup.minhashCandidates(sig)
+        .filter(col("n_bands") >= 5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- SimHash fingerprints ----
+    "q23_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash(TA.wsTokens(lower(col("text")))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (length-bucketed, no cartesian) ----
+    "q24_ngram_dedup" -> ((s, d) => {
+      val p = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 120).as("pre"),
+        floor(col("n_chars") / 100).cast("long").as("bucket"))
+      val a = p.select(col("doc_id").as("a_id"), col("pre").as("a_pre"), col("bucket"))
+      val b = p.select(col("doc_id").as("b_id"), col("pre").as("b_pre"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jac", Dedup.ngramJaccard(col("a_pre"), col("b_pre"), 3))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----
+    "q25_knn_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- heuristic language ID ----
+    "q26_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
+          TA.langScore(TA.wsTokens(lower(col("text"))), "en").as("en_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring ----
+    "q27_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TA.nWords(col("text")).as("n_words"),
+          round(TA.meanWordLen(col("text")), 6).as("mean_word_len"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- token counting ----
+    "q28_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_ws_tokens"),
+          TA.subwordEstimate(col("text")).as("subword_est"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprinting (content md5 + rolling hash) ----
+    "q29_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TA.contentFingerprint(col("text")).as("fingerprint"),
+          TA.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- gap-based sessionization ----
+    "q30_sessionize" -> ((s, d) => {
+      Sessions.sessionStats(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- multimodal binary plumbing (decode stubbed, plumbing real) ----
+    "q31_multimodal" -> ((s, d) => {
+      Multimodal.decodePipeline(Tables.documents(s, d), "text", "doc_id")
+        .drop("payload") // parquet-compare on metadata; payload exercised in tests
+        .orderBy(col("doc_id"))
+    }))
+
+  private def duckToks(expr: String) =
+    s"list_filter(string_split_regex(trim(lower($expr)), '\\s+'), x -> x <> '')"
+
+  /** 16-term SimHash oracle is generated programmatically. */
+  private val simhashTerms: String = (0 until 16).map { j =>
+    s"""CASE WHEN 2 * len(list_filter(toks, t ->
+       list_contains(['1','3','5','7','9','b','d','f'], substr(md5(t), ${j + 1}, 1))))
+       > len(toks) THEN ${1L << j} ELSE 0 END""".replaceAll("\n\\s*", " ")
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(lower(substr(text, 1, 40))) AS content_hash,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q22_minhash_candidates" ->
+      """WITH pos AS (SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
+         sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+           MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+         FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+           AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY a_id, b_id""",
+    "q23_simhash" -> s"""
+         WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents)
+         SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
+         FROM t ORDER BY doc_id""",
+    "q24_ngram_dedup" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           n_chars // 100 AS bucket FROM documents),
+         g AS (SELECT doc_id, bucket, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM p, unnest(generate_series(1, greatest(len(pre) - 2, 1))) t(i)
+           GROUP BY 1, 2),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jac
+           FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, round(jac, 6) AS jac FROM pairs
+         WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+    "q25_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+         s AS (SELECT q_id, n_id,
+           list_inner_product(q_vec, n_vec) /
+             (sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(n_vec, n_vec))) AS sim
+           FROM q, c WHERE q_id <> n_id),
+         r AS (SELECT q_id, n_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM s)
+         SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q26_langid" -> s"""
+         WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, t -> list_contains(['the','and','of','is','with'], t))) AS en,
+           len(list_filter(toks, t -> list_contains(['le','la','les','et','des'], t))) AS fr,
+           len(list_filter(toks, t -> list_contains(['der','die','und','ist','von'], t))) AS de,
+           len(list_filter(toks, t -> list_contains(['el','los','las','y','es'], t))) AS es
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+                WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+                WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+                WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           CAST(en AS BIGINT) AS en_score
+         FROM sc ORDER BY doc_id""",
+    "q27_quality" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks,
+           len(${duckToks("text")}) AS nw FROM documents)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           round(CAST(len(text) - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS mean_word_len,
+           round(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
+           round(CAST(len(list_filter(toks, x ->
+               list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio
+         FROM t ORDER BY doc_id""",
+    "q28_token_count" -> s"""
+         SELECT doc_id, CAST(len(${duckToks("text")}) AS BIGINT) AS n_ws_tokens,
+           greatest(CAST(ceil(len(text) / 4) AS BIGINT),
+             CAST(len(${duckToks("text")}) AS BIGINT)) AS subword_est
+         FROM documents ORDER BY doc_id""",
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, len(text)),
+               i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+         FROM documents ORDER BY doc_id""",
+    "q30_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events),
+         f AS (SELECT user_id, event_id, ts,
+           CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS new_sess
+           FROM g),
+         s AS (SELECT user_id, ts,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM f)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q31_multimodal" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+         d AS (SELECT doc_id, n_bytes,
+           CAST(32 + n_bytes % 224 AS BIGINT) AS width,
+           CAST(32 + (n_bytes * 7) % 224 AS BIGINT) AS height,
+           CAST(1 + n_bytes % 16 AS BIGINT) AS n_frames
+           FROM m)
+         SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, width, height, n_frames,
+           list_transform(generate_series(0, n_frames - 1),
+             i -> i * (n_bytes // n_frames)) AS frame_offsets
+         FROM d ORDER BY doc_id""")
+}
