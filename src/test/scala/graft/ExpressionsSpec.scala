@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Functions => F}
+
+/** Custom Catalyst expressions: edge cases + parity with the Python
+  * implementations (values computed with unicodedata/difflib directly).
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("strip_accents: NFKD + combining-mark removal") {
+    assert(one(F.stripAccents(lit("Électro Fête"))) == "Electro Fete")
+    assert(one(F.stripAccents(lit("àéîõü ç ñ"))) == "aeiou c n")
+    assert(one(F.stripAccents(lit("plain ASCII 123"))) == "plain ASCII 123")
+    assert(one(F.stripAccents(lit(""))) == "")
+    assert(one(F.stripAccents(lit(null))) == null)
+    // NFKD compatibility forms: ligature + fullwidth
+    assert(one(F.stripAccents(lit("ﬁn №"))) == "fin No")
+  }
+
+  test("seq_ratio matches difflib.SequenceMatcher.ratio") {
+    assert(one(F.seqRatio(lit("Électro Fête @ Le Trianon"),
+      lit("Electro Fete @ Le Trianon"))) == 0.92)
+    assert(one(F.seqRatio(lit("abc"), lit("abc"))) == 1.0)
+    assert(one(F.seqRatio(lit(""), lit(""))) == 1.0)
+    assert(one(F.seqRatio(lit("abc"), lit(""))) == 0.0)
+    assert(one(F.seqRatio(lit("abcd"), lit("bcde"))) == 0.75)
+    // difflib: SequenceMatcher(None,'dj snake','dj snoke').ratio() == 0.875
+    assert(one(F.seqRatio(lit("dj snake"), lit("dj snoke"))) == 0.875)
+    assert(one(F.seqRatio(lit("abc"), lit(null))) == null)
+  }
+
+  test("parse_fr_datetime: ISO fast path + French phrases") {
+    def p(s: String): String = {
+      val v = one(date_format(F.parseFrDatetime(lit(s)), "yyyy-MM-dd HH:mm"))
+      if (v == null) null else v.toString
+    }
+    assert(p("2025-11-29T19:00") == "2025-11-29 19:00")
+    assert(p("2025-11-29T19:00:30") == "2025-11-29 19:00")
+    assert(p("2025-10-10") == "2025-10-10 00:00")
+    assert(p("ven. 10 oct. 2025 19:30") == "2025-10-10 19:30")
+    assert(p("10 octobre 2025") == "2025-10-10 00:00")
+    assert(p("1er janvier 2026") == "2026-01-01 00:00")
+    assert(p("samedi 29 novembre 2025 à 20h30") == "2025-11-29 20:30")
+    assert(p("15 août 2025 21h") == "2025-08-15 21:00")
+    assert(p("5 déc. 2025 19:05") == "2025-12-05 19:05")
+    assert(p("garbage text") == null)
+    assert(p("32 oct. 2025") == null)   // invalid day
+    assert(p("10 notamonth 2025") == null)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis => TA}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("charShingles: edges") {
+    assert(one(Dedup.charShingles(lit("abcdef"), 3)).asInstanceOf[scala.collection.Seq[String]].toSeq
+      == Seq("abc", "bcd", "cde", "def"))
+    assert(one(Dedup.charShingles(lit("ab"), 3)).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("ab"))
+    assert(one(Dedup.charShingles(lit("aaaa"), 2)).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("aa"))
+  }
+
+  test("ngramJaccard: identical=1, disjoint=0") {
+    assert(one(Dedup.ngramJaccard(lit("hello world"), lit("hello world"), 3)) == 1.0)
+    assert(one(Dedup.ngramJaccard(lit("aaaa"), lit("bbbb"), 2)) == 0.0)
+  }
+
+  test("minhash candidates find planted near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tail"),                       // near-dup of 0
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "another unrelated string with nothing shared at all zzz qqq www")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(docs, "text", "doc_id"))
+      .filter(col("n_bands") >= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((0L, 1L)))
+  }
+
+  test("simhash: identical token sets agree, hamming-near for near-dups") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here now")).toDF("id", "text")
+    val fp = df.select(col("id"), Dedup.simhash(TA.wsTokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("cosine: identity and orthogonality") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, ties by id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(top == Seq(3L, 1L, 2L)) // exact dup first, then near, then orthogonal
+  }
+
+  test("lshTopK returns a subset consistent with brute force on real embeddings") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 50)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, nPlanes = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    // every LSH hit is a genuine neighbor candidate (same-bucket recall
+    // check: top-5-of-bucket should live in brute-force top-50)
+    assert(lsh.count(brute.contains) >= lsh.length / 2)
+  }
+
+  test("langId picks marker-majority language") {
+    assert(one(TA.langId(lit("the cat and the dog of the house is big"))) == "en")
+    assert(one(TA.langId(lit("le chat et la maison les arbres des fleurs"))) == "fr")
+    assert(one(TA.langId(lit("der hund und die katze ist von hier"))) == "de")
+    assert(one(TA.langId(lit("el perro y los gatos las casas es aqui"))) == "es")
+    assert(one(TA.langId(lit("zzz qqq www"))) == "und")
+  }
+
+  test("quality metrics on crafted text") {
+    val t = lit("Hello, world! This is a test.")
+    assert(one(TA.nWords(t)) == 6L)
+    assert(one(TA.punctRatio(t)).asInstanceOf[Double] > 0.0)
+    assert(one(TA.stopwordRatio(t)).asInstanceOf[Double] == 2.0 / 6.0) // is, a
+  }
+
+  test("rollingHash matches manual Horner computation") {
+    val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(one(TA.rollingHash(lit("ab"))) == expected)
+    assert(one(TA.rollingHash(lit(""))) == 0L)
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val rows = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+      (1L, 12L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")), // 50min gap → new
+      (2L, 20L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val s = Sessions.sessionStats(rows)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(s((1L, 1L)) == 2L)
+    assert(s((1L, 2L)) == 1L)
+    assert(s((2L, 1L)) == 1L)
+  }
+
+  test("multimodal plumbing: payload bytes + stub meta + frame offsets") {
+    val df = Seq((7L, "héllo")).toDF("doc_id", "text") // multibyte é → 6 bytes
+    val out = Multimodal.decodePipeline(df, "text", "doc_id").collect()(0)
+    assert(out.getAs[Long]("n_bytes") == 6L)
+    assert(out.getAs[Array[Byte]]("payload").length == 6)
+    val offsets = out.getAs[scala.collection.Seq[Long]]("frame_offsets")
+    assert(offsets.length == out.getAs[Long]("n_frames"))
+    assert(offsets.head == 0L)
+  }
+}
