@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-streaming surface (SURVEY.md §2.10).
+  *
+  * The reference's incrementality is cron re-run + append-only sink
+  * (`daily.yml:4-6`, `storage/google_sheets.py:21`); its 90-day
+  * lookback re-scan is a poor-man's watermark. Re-expressed natively:
+  * daily tumbling-window aggregation with a real watermark, and
+  * stateful sessionization via flatMapGroupsWithState. Sink modes K1/K2
+  * map to foreachBatch overwrite/append.
+  */
+object Streaming {
+
+  /** Daily snapshot aggregation: tumbling 1-day windows on event time
+    * with late-data tolerance — the streaming twin of q11_events_daily.
+    */
+  def dailyAggregation(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("day_window"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("day_window.start").as("day_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Read the events table as a file stream (schema pinned; one file
+    * per microbatch gives deterministic tests).
+    */
+  def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  case class SessionInput(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, n_events: Int, startMicros: Long, endMicros: Long)
+
+  /** Stateful gap sessionization (§2.10 extension): emits a session when
+    * its gap times out. Batch twin: graft.ext.Sessions.
+    */
+  def sessionizeStream(ds: Dataset[SessionInput], gapSec: Long)(
+      implicit enc1: org.apache.spark.sql.Encoder[SessionOut],
+      enc2: org.apache.spark.sql.Encoder[SessionState]): Dataset[SessionOut] = {
+    val gapMicros = gapSec * 1000000L
+    ds.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          // Within a microbatch, events arrive unordered — sort by ts.
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
+          var out = List.empty[SessionOut]
+          var st = state.getOption.orNull
+          sorted.foreach { r =>
+            if (st == null) st = SessionState(r.tsMicros, r.tsMicros, 1)
+            else if (r.tsMicros - st.last > gapMicros) {
+              out = SessionOut(user, st.n, st.start, st.last) :: out
+              st = SessionState(r.tsMicros, r.tsMicros, 1)
+            } else st = SessionState(st.start, r.tsMicros, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.reverse.iterator
+      }
+  }
+
+  /** K1/K2 as streaming sinks: per-microbatch overwrite (snapshot) or
+    * append (historization) via foreachBatch.
+    */
+  def snapshotSink(df: DataFrame, path: String, checkpoint: String,
+      append: Boolean): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(if (append) OutputMode.Append else OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write
+          .mode(if (append) "append" else "overwrite")
+          .parquet(path)
+      }
+}

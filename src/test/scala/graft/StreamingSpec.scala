@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("daily windowed aggregation over events stream matches batch") {
+    val schema = graft.util.Tables.events(spark, sf0001).schema
+    // stream the (nanos-normalized) events through a temp parquet copy
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    graft.util.Tables.events(spark, sf0001).write.mode("overwrite").parquet(tmp)
+
+    val stream = Streaming.eventsStream(spark, tmp,
+      spark.read.parquet(tmp).schema)
+    val agg = Streaming.dailyAggregation(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT CAST(day_start AS DATE) AS day, event_type, n FROM daily_out")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val batch = graft.util.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionization groups within-gap events") {
+    import Streaming.{SessionInput, SessionOut, SessionState}
+    implicit val encOut = org.apache.spark.sql.Encoders.product[SessionOut]
+    implicit val encSt = org.apache.spark.sql.Encoders.product[SessionState]
+    val micros = (s: String) =>
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val input = Seq(
+      SessionInput(1L, 1L, micros("2024-01-01 10:00:00")),
+      SessionInput(1L, 2L, micros("2024-01-01 10:10:00")),
+      SessionInput(1L, 3L, micros("2024-01-01 12:00:00")), // gap → closes first
+      SessionInput(2L, 4L, micros("2024-01-01 09:00:00")))
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionInput](
+      spark)(org.apache.spark.sql.Encoders.product[SessionInput])
+    ms.addData(input: _*)
+    val out = Streaming.sessionizeStream(ms.toDS(), gapSec = 1800L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // only user 1's first session is CLOSED (a later event arrived)
+    val rows = spark.sql("SELECT user_id, n_events FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((1L, 2)))
+  }
+}
