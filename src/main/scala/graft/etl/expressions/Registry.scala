@@ -1,0 +1,40 @@
+package graft.etl.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's custom expressions
+  * (SURVEY.md §2.11): makes `strip_accents`, `parse_fr_datetime` and
+  * `seq_ratio` callable from `spark.sql(...)`, either per-session via
+  * [[Registry.register]] or cluster-wide via
+  * `spark.sql.extensions=graft.etl.expressions.GraftExtensions`.
+  */
+object Registry {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strip_accents" -> (es => StripAccents(es.head)),
+    "parse_fr_datetime" -> (es => ParseFrDatetime(es.head)),
+    "seq_ratio" -> (es => SequenceRatio(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+
+  private[expressions] def injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    fns.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Registry.type].getName, name), builder)
+    }
+}
+
+/** Session-extension hook: `.withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions` conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.injections.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

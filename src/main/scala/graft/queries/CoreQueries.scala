@@ -208,16 +208,20 @@ object CoreQueries {
 
     // ---- J2-physical: similarity join (char-set Jaccard, equi-prefiltered) ----
     "q18_similar_parts" -> ((s, d) => {
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // blocking key (brand, p_size) bounds the candidate set — the
+      // similarity-join prefilter pattern; char sets are projected
+      // BELOW the join (computed once per row, not once per pair)
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"),
+        array_distinct(split(col("p_name"), "")).as("chars"))
       val a = p.select(col("p_partkey").as("a_key"), col("p_brand").as("brand"),
-        col("p_name").as("a_name"))
+        col("p_size").as("psize"), col("chars").as("a_chars"))
       val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("brand"),
-        col("p_name").as("b_name"))
-      val chars = (c: Column) => array_distinct(split(c, ""))
-      val jac = size(array_intersect(chars(col("a_name")), chars(col("b_name"))))
-        .cast("double") /
-        size(array_union(chars(col("a_name")), chars(col("b_name")))).cast("double")
-      a.join(b, Seq("brand"))
+        col("p_size").as("psize"), col("chars").as("b_chars"))
+      val inter = size(array_intersect(col("a_chars"), col("b_chars")))
+      // |A∪B| = |A|+|B|-|A∩B| avoids building the union array per pair
+      val jac = inter.cast("double") /
+        (size(col("a_chars")) + size(col("b_chars")) - inter).cast("double")
+      a.join(b, Seq("brand", "psize"))
         .filter(col("a_key") < col("b_key"))
         .withColumn("sim", jac)
         .filter(col("sim") >= 0.92)
@@ -250,6 +254,29 @@ object CoreQueries {
       Consolidate.consolidate(sg, dc, "2024-01-15", col("ord"), col("ord"))
         .orderBy(col("event_datetime_local"), lower(col("event_name")),
           col("shotgun_event_id").asc_nulls_first, col("dice_event_id").asc_nulls_first)
+    }),
+
+    // ---- grouping-set extension: full cube ----
+    "q32_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"))
+        .orderBy(col("g1").asc, col("g2").asc,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- A5: ordered first-value pick per group ----
+    "q33_first_value" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          first(col("o_orderkey")).over(w).as("first_orderkey"))
+        .distinct()
+        .orderBy(col("o_orderpriority"))
     }),
 
     // ---- J2-shape: interval (range-predicate) join ----
@@ -382,7 +409,8 @@ object CoreQueries {
     "q18_similar_parts" ->
       """SELECT a.p_brand AS brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
          jaccard(a.p_name, b.p_name) AS sim
-         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
          WHERE jaccard(a.p_name, b.p_name) >= 0.92
          ORDER BY brand, a_key, b_key""",
     "q19_consolidate" ->
@@ -429,6 +457,18 @@ object CoreQueries {
          WHERE event_datetime_local >= '2024-01-15'
          ORDER BY event_datetime_local, lower(event_name),
            shotgun_event_id NULLS FIRST, dice_event_id NULLS FIRST""",
+    "q32_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g2
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q33_first_value" ->
+      """SELECT DISTINCT o_orderpriority,
+         FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey) AS first_orderkey
+         FROM orders ORDER BY o_orderpriority""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Pipeline
+import graft.etl.expressions.Registry
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after registration") {
+    Registry.register(spark)
+    val r = spark.sql(
+      """SELECT strip_accents('Électro Fête') AS a,
+                seq_ratio('dj snake', 'dj snoke') AS b,
+                date_format(parse_fr_datetime('10 oct. 2025 19:30'),
+                            'yyyy-MM-dd HH:mm') AS c""").collect()(0)
+    assert(r.getString(0) == "Electro Fete")
+    assert(r.getDouble(1) == 0.875)
+    assert(r.getString(2) == "2025-10-10 19:30")
+  }
+
+  test("E1 pipeline: sources → consolidate → three sinks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val ev = graft.util.Tables.events(spark, sf0001)
+    def nulls(n: String) = lit(null).cast("string").as(n)
+    def mk(t: String, prefix: String) = ev.filter(col("event_type") === t).select(
+      lit(prefix).as("provider"),
+      concat(lit(prefix), lit("-"), col("event_id")).as("event_id_provider"),
+      concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string")).as("event_name"),
+      col("ts").as("event_datetime_local"),
+      floor(col("value")).cast("long").as("tickets_sold_total"),
+      col("event_id").as("__ord"),
+      nulls("artist_name"), nulls("venue_name"), nulls("city"))
+    val out = Pipeline.run(spark, mk("purchase", "sg"), mk("view", "dc"),
+      "2024-01-15", tmp, "run-t")
+    assert(out.count() > 0)
+    assert(spark.read.parquet(s"$tmp/consolidated").count() == out.count())
+    assert(spark.read.parquet(s"$tmp/historized").count() > 0)
+    assert(spark.read.json(s"$tmp/preview").count() == 20)
+  }
+
+  test("pipeline failure isolation: failing source degrades to empty") {
+    val boom = Pipeline.sourceOrEmpty(spark)(
+      sys.error("source down"): org.apache.spark.sql.DataFrame)
+    assert(boom.count() == 0)
+    assert(boom.columns.contains("event_id_provider"))
+  }
+}
