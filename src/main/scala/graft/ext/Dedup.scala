@@ -62,12 +62,18 @@ object Dedup {
     * 16 bits keeps the cross-engine oracle tractable while exercising
     * the real algorithm; widen with more nibbles for production use.
     */
-  def simhash(tokens: Column): Column = {
+  def simhash(tokens: Column): Column = simhashFromDigests(transform(tokens, t => md5(t)))
+
+  /** SimHash over precomputed md5 digests. Callers should project the
+    * digest array in its own select: higher-order functions are
+    * excluded from Spark's subexpression elimination, so inlining
+    * would re-hash every token 16 times (once per bit).
+    */
+  def simhashFromDigests(digests: Column): Column = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     (0 until 16).map { j =>
-      val odd = size(filter(tokens, t =>
-        substring(md5(t), j + 1, 1).isin(oddHex: _*)))
-      when(odd * 2 > size(tokens), lit(1L << j)).otherwise(lit(0L))
+      val odd = size(filter(digests, dg => substring(dg, j + 1, 1).isin(oddHex: _*)))
+      when(odd * 2 > size(digests), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

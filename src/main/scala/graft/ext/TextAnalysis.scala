@@ -39,9 +39,14 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: argmax of marker-word counts with a
     * fixed precedence (en > fr > de > es), "und" (undetermined) when no
     * marker hits at all.
+    *
+    * Prefer [[langIdFromTokens]] over a pre-projected token column in
+    * hot paths: lambdas are excluded from subexpression elimination, so
+    * this convenience form re-tokenizes per marker set.
     */
-  def langId(c: Column): Column = {
-    val toks = wsTokens(lower(c))
+  def langId(c: Column): Column = langIdFromTokens(wsTokens(lower(c)))
+
+  def langIdFromTokens(toks: Column): Column = {
     val scores = markers.map { case (l, _) => l -> langScore(toks, l) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((l, s), acc) =>

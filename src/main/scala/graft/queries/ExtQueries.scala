@@ -32,22 +32,35 @@ object ExtQueries {
 
     // ---- SimHash fingerprints ----
     "q23_simhash" -> ((s, d) => {
+      // digest array projected in its own select: CollapseProject keeps
+      // the non-cheap lambda from being inlined 16× into the bit terms
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Dedup.simhash(TA.wsTokens(lower(col("text")))).as("simhash"))
+          transform(TA.wsTokens(lower(col("text"))), t => md5(t)).as("digests"))
+        .select(col("doc_id"),
+          Dedup.simhashFromDigests(col("digests")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (length-bucketed, no cartesian) ----
+    // ---- n-gram Jaccard near-dup: MinHash candidates → exact re-score ----
+    // The bucket-join variant evaluated jaccard on every same-length
+    // pair (quadratic per bucket — 2.3M pairs at sf0.1, minutes in one
+    // task). The scalable pipeline scores ONLY LSH candidate pairs.
     "q24_ngram_dedup" -> ((s, d) => {
-      val p = Tables.documents(s, d).select(col("doc_id"),
-        substring(col("text"), 1, 120).as("pre"),
-        floor(col("n_chars") / 100).cast("long").as("bucket"))
-      val a = p.select(col("doc_id").as("a_id"), col("pre").as("a_pre"), col("bucket"))
-      val b = p.select(col("doc_id").as("b_id"), col("pre").as("b_pre"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("jac", Dedup.ngramJaccard(col("a_pre"), col("b_pre"), 3))
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(
+          Dedup.minhashSignatures(docs, "text", "doc_id", k = 8))
+        .filter(col("n_bands") >= 3)
+        .select(col("a_id"), col("b_id"))
+      val pre = docs.select(col("doc_id"),
+        Dedup.charShingles(substring(col("text"), 1, 120), 3).as("grams"))
+      val inter = size(array_intersect(col("a_grams"), col("b_grams")))
+      val jac = inter.cast("double") /
+        (size(col("a_grams")) + size(col("b_grams")) - inter).cast("double")
+      cand
+        .join(pre.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
+        .join(pre.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
+        .withColumn("jac", jac)
         .filter(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -64,8 +77,9 @@ object ExtQueries {
     // ---- heuristic language ID ----
     "q26_langid" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
-          TA.langScore(TA.wsTokens(lower(col("text"))), "en").as("en_score"))
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), TA.langIdFromTokens(col("toks")).as("lang_guess"),
+          TA.langScore(col("toks"), "en").as("en_score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -141,15 +155,24 @@ object ExtQueries {
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
     "q24_ngram_dedup" ->
-      """WITH p AS (SELECT doc_id, substr(text, 1, 120) AS pre,
-           n_chars // 100 AS bucket FROM documents),
-         g AS (SELECT doc_id, bucket, list(DISTINCT substr(pre, i, 3)) AS grams
-           FROM p, unnest(generate_series(1, greatest(len(pre) - 2, 1))) t(i)
-           GROUP BY 1, 2),
-         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-           CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jac
-           FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      """WITH pos AS (SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
+         sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+           MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         gpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM gpos GROUP BY 1),
+         pairs AS (SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+           CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jac
+           FROM cand c JOIN g ga ON c.a_id = ga.doc_id JOIN g gb ON c.b_id = gb.doc_id)
          SELECT a_id, b_id, round(jac, 6) AS jac FROM pairs
          WHERE jac >= 0.5 ORDER BY a_id, b_id""",
     "q25_knn_cosine" ->

@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan assertions: the scale-relevant plan properties the
+  * engine is designed around (SURVEY.md §4) — filter/column pushdown to
+  * parquet, broadcast joins for small dims, keyed (never cartesian)
+  * similarity joins, WholeStageCodegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  /** AQE only materializes codegen stages once executed. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // projection pruned: scan schema must NOT include unused l_tax
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q03: small dim is broadcast") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q19 flagship: no cartesian product, joins are keyed") {
+    val p = plan("q19_consolidate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q25 knn: query side broadcast, corpus streamed") {
+    val p = plan("q25_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation runs inside WholeStageCodegen") {
+    // codegen stages render as "*(n) HashAggregate" in the tree string
+    assert(executedPlan("q01_pricing_summary").contains("*(1)"))
+  }
+
+  test("custom expressions do not break codegen") {
+    // q17 uses StripAccents + normName (custom expression in the middle
+    // of builtins) — the projection must still be codegen'd
+    assert(executedPlan("q17_accents").contains("*(1)"))
+  }
+
+  test("q22 minhash candidates: equi-join on (band, minhash), no cross") {
+    val p = plan("q22_minhash_candidates")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
