@@ -16,9 +16,14 @@ object Registry {
     "parse_fr_datetime" -> (es => ParseFrDatetime(es.head)),
     "seq_ratio" -> (es => SequenceRatio(es(0), es(1))))
 
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    if (!spark.experimental.extraOptimizations.contains(SimilarityPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimilarityPrefilter
   }
 
   private[expressions] def injections
@@ -33,8 +38,10 @@ object Registry {
   * `spark.sql.extensions` conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.injections.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => SimilarityPrefilter)
+  }
 }

@@ -123,6 +123,39 @@ object ExtQueries {
       Multimodal.decodePipeline(Tables.documents(s, d), "text", "doc_id")
         .drop("payload") // parquet-compare on metadata; payload exercised in tests
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- HLL sketch aggregation (no oracle: HLL impls differ across
+    //      engines by design — driver records the rows-only check) ----
+    "q34_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- J2 similarity merge in production shape (SequenceRatio in a
+    //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
+    //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
+    //      the reference-diff harness) ----
+    "q35_merge_similarity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fixedScrape = lit("2026-08-01 06:00:00").cast("timestamp")
+      def side(t: String, prefix: String) = ev.filter(col("event_type") === t).select(
+        concat(lit(prefix), lit("-"), col("event_id")).as("event_id_provider"),
+        concat(lit("A"), col("user_id").cast("string"), lit(" Show")).as("event_name"),
+        col("ts").cast("timestamp_ntz").as("event_datetime_local"),
+        floor(col("value")).cast("long").as("tickets_sold_total"),
+        fixedScrape.as("scrape_ts_utc"),
+        lit("run-fixed").as("ingestion_run_id"),
+        col("event_id").as("ord"))
+      graft.etl.Consolidate.mergeSimilarity(
+          side("signup", "sg"), side("purchase", "dc"),
+          col("ord"), col("ord"))
+        .withColumn("event_datetime_local",
+          date_format(col("event_datetime_local"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .orderBy(col("canonical_event_key"), col("event_datetime_local"))
     }))
 
   private def duckToks(expr: String) =
