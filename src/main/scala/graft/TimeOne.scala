@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev harness: time a single query. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (name, dir) = (args(0), args(1))
+    // warm
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    println(f"TIMED ${(System.nanoTime()-t0)/1e9}%.2f s  $name")
+    spark.stop()
+  }
+}

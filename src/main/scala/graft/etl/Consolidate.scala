@@ -85,10 +85,15 @@ object Consolidate {
     val wDc = Window.partitionBy(col("dc_id"))
       .orderBy(col("overlap").desc, col("sg_ord").asc)
     val wSg = Window.partitionBy(col("sg_id")).orderBy(col("dc_ord").asc)
+    // Persisted: three output branches (matched / SG-rest / DICE-rest)
+    // consume this two-column frame; without it each branch replays the
+    // token join + both window ranks (plan review showed 24 scans / 42
+    // exchanges at sf0.001). It is tiny (two ids per matched pair).
     val matchedIds = scored
       .withColumn("rk_dc", row_number().over(wDc)).filter(col("rk_dc") === 1)
       .withColumn("rk_sg", row_number().over(wSg)).filter(col("rk_sg") === 1)
       .select(col("dc_id"), col("sg_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val matched = matchedIds
       .join(sgP, Seq("sg_id"))
@@ -171,30 +176,57 @@ object Consolidate {
         col("scrape_ts_utc").as("dc_scrape"),
         col("ingestion_run_id").as("dc_run"))
 
-    // Same-day equi-join branch (both datetimes present) + dateless
-    // branch (reference skips the day/tolerance guards when either side
-    // has no datetime, leaving only the name-similarity predicate).
-    val dated = dcP.filter(col("dc_dt").isNotNull)
-      .withColumn("dc_day", to_date(col("dc_dt")))
-      .join(sgD.filter(col("sg_dt").isNotNull)
-          .withColumn("sg_day", to_date(col("sg_dt"))),
-        col("dc_day") === col("sg_day") &&
-          abs(unix_timestamp(col("sg_dt").cast("timestamp")) -
-            unix_timestamp(col("dc_dt").cast("timestamp"))) <= toleranceMin * 60L)
-      .drop("dc_day", "sg_day")
+    // Normalized names are projected per SIDE, not per pair: normName
+    // (NFKD + regexes + token filter) inside the join score would be
+    // re-evaluated for every candidate pair (lambdas are exempt from
+    // subexpression elimination) — measured 60s vs 3s at sf0.1.
+    val sgN = sgD.withColumn("sg_norm", normName(col("sg_name")))
+    val dcN = dcP.withColumn("dc_norm", normName(col("dc_name")))
+
+    // Range-banded equi-join (both datetimes present): bucket width =
+    // the tolerance, DICE side exploded to adjacent buckets, so every
+    // |Δt| <= tol pair co-locates while the shuffle stays keyed — the
+    // standard banding rewrite of an interval join (reference runs the
+    // O(|SG|·|DICE|) loop instead, matching.py:65-68). Day equality and
+    // the exact tolerance remain as residual predicates.
+    val tolSec = toleranceMin * 60L
+    val sgDated = sgN.filter(col("sg_dt").isNotNull)
+      .withColumn("bkt",
+        floor(unix_timestamp(col("sg_dt").cast("timestamp")) / tolSec))
+    val dcDated = dcN.filter(col("dc_dt").isNotNull)
+      .withColumn("bkt0",
+        floor(unix_timestamp(col("dc_dt").cast("timestamp")) / tolSec))
+      .withColumn("bkt", explode(array(col("bkt0") - 1, col("bkt0"), col("bkt0") + 1)))
+      .drop("bkt0")
+    val dated = dcDated.join(sgDated, Seq("bkt"))
+      .filter(to_date(col("dc_dt")) === to_date(col("sg_dt")) &&
+        abs(unix_timestamp(col("sg_dt").cast("timestamp")) -
+          unix_timestamp(col("dc_dt").cast("timestamp"))) <= tolSec)
+      .drop("bkt")
+
+    // Dateless branch: the reference skips the day/tolerance guards
+    // when either side has no datetime, leaving only name similarity.
     val dateless =
-      dcP.filter(col("dc_dt").isNull).crossJoin(broadcast(sgD))
+      dcN.filter(col("dc_dt").isNull).crossJoin(broadcast(sgN))
         .unionByName(
-          dcP.filter(col("dc_dt").isNotNull)
-            .crossJoin(broadcast(sgD.filter(col("sg_dt").isNull))))
+          dcN.filter(col("dc_dt").isNotNull)
+            .crossJoin(broadcast(sgN.filter(col("sg_dt").isNull))))
 
     val pairs = dated.unionByName(dateless)
-      .withColumn("score", simName(col("sg_name"), col("dc_name")))
+      // cheap necessary length bound first (same math as the
+      // SimilarityPrefilter rule), then the exact ratio
+      .filter(lit(2.0) * least(length(col("sg_norm")), length(col("dc_norm"))) >=
+        lit(tau) * (length(col("sg_norm")) + length(col("dc_norm"))))
+      .withColumn("score", seqRatio(col("sg_norm"), col("dc_norm")))
       .filter(col("score") >= tau)
+      .drop("sg_norm", "dc_norm")
 
     val wDc = Window.partitionBy(col("dc_ord"))
       .orderBy(col("score").desc, col("sg_ord").asc)
+    // persisted: consumed by both the matched-rollup and the unmatched
+    // anti-join (avoids replaying the similarity join per branch)
     val best = pairs.withColumn("rk", row_number().over(wDc)).filter(col("rk") === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Multiple DICE → one SG key: the LAST processed DICE's tickets stick.
     val wSg = Window.partitionBy(col("ckey")).orderBy(col("dc_ord").desc)

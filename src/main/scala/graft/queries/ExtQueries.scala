@@ -135,6 +135,16 @@ object ExtQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- embedding-cosine near-dup via LSH buckets (no oracle: the
+    //      md5-derived hyperplanes use base-16 conv, absent in DuckDB;
+    //      correctness pinned by the LSH-vs-brute-force recall spec) ----
+    "q36_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3, nPlanes = 8)
+        .filter(col("sim") >= 0.2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- J2 similarity merge in production shape (SequenceRatio in a
     //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
     //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
