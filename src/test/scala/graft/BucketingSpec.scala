@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.util.{Bucketing, Tables}
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+
+    Bucketing.writeBucketed(li, "li_bkt", "l_orderkey", buckets = 8)
+    Bucketing.writeBucketed(o, "o_bkt", "l_orderkey", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at test scale the planner prefers broadcast (and rightly skips the
+    // bucketed layout); force the SMJ path the layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.cotlocatedJoin(spark, "li_bkt", "o_bkt", "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // sanity: same result as the plain join
+      val plain = li.join(o, "l_orderkey").count()
+      assert(joined.count() == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.etl.{Functions => F}
+import graft.ext.Dedup
+
+/** Property tests (SURVEY.md §5): invariants of the scalar layer and
+  * the consolidation join, driven through the real Spark runtime in
+  * batched samples (one collect per property, not per case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts: Gen[String] = Gen.oneOf(
+    Gen.alphaStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf(
+      "é", "à", "ü", "œ", "@", "-", "–", "&", "+", "/", " ", "  ", "feat", "live",
+      "x", "DJ", "concert", "1 234,56 €", "COMPLET"))).map(_.mkString(" ")))
+
+  private def sample(n: Int): Seq[String] =
+    Gen.listOfN(n, texts).sample.getOrElse(Seq.fill(n)("fallback"))
+
+  test("normBasic is idempotent and produces trimmed lowercase") {
+    val in = sample(300)
+    val out = in.toDF("s")
+      .select(F.normBasic(col("s")).as("once"))
+      .withColumn("twice", F.normBasic(col("once")))
+      .collect()
+    out.foreach { r =>
+      val (once, twice) = (r.getString(0), r.getString(1))
+      assert(once == twice, s"not idempotent: '$once' vs '$twice'")
+      assert(once == once.toLowerCase)
+      assert(once == once.trim)
+      assert(!once.contains("  "))
+    }
+  }
+
+  test("normName is idempotent") {
+    val out = sample(300).toDF("s")
+      .select(F.normName(col("s")).as("once"))
+      .withColumn("twice", F.normName(col("once")))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("artist tokens: all >2 chars, lowercase, no stopwords, distinct") {
+    val stop = Set("the", "and", "feat", "ft", "with", "x", "le", "la", "les",
+      "l", "de", "du", "des", "et", "au", "aux", "chez", "a", "an", "on", "in")
+    val out = sample(300).toDF("s")
+      .select(F.artistTokensOne(col("s")).as("t")).collect()
+    out.foreach { r =>
+      val toks = r.getAs[scala.collection.Seq[String]]("t")
+      assert(toks.distinct.size == toks.size)
+      toks.foreach { t =>
+        assert(t.length > 2)
+        assert(t == t.toLowerCase)
+        assert(!stop.contains(t))
+      }
+    }
+  }
+
+  test("seq_ratio is symmetric-in-value, bounded, reflexive") {
+    val pairs = sample(150).zip(sample(150))
+    val out = pairs.toDF("a", "b").select(
+      F.seqRatio(col("a"), col("b")).as("ab"),
+      F.seqRatio(col("a"), col("a")).as("aa")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) == 1.0)
+    }
+  }
+
+  test("charShingles: every shingle is an in-order substring, length <= k") {
+    val out = sample(200).filter(_.nonEmpty).toDF("s")
+      .select(col("s"), Dedup.charShingles(col("s"), 4).as("sh")).collect()
+    out.foreach { r =>
+      val s = r.getString(0)
+      r.getAs[scala.collection.Seq[String]]("sh").foreach { g =>
+        assert(g.length <= 4 && g.nonEmpty)
+        assert(s.contains(g))
+      }
+    }
+  }
+
+  test("consolidation: each provider id appears at most once; counts conserved") {
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2030, 1, 1, 12, 0)
+    val names = Gen.listOfN(40,
+      Gen.oneOf("Alpha Beta", "Gamma Delta", "Alpha Solo", "Epsilon",
+        "Beta Gamma", "Zeta Live", "Unique Words Here")).sample.get
+    def frame(prefix: String, ns: Seq[String]) =
+      ns.zipWithIndex.map { case (n, i) =>
+        graft.etl.NormalizedEvent(provider = prefix, event_id_provider = s"$prefix$i",
+          event_name = n, event_datetime_local = Some(base.plusDays(i % 5)))
+      }.zipWithIndex.map { case (e, i) => (e, i.toLong) }
+        .toDF("e", "ord").select(col("e.*"), col("ord"))
+    val sg = frame("sg", names)
+    val dc = frame("dc", names.reverse)
+    val out = graft.etl.Consolidate
+      .consolidate(sg, dc, "2029-01-01", col("ord"), col("ord")).collect()
+    val sgIds = out.flatMap(r => Option(r.getAs[String]("shotgun_event_id")))
+    val dcIds = out.flatMap(r => Option(r.getAs[String]("dice_event_id")))
+    assert(sgIds.distinct.length == sgIds.length, "an SG id was matched twice")
+    assert(dcIds.distinct.length == dcIds.length, "a DICE id was matched twice")
+    // conservation: every dated input id appears exactly once in output
+    assert(sgIds.length == names.length)
+    assert(dcIds.length == names.length)
+  }
+}
