@@ -20,13 +20,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct character k-shingles — pure codegen'd builtins
-    * (sequence + substr), no UDF.
+  /** Distinct character k-shingles — single-pass codegen'd custom
+    * expression (see [[graft.etl.expressions.CharShingles]]; the
+    * composed sequence+transform+array_distinct form allocates ~3× the
+    * garbage and dominated GC on the dedup bench queries).
     */
   def charShingles(c: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
-      i => c.substr(i, lit(k))))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.CharShingles(
+        org.apache.spark.sql.GraftBridge.expression(c), k))
 
   /** MinHash signatures, banded.
     *

@@ -279,6 +279,36 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- running window aggregate (frame: unbounded preceding) ----
+    "q37_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- interpolated percentiles ----
+    "q38_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- ordered group concatenation (collect_list + sort) ----
+    "q39_group_concat" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -469,6 +499,21 @@ object CoreQueries {
          FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
            ORDER BY o_orderdate, o_orderkey) AS first_orderkey
          FROM orders ORDER BY o_orderpriority""",
+    "q37_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders WHERE o_custkey % 10 = 0
+         ORDER BY o_custkey, o_orderkey""",
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q39_group_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id
