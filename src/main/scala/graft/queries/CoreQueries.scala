@@ -309,6 +309,39 @@ object CoreQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // ---- as-of (point-in-time) join ----
+    "q40_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+      graft.etl.AsOf.asofJoin(clicks, signups, "user_id",
+          "click_ts", "signup_ts", "signup_id")
+        .select(col("user_id"), col("click_id"), col("signup_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
+    // ---- pivot (conditional aggregation across a value domain) ----
+    "q41_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    // ---- typed Aggregator (§2.11 extension point) ----
+    "q42_typed_agg" -> ((s, d) => {
+      val centsMean = udaf(graft.etl.Aggregators.CentsMean)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(centsMean(col("o_totalprice")), 4).as("mean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -514,6 +547,31 @@ object CoreQueries {
     "q39_group_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q40_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         s AS (SELECT user_id, event_id AS signup_id, ts AS signup_ts
+           FROM events WHERE event_type = 'signup'),
+         j AS (SELECT c.user_id, c.click_id, s.signup_id,
+           ROW_NUMBER() OVER (PARTITION BY c.click_id
+             ORDER BY s.signup_ts DESC NULLS LAST, s.signup_id DESC NULLS LAST) AS rk
+           FROM c LEFT JOIN s ON c.user_id = s.user_id AND s.signup_ts <= c.click_ts)
+         SELECT user_id, click_id, signup_id FROM j WHERE rk = 1
+         ORDER BY user_id, click_id""",
+    "q41_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) FILTER (event_type = 'click') AS click,
+         COUNT(*) FILTER (event_type = 'error') AS error,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS signup,
+         COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q42_typed_agg" ->
+      """SELECT o_orderpriority,
+         round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / COUNT(*), 4) AS mean_price,
+         COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id
