@@ -58,20 +58,24 @@ object TextAnalysis {
     * ratio, stopword ratio, and a composite [0,1] score. Ratios are
     * exact rational arithmetic over counts → deterministic across
     * engines.
+    *
+    * The `*FromTokens` forms take a pre-projected token column — using
+    * the text-taking conveniences for several metrics in one select
+    * re-tokenizes per metric (lambdas are exempt from CSE).
     */
   def nWords(c: Column): Column = tokenCount(c)
-  def meanWordLen(c: Column): Column =
-    (length(c) - (tokenCount(c) - lit(1L))).cast("double") /
-      tokenCount(c).cast("double")
+  def meanWordLen(c: Column): Column = meanWordLenFromTokens(c, wsTokens(c))
+  def meanWordLenFromTokens(text: Column, toks: Column): Column =
+    (length(text) - (size(toks).cast("long") - lit(1L))).cast("double") /
+      size(toks).cast("double")
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /
       length(c).cast("double")
-  def stopwordRatio(c: Column): Column = {
-    val stops = Seq("the", "and", "of", "a", "to", "in", "is", "it")
-    val toks = wsTokens(lower(c))
-    size(filter(toks, t => t.isInCollection(stops))).cast("double") /
+  private val qualityStops = Seq("the", "and", "of", "a", "to", "in", "is", "it")
+  def stopwordRatio(c: Column): Column = stopwordRatioFromTokens(wsTokens(lower(c)))
+  def stopwordRatioFromTokens(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(qualityStops))).cast("double") /
       size(toks).cast("double")
-  }
 
   /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
     * character stream — an order-sensitive document fingerprint, unlike

@@ -163,10 +163,12 @@ object CoreQueries {
 
     // ---- F2/F5 normalization + tokenization over documents ----
     "q14_doc_tokens" -> ((s, d) => {
+      // token array projected once (lambda exprs are exempt from CSE)
       Tables.documents(s, d)
+        .select(col("doc_id"), F.artistTokensOne(col("text")).as("tok_arr"))
         .select(col("doc_id"),
-          array_join(array_sort(F.artistTokensOne(col("text"))), " ").as("toks"),
-          size(F.artistTokensOne(col("text"))).cast("long").as("n_tokens"))
+          array_join(array_sort(col("tok_arr")), " ").as("toks"),
+          size(col("tok_arr")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 

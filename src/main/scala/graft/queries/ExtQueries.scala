@@ -83,23 +83,29 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- quality scoring ----
+    // ---- quality scoring (tokens projected once) ----
     "q27_quality" -> ((s, d) => {
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
         .select(col("doc_id"),
-          TA.nWords(col("text")).as("n_words"),
-          round(TA.meanWordLen(col("text")), 6).as("mean_word_len"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+            .as("mean_word_len"),
           round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
 
-    // ---- token counting ----
+    // ---- token counting (tokens projected once) ----
     "q28_token_count" -> ((s, d) => {
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TA.wsTokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TA.tokenCount(col("text")).as("n_ws_tokens"),
-          TA.subwordEstimate(col("text")).as("subword_est"))
+          size(col("toks")).cast("long").as("n_ws_tokens"),
+          greatest(ceil(length(col("text")) / 4).cast("long"),
+            size(col("toks")).cast("long")).as("subword_est"))
         .orderBy(col("doc_id"))
     }),
 
