@@ -22,11 +22,11 @@ object ExtQueries {
         .orderBy(col("content_hash"))
     }),
 
-    // ---- MinHash + LSH banding near-dup candidates ----
+    // ---- MinHash + LSH banding near-dup candidates (r=2, b=8) ----
     "q22_minhash_candidates" -> ((s, d) => {
-      val sig = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+      val sig = Dedup.bandedSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
       Dedup.minhashCandidates(sig)
-        .filter(col("n_bands") >= 5)
+        .filter(col("n_bands") >= 2)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -49,8 +49,7 @@ object ExtQueries {
     "q24_ngram_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cand = Dedup.minhashCandidates(
-          Dedup.minhashSignatures(docs, "text", "doc_id", k = 8))
-        .filter(col("n_bands") >= 3)
+          Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
         .select(col("a_id"), col("b_id"))
       val pre = docs.select(col("doc_id"),
         Dedup.charShingles(substring(col("text"), 1, 120), 3).as("grams"))
@@ -177,6 +176,24 @@ object ExtQueries {
   private def duckToks(expr: String) =
     s"list_filter(string_split_regex(trim(lower($expr)), '\\s+'), x -> x <> '')"
 
+  /** Shared oracle CTEs for the r=2 banded MinHash signature. */
+  private val bandedSigSql: String = {
+    val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
+      s"coalesce(MIN(minhash) FILTER (band = '$h'), '-') AS b$i"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"b$j || '#' || b${j + 8} AS k$j").mkString(", ")
+    val karr = (0 until 8).map(j => s"k$j").mkString("[", ", ", "]")
+    s"""pos AS (SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
+       sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
+       sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+         MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2),
+       piv AS (SELECT doc_id, $cols FROM sig GROUP BY doc_id),
+       keyed AS (SELECT doc_id, $keys FROM piv),
+       lng AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
+         unnest($karr) AS sigkey FROM keyed)"""
+  }
+
   /** 16-term SimHash oracle is generated programmatically. */
   private val simhashTerms: String = (0 until 16).map { j =>
     s"""CASE WHEN 2 * len(list_filter(toks, t ->
@@ -189,30 +206,22 @@ object ExtQueries {
       """SELECT md5(lower(substr(text, 1, 40))) AS content_hash,
          MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY content_hash""",
-    "q22_minhash_candidates" ->
-      """WITH pos AS (SELECT doc_id, text,
-           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
-         sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
-         sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
-           MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2)
+    "q22_minhash_candidates" -> s"""
+         WITH $bandedSigSql
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
-         FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+         FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
            AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY a_id, b_id""",
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a_id, b_id""",
     "q23_simhash" -> s"""
          WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
-    "q24_ngram_dedup" ->
-      """WITH pos AS (SELECT doc_id, text,
-           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
-         sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
-         sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
-           MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2),
+    "q24_ngram_dedup" -> (s"""
+         WITH $bandedSigSql,
          cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
              AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2),""" + """
          gpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
            unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
            FROM documents),
@@ -223,7 +232,7 @@ object ExtQueries {
            CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jac
            FROM cand c JOIN g ga ON c.a_id = ga.doc_id JOIN g gb ON c.b_id = gb.doc_id)
          SELECT a_id, b_id, round(jac, 6) AS jac FROM pairs
-         WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+         WHERE jac >= 0.5 ORDER BY a_id, b_id"""),
     "q25_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
            FROM embeddings WHERE vec_id < 5),

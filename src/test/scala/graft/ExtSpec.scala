@@ -35,6 +35,12 @@ class ExtSpec extends SparkSpec {
       .filter(col("n_bands") >= 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand == Set((0L, 1L)))
+    // r=2 banded variant finds the same planted pair, nothing else
+    val banded = Dedup.minhashCandidates(
+      Dedup.bandedSignatures(docs, "text", "doc_id"))
+      .filter(col("n_bands") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((0L, 1L)))
   }
 
   test("simhash: identical token sets agree, hamming-near for near-dups") {
