@@ -40,6 +40,12 @@ SG = [
        artist="Alpha & Beta", tickets=300),
     ev("shotgun", "sg7", "Beta Show Cover", datetime(2026, 9, 12, 20, 0),
        artist="Beta", tickets=60),
+    # conflict pair: dc7 AND dc8 both prefer sg8; sequential greedy
+    # hands the loser (dc8) its next-best (sg9)
+    ev("shotgun", "sg8", "Gamma Delta Night", datetime(2026, 9, 13, 20, 0),
+       artist="Gamma Delta", tickets=80),
+    ev("shotgun", "sg9", "Gamma Solo", datetime(2026, 9, 13, 21, 0),
+       artist="Gamma", tickets=20),
 ]
 DC = [
     ev("dice", "dc1", "Electro Fete", datetime(2026, 9, 10, 19, 35),
@@ -51,6 +57,8 @@ DC = [
     ev("dice", "dc4", "Unknown Artist", datetime(2026, 9, 15, 21, 0), tickets=40),
     ev("dice", "dc5", "No Date", None, tickets=30),
     ev("dice", "dc6", "DJ Snake", datetime(2026, 9, 10, 20, 10), tickets=55),
+    ev("dice", "dc7", "Gamma Delta", datetime(2026, 9, 13, 20, 5), tickets=45),
+    ev("dice", "dc8", "Gamma Delta Show", datetime(2026, 9, 13, 20, 30), tickets=35),
 ]
 
 rows = consolidate_events(SG, DC)

@@ -3,10 +3,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query (J1 greedy consolidation over provider-derived
-    * frames) on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (J1 exact sequential-greedy consolidation over
+    * provider-derived frames, reference-faithful including conflict
+    * fallthrough) on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q19_consolidate")(spark, "/root/testdata/sf0.001")
+    queries("q43_consolidate_exact")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

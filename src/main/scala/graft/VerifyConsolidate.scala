@@ -47,7 +47,13 @@ object VerifyConsolidate {
       ev("shotgun", "sg6", "Mega Fest feat Alpha", Some(LocalDateTime.of(2026, 9, 12, 18, 0)),
         artist = Some("Alpha & Beta"), tickets = Some(300L)),
       ev("shotgun", "sg7", "Beta Show Cover", Some(LocalDateTime.of(2026, 9, 12, 20, 0)),
-        artist = Some("Beta"), tickets = Some(60L))
+        artist = Some("Beta"), tickets = Some(60L)),
+      // conflict pair: dc7 AND dc8 both prefer sg8; sequential greedy
+      // hands the loser (dc8) its next-best (sg9)
+      ev("shotgun", "sg8", "Gamma Delta Night", Some(LocalDateTime.of(2026, 9, 13, 20, 0)),
+        artist = Some("Gamma Delta"), tickets = Some(80L)),
+      ev("shotgun", "sg9", "Gamma Solo", Some(LocalDateTime.of(2026, 9, 13, 21, 0)),
+        artist = Some("Gamma"), tickets = Some(20L))
     ).zipWithIndex.map { case (e, i) => (e, i.toLong) }
       .toDF("e", "ord").select(col("e.*"), col("ord"))
 
@@ -62,11 +68,17 @@ object VerifyConsolidate {
         tickets = Some(40L)),
       ev("dice", "dc5", "No Date", None, tickets = Some(30L)),
       ev("dice", "dc6", "DJ Snake", Some(LocalDateTime.of(2026, 9, 10, 20, 10)),
-        tickets = Some(55L))
+        tickets = Some(55L)),
+      ev("dice", "dc7", "Gamma Delta", Some(LocalDateTime.of(2026, 9, 13, 20, 5)),
+        tickets = Some(45L)),
+      ev("dice", "dc8", "Gamma Delta Show", Some(LocalDateTime.of(2026, 9, 13, 20, 30)),
+        tickets = Some(35L))
     ).zipWithIndex.map { case (e, i) => (e, i.toLong) }
       .toDF("e", "ord").select(col("e.*"), col("ord"))
 
-    val j1 = Consolidate.consolidate(sg, dc, "2026-08-12", col("ord"), col("ord"))
+    // J1 = the exact sequential greedy (bit-faithful to the reference,
+    // including conflict fallthrough to the next-best unused SG)
+    val j1 = Consolidate.consolidateGreedy(sg, dc, "2026-08-12", col("ord"), col("ord"))
     println("== J1 ==")
     j1.toJSON.collect().foreach(println)
 

@@ -1,10 +1,27 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Functions._
+
+/** Per-side input to the exact greedy consolidation (one row per dated
+  * event; `toks` pre-computed by the codegen'd artistTokens expression).
+  */
+private[graft] case class GreedySide(
+    day: String, ord: Long, id: String, toks: Seq[String],
+    name: Option[String], artist: Option[String], venue: Option[String],
+    city: Option[String], tickets: Option[Long])
+
+/** Output row of the greedy consolidation — the reference's dynamic
+  * dict rows (`consolidate_events.py:121-162`) unified into one schema.
+  */
+private[graft] case class GreedyOut(
+    event_name: String, event_datetime_local: String,
+    artist: String, venue: String,
+    shotgun_tickets_sold: Option[Long], dice_tickets_sold: Option[Long],
+    shotgun_event_id: Option[String], dice_event_id: Option[String])
 
 /** The two consolidation joins (SURVEY.md §2.4) re-expressed as
   * distributed, shuffle-conscious Spark plans.
@@ -130,6 +147,115 @@ object Consolidate {
     matched
       .unionByName(sgRest, allowMissingColumns = true)
       .unionByName(dcRest, allowMissingColumns = true)
+      .filter(col("event_datetime_local") >= lit(today))
+      .orderBy(col("event_datetime_local"), lower(col("event_name")))
+  }
+
+  /** J1 exact — bit-faithful sequential greedy (`consolidate_events.py:86-130`).
+    *
+    * The reference's matching is inherently sequential: DICE events are
+    * processed in input order, each taking its strictly-best (first-wins
+    * on ties, `overlap > best[1]` at `consolidate_events.py:103`) not-
+    * yet-used same-day SG event — so when two DICE events share a best
+    * SG, the later one falls through to its NEXT-best unused SG, which
+    * the declarative two-window variant ([[consolidate]]) cannot express
+    * (its conflict loser goes unmatched; divergence documented there).
+    *
+    * Candidates never cross a day boundary (`sg_by_day`,
+    * `consolidate_events.py:99`), so the sequential fold is EXACTLY
+    * day-local: cogroup both sides by day and replay the greedy loop
+    * per group. Scale shape: one hash shuffle per side on the day key,
+    * then embarrassingly parallel across days; group size is bounded by
+    * events-per-day (the same bound the reference's in-memory dict
+    * assumes), and token arrays are pre-computed by the codegen'd
+    * artistTokens projection before the shuffle. Python `or` semantics
+    * (None AND '' fall through, e.g. `sg.event_name or dc.event_name
+    * or ''` at `consolidate_events.py:111-119`) are reproduced exactly
+    * — the declarative variant's `coalesce` only skips NULLs.
+    */
+  def consolidateGreedy(sg: DataFrame, dc: DataFrame, today: String,
+      sgOrder: Column, dcOrder: Column): DataFrame = {
+    val session = sg.sparkSession
+    import session.implicits._
+
+    def project(df: DataFrame, order: Column): Dataset[GreedySide] = df
+      .withColumn("ord", order)
+      .filter(col("event_datetime_local").isNotNull)
+      .select(
+        dayStr(col("event_datetime_local")).as("day"),
+        col("ord").cast("long").as("ord"),
+        col("event_id_provider").as("id"),
+        artistTokens(col("artist_name"), col("event_name")).as("toks"),
+        col("event_name").as("name"),
+        col("artist_name").as("artist"),
+        col("venue_name").as("venue"),
+        col("city").as("city"),
+        col("tickets_sold_total").cast("long").as("tickets"))
+      .as[GreedySide]
+
+    // Python `or` chain: first non-null AND non-empty string, else "".
+    def pyOr(opts: Option[String]*): String =
+      opts.flatten.find(_.nonEmpty).getOrElse("")
+
+    val out = project(sg, sgOrder).groupByKey(_.day)
+      .cogroup(project(dc, dcOrder).groupByKey(_.day)) { (day, sgIt, dcIt) =>
+        val sgs = sgIt.toArray.sortBy(_.ord)
+        val dcs = dcIt.toArray.sortBy(_.ord)
+        val sgToks = sgs.map(_.toks.toSet)
+        val usedSg = new Array[Boolean](sgs.length)
+        val usedDc = new Array[Boolean](dcs.length)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GreedyOut]
+        var k = 0
+        while (k < dcs.length) {
+          val dcr = dcs(k)
+          val dcT = dcr.toks.toSet
+          var bestI = -1
+          var bestOv = 0
+          var i = 0
+          while (i < sgs.length) {
+            if (!usedSg(i)) {
+              var ov = 0
+              val it = sgToks(i).iterator
+              while (it.hasNext) if (dcT.contains(it.next())) ov += 1
+              // strict > : ties keep the EARLIEST SG in input order
+              if (ov > 0 && ov > bestOv) { bestOv = ov; bestI = i }
+            }
+            i += 1
+          }
+          if (bestI >= 0) {
+            usedSg(bestI) = true
+            usedDc(k) = true
+            val sgr = sgs(bestI)
+            buf += GreedyOut(
+              pyOr(sgr.name, dcr.name), day,
+              pyOr(sgr.artist, dcr.artist),
+              pyOr(sgr.venue, dcr.venue, sgr.city, dcr.city),
+              sgr.tickets, dcr.tickets, Some(sgr.id), Some(dcr.id))
+          }
+          k += 1
+        }
+        var i = 0
+        while (i < sgs.length) { // SG restants (consolidate_events.py:133-145)
+          if (!usedSg(i)) {
+            val s = sgs(i)
+            buf += GreedyOut(pyOr(s.name), day, pyOr(s.artist),
+              pyOr(s.venue, s.city), s.tickets, None, Some(s.id), None)
+          }
+          i += 1
+        }
+        k = 0
+        while (k < dcs.length) { // DICE restants (consolidate_events.py:148-162)
+          if (!usedDc(k)) {
+            val c = dcs(k)
+            buf += GreedyOut(pyOr(c.name), day, pyOr(c.artist),
+              pyOr(c.venue, c.city), None, c.tickets, None, Some(c.id))
+          }
+          k += 1
+        }
+        buf.iterator
+      }
+
+    out.toDF()
       .filter(col("event_datetime_local") >= lit(today))
       .orderBy(col("event_datetime_local"), lower(col("event_name")))
   }

@@ -15,7 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage (measured ~2× on the dedup bench queries).
   */
 object CharShingles {
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  // NOT named `eval`: the companion case class inherits
+  // Expression.eval(InternalRow), and a same-named member suppresses
+  // the Scala static forwarder — Janino then fails to resolve the
+  // static call, silently disabling whole-stage codegen for every
+  // plan containing char_shingles (observed as a bench-wide
+  // interpreted-mode fallback).
+  def shingles(s: UTF8String, k: Int): ArrayData = {
     val n = s.numChars()
     val last = math.max(n - k + 1, 1)
     val seen = new java.util.LinkedHashSet[UTF8String](math.min(last * 2, 2048))
@@ -34,9 +40,9 @@ case class CharShingles(child: Expression, k: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "char_shingles"
   override protected def nullSafeEval(v: Any): Any =
-    CharShingles.eval(v.asInstanceOf[UTF8String], k)
+    CharShingles.shingles(v.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.etl.expressions.CharShingles.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.etl.expressions.CharShingles.shingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)
 }

@@ -23,8 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SequenceRatio {
   def ratio(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    // DP runs over CODE POINTS, not UTF-16 code units: Python sequences
+    // are code-point indexed, so difflib's ratio() for non-BMP input
+    // (emoji, '𝄞') diverges from a char-based DP, and Spark's Length()
+    // (= UTF8String.numChars = code points) would not be a sound bound
+    // for a UTF-16-based metric.
+    val a = ua.toString.codePoints.toArray
+    val b = ub.toString.codePoints.toArray
     val la = a.length
     val lb = b.length
     if (la + lb == 0) return 1.0
@@ -47,10 +52,10 @@ object SequenceRatio {
         var i = alo
         while (i < ahi) {
           val newj2len = new Array[Int](bhi - blo + 1)
-          val ca = a.charAt(i)
+          val ca = a(i)
           var j = blo
           while (j < bhi) {
-            if (b.charAt(j) == ca) {
+            if (b(j) == ca) {
               val k = (if (j - 1 >= blo) j2len(j - 1 - blo) else 0) + 1
               newj2len(j - blo) = k
               if (k > bestSize) {

@@ -25,6 +25,34 @@ object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared SG/DICE provider-frame derivation for the J1 queries
+    * (q19 declarative / q43 exact greedy): purchases play Shotgun,
+    * views play DICE, with one shared artist token per user.
+    */
+  private def j1Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    def nulls(n: String) = lit(null).cast("string").as(n)
+    val sg = ev.filter(col("event_type") === "purchase").select(
+      lit("shotgun").as("provider"),
+      concat(lit("sg-"), col("event_id").cast("string")).as("event_id_provider"),
+      concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
+        lit(" @ V"), (lit(100) + col("event_id") % 37).cast("string")).as("event_name"),
+      col("ts").as("event_datetime_local"),
+      floor(col("value")).cast("long").as("tickets_sold_total"),
+      col("event_id").as("ord"),
+      nulls("artist_name"), nulls("venue_name"), nulls("city"))
+    val dc = ev.filter(col("event_type") === "view").select(
+      lit("dice").as("provider"),
+      concat(lit("dc-"), col("event_id").cast("string")).as("event_id_provider"),
+      concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
+        lit(" Live")).as("event_name"),
+      col("ts").as("event_datetime_local"),
+      floor(col("value")).cast("long").as("tickets_sold_total"),
+      col("event_id").as("ord"),
+      nulls("artist_name"), nulls("venue_name"), nulls("city"))
+    (sg, dc)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- A1/A2 aggregation with map-side partials (TPC-H Q1 shape) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -231,29 +259,19 @@ object CoreQueries {
         .orderBy(col("brand"), col("a_key"), col("b_key"))
     }),
 
-    // ---- J1 flagship: greedy 1:1 consolidation over provider frames ----
+    // ---- J1 declarative variant: two-window rank consolidation ----
     "q19_consolidate" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def nulls(n: String) = lit(null).cast("string").as(n)
-      val sg = ev.filter(col("event_type") === "purchase").select(
-        lit("shotgun").as("provider"),
-        concat(lit("sg-"), col("event_id").cast("string")).as("event_id_provider"),
-        concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
-          lit(" @ V"), (lit(100) + col("event_id") % 37).cast("string")).as("event_name"),
-        col("ts").as("event_datetime_local"),
-        floor(col("value")).cast("long").as("tickets_sold_total"),
-        col("event_id").as("ord"),
-        nulls("artist_name"), nulls("venue_name"), nulls("city"))
-      val dc = ev.filter(col("event_type") === "view").select(
-        lit("dice").as("provider"),
-        concat(lit("dc-"), col("event_id").cast("string")).as("event_id_provider"),
-        concat(lit("A"), (lit(100) + col("user_id") % 900).cast("string"),
-          lit(" Live")).as("event_name"),
-        col("ts").as("event_datetime_local"),
-        floor(col("value")).cast("long").as("tickets_sold_total"),
-        col("event_id").as("ord"),
-        nulls("artist_name"), nulls("venue_name"), nulls("city"))
+      val (sg, dc) = j1Frames(s, d)
       Consolidate.consolidate(sg, dc, "2024-01-15", col("ord"), col("ord"))
+        .orderBy(col("event_datetime_local"), lower(col("event_name")),
+          col("shotgun_event_id").asc_nulls_first, col("dice_event_id").asc_nulls_first)
+    }),
+
+    // ---- J1 flagship: EXACT sequential greedy (reference-faithful,
+    // conflict losers fall through to their next-best unused SG) ----
+    "q43_consolidate_exact" -> ((s, d) => {
+      val (sg, dc) = j1Frames(s, d)
+      Consolidate.consolidateGreedy(sg, dc, "2024-01-15", col("ord"), col("ord"))
         .orderBy(col("event_datetime_local"), lower(col("event_name")),
           col("shotgun_event_id").asc_nulls_first, col("dice_event_id").asc_nulls_first)
     }),
@@ -519,6 +537,55 @@ object CoreQueries {
              dc_id AS dice_event_id
            FROM dcp WHERE dc_id NOT IN (SELECT dc_id FROM matched))
          SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM sg_rest UNION ALL SELECT * FROM dc_rest) u
+         WHERE event_datetime_local >= '2024-01-15'
+         ORDER BY event_datetime_local, lower(event_name),
+           shotgun_event_id NULLS FIRST, dice_event_id NULLS FIRST""",
+    // Sequential greedy: with this derivation every DICE token set is
+    // {aXXX, live} and every SG's is {aXXX, vYYY}, so overlap is 0/1 and
+    // the greedy "each DICE takes the earliest unused same-day same-token
+    // SG" reduces to POSITIONAL pairing within (day, utok) — expressible
+    // with two ROW_NUMBERs. (The general conflict-fallthrough case is
+    // covered by the reference-diff fixture harness, not SQL.)
+    "q43_consolidate_exact" ->
+      """WITH sgp AS (
+           SELECT 'sg-' || CAST(event_id AS VARCHAR) AS sg_id, event_id AS sg_ord,
+             strftime(ts, '%Y-%m-%d') AS day,
+             'A' || CAST(100 + user_id % 900 AS VARCHAR) || ' @ V' ||
+               CAST(100 + event_id % 37 AS VARCHAR) AS sg_name,
+             CAST(floor(value) AS BIGINT) AS sg_tickets,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS utok
+           FROM events WHERE event_type = 'purchase'),
+         dcp AS (
+           SELECT 'dc-' || CAST(event_id AS VARCHAR) AS dc_id, event_id AS dc_ord,
+             strftime(ts, '%Y-%m-%d') AS day,
+             'A' || CAST(100 + user_id % 900 AS VARCHAR) || ' Live' AS dc_name,
+             CAST(floor(value) AS BIGINT) AS dc_tickets,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS utok
+           FROM events WHERE event_type = 'view'),
+         sgr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day, utok ORDER BY sg_ord) AS rn
+           FROM sgp),
+         dcr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day, utok ORDER BY dc_ord) AS rn
+           FROM dcp),
+         matched AS (
+           SELECT d.dc_id, d.dc_tickets, s.sg_id, s.sg_name, s.sg_tickets, d.day
+           FROM dcr d JOIN sgr s ON d.day = s.day AND d.utok = s.utok AND d.rn = s.rn),
+         m AS (SELECT sg_name AS event_name, day AS event_datetime_local,
+             '' AS artist, '' AS venue, sg_tickets AS shotgun_tickets_sold,
+             dc_tickets AS dice_tickets_sold, sg_id AS shotgun_event_id,
+             dc_id AS dice_event_id
+           FROM matched),
+         sg_rest AS (SELECT sg_name AS event_name, day AS event_datetime_local,
+             '' AS artist, '' AS venue, sg_tickets AS shotgun_tickets_sold,
+             CAST(NULL AS BIGINT) AS dice_tickets_sold, sg_id AS shotgun_event_id,
+             CAST(NULL AS VARCHAR) AS dice_event_id
+           FROM sgp WHERE sg_id NOT IN (SELECT sg_id FROM matched)),
+         dc_rest AS (SELECT dc_name AS event_name, day AS event_datetime_local,
+             '' AS artist, '' AS venue, CAST(NULL AS BIGINT) AS shotgun_tickets_sold,
+             dc_tickets AS dice_tickets_sold, CAST(NULL AS VARCHAR) AS shotgun_event_id,
+             dc_id AS dice_event_id
+           FROM dcp WHERE dc_id NOT IN (SELECT dc_id FROM matched))
+         SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM sg_rest
+           UNION ALL SELECT * FROM dc_rest) u
          WHERE event_datetime_local >= '2024-01-15'
          ORDER BY event_datetime_local, lower(event_name),
            shotgun_event_id NULLS FIRST, dice_event_id NULLS FIRST""",

@@ -127,6 +127,10 @@ object ExtQueries {
     "q31_multimodal" -> ((s, d) => {
       Multimodal.decodePipeline(Tables.documents(s, d), "text", "doc_id")
         .drop("payload") // parquet-compare on metadata; payload exercised in tests
+        // list-typed columns crash the driver's pandas sort_values
+        // (unhashable ndarray) — compare the offsets as a CSV string
+        .withColumn("frame_offsets",
+          array_join(transform(col("frame_offsets"), _.cast("string")), ","))
         .orderBy(col("doc_id"))
     }),
 
@@ -310,7 +314,7 @@ object ExtQueries {
            CAST(1 + n_bytes % 16 AS BIGINT) AS n_frames
            FROM m)
          SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, width, height, n_frames,
-           list_transform(generate_series(0, n_frames - 1),
-             i -> i * (n_bytes // n_frames)) AS frame_offsets
+           array_to_string(list_transform(generate_series(0, n_frames - 1),
+             i -> i * (n_bytes // n_frames)), ',') AS frame_offsets
          FROM d ORDER BY doc_id""")
 }

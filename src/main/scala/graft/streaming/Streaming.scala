@@ -41,6 +41,15 @@ object Streaming {
 
   /** Stateful gap sessionization (§2.10 extension): emits a session when
     * its gap times out. Batch twin: graft.ext.Sessions.
+    *
+    * A user's trailing (idle) session is flushed via
+    * ProcessingTimeTimeout: after `gapSec` of wall-clock with no new
+    * events for the key, the buffered session is emitted and the state
+    * cleared — without this, open sessions would sit in the state store
+    * forever waiting for a later event that may never come. (Event-time
+    * timeout would need a watermarked timestamp column; the processing
+    * -time gap mirrors the reference's cron cadence, where "idle" is
+    * measured in wall-clock runs.)
     */
   def sessionizeStream(ds: Dataset[SessionInput], gapSec: Long)(
       implicit enc1: org.apache.spark.sql.Encoder[SessionOut],
@@ -48,21 +57,31 @@ object Streaming {
     val gapMicros = gapSec * 1000000L
     ds.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          // Within a microbatch, events arrive unordered — sort by ts.
-          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
-          var out = List.empty[SessionOut]
-          var st = state.getOption.orNull
-          sorted.foreach { r =>
-            if (st == null) st = SessionState(r.tsMicros, r.tsMicros, 1)
-            else if (r.tsMicros - st.last > gapMicros) {
-              out = SessionOut(user, st.n, st.start, st.last) :: out
-              st = SessionState(r.tsMicros, r.tsMicros, 1)
-            } else st = SessionState(st.start, r.tsMicros, st.n + 1)
+          if (state.hasTimedOut) {
+            // Idle gap elapsed with no new events: flush the open session.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.start, st.last))
+          } else {
+            // Within a microbatch, events arrive unordered — sort by ts.
+            val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
+            var out = List.empty[SessionOut]
+            var st = state.getOption.orNull
+            sorted.foreach { r =>
+              if (st == null) st = SessionState(r.tsMicros, r.tsMicros, 1)
+              else if (r.tsMicros - st.last > gapMicros) {
+                out = SessionOut(user, st.n, st.start, st.last) :: out
+                st = SessionState(r.tsMicros, r.tsMicros, 1)
+              } else st = SessionState(st.start, r.tsMicros, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(gapSec * 1000L)
+            }
+            out.reverse.iterator
           }
-          if (st != null) state.update(st)
-          out.reverse.iterator
       }
   }
 

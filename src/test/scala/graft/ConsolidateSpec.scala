@@ -68,6 +68,54 @@ class ConsolidateSpec extends SparkSpec {
       col("dice_event_id").isNotNull).count() == 0)
   }
 
+  test("J1 exact greedy: conflict loser takes its next-best unused SG") {
+    // both DICE prefer sg1 (overlap 2); sequential greedy: dc1 (earlier)
+    // takes sg1, dc2 falls through to sg2 (overlap 1) — the case the
+    // declarative window variant cannot express (its dc2 goes unmatched)
+    val sg = frame(Seq(
+      ev("sg1", "Gamma Delta Night", Some(d), artist = Some("Gamma Delta")),
+      ev("sg2", "Gamma Solo", Some(d.plusHours(1)), artist = Some("Gamma"))))
+    val dc = frame(Seq(
+      ev("dc1", "Gamma Delta", Some(d.plusMinutes(5))),
+      ev("dc2", "Gamma Delta Show", Some(d.plusMinutes(30)))))
+    val exact = Consolidate.consolidateGreedy(sg, dc, "2026-01-01", col("ord"), col("ord"))
+      .collect().map(r => (r.getAs[String]("shotgun_event_id"),
+        r.getAs[String]("dice_event_id"))).toSet
+    assert(exact == Set(("sg1", "dc1"), ("sg2", "dc2")))
+    val windowed = Consolidate.consolidate(sg, dc, "2026-01-01", col("ord"), col("ord"))
+      .collect().map(r => (r.getAs[String]("shotgun_event_id"),
+        r.getAs[String]("dice_event_id"))).toSet
+    assert(windowed == Set(("sg1", "dc1"), ("sg2", null), (null, "dc2")))
+  }
+
+  test("J1 exact greedy: Python-or falls through on EMPTY strings, not just null") {
+    // reference: event_name = sg.event_name or dc.event_name or ""
+    // ('' is falsy in Python) — consolidate_events.py:111
+    val sg = frame(Seq(ev("sg1", "", Some(d), artist = Some("Alpha"))))
+    val dc = frame(Seq(ev("dc1", "Alpha Live", Some(d), artist = Some("Alpha"))))
+    val out = Consolidate.consolidateGreedy(sg, dc, "2026-01-01", col("ord"), col("ord"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("event_name") == "Alpha Live")
+  }
+
+  test("J1 exact greedy agrees with declarative variant when conflict-free") {
+    val sg = frame(Seq(
+      ev("sg1", "Alpha Omega Night", Some(d), tickets = Some(100L)),
+      ev("sg2", "Beta Show", Some(d.plusDays(1)), tickets = Some(50L)),
+      ev("sg3", "No Date", None)))
+    val dc = frame(Seq(
+      ev("dc1", "Alpha Omega Live", Some(d.plusHours(1)), tickets = Some(90L)),
+      ev("dc2", "Beta Gig", Some(d.plusDays(1)), tickets = Some(80L)),
+      ev("dc3", "Gamma", Some(d), tickets = Some(10L))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("event_name"),
+        r.getAs[String]("shotgun_event_id"), r.getAs[String]("dice_event_id"))).toSet
+    val exact = rows(Consolidate.consolidateGreedy(sg, dc, "2026-01-01", col("ord"), col("ord")))
+    val windowed = rows(Consolidate.consolidate(sg, dc, "2026-01-01", col("ord"), col("ord")))
+    assert(exact == windowed)
+  }
+
   test("J2: ±30-min + similarity threshold edges") {
     val sg = frame(Seq(
       ev("sg1", "DJ Snake", Some(d), tickets = Some(200L)),
@@ -83,6 +131,18 @@ class ConsolidateSpec extends SparkSpec {
     assert(out.contains(("dj snake|2026-09-10T19:30", 200L, 60L)))
     assert(out.exists(t => t._1 == "dj snoke|2026-09-10T19:40" && t._3 == 55L))
     assert(out.exists(t => t._1 == "jazz quartet|2026-09-10T23:30" && t._3 == 7L))
+  }
+
+  test("J2: null names behave like empty strings (ratio('','')==1.0 matches)") {
+    // reference maps None → '' via _norm_name(s or ''), and
+    // SequenceMatcher('','').ratio() == 1.0 >= 0.90 — null-named rows
+    // within tolerance must therefore match, not null out of the score
+    val sg = frame(Seq(ev("sg1", null, Some(d), tickets = Some(5L))))
+    val dc = frame(Seq(ev("dc1", null, Some(d.plusMinutes(3)), tickets = Some(9L))))
+    val out = Consolidate.mergeSimilarity(sg, dc, col("ord"), col("ord")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("tickets_sold_total_shotgun") == 5L)
+    assert(out(0).getAs[Long]("tickets_sold_total_dice") == 9L)
   }
 
   test("J2: canonical-key last-wins dedup on SG side") {

@@ -35,6 +35,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(one(F.seqRatio(lit("abc"), lit(null))) == null)
   }
 
+  test("seq_ratio counts code points, not UTF-16 units (non-BMP parity)") {
+    // Python sequences are code-point indexed; each '𝄞' is 2 UTF-16
+    // units. Values from difflib.SequenceMatcher(None, a, b).ratio().
+    assert(one(F.seqRatio(lit("𝄞𝄞𝄞𝄞𝄞a"), lit("𝄞𝄞𝄞𝄞𝄞b"))) == 0.8333333333333334)
+    assert(one(F.seqRatio(lit("𝄞𝄞𝄞x"), lit("𝄞𝄞𝄞"))) == 0.8571428571428571)
+    assert(one(F.seqRatio(lit("a🎸b🎸c"), lit("a🎸c"))) == 0.75)
+  }
+
+  test("custom expressions compile under codegen — no interpreter fallback") {
+    // Janino resolution failures (e.g. a companion-object helper named
+    // `eval` shadowed by Expression.eval, as CharShingles once had)
+    // silently fall back to interpreted mode AND disable whole-stage
+    // codegen for the surrounding plan — force codegen so they throw.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq(("Électro Fête", "Electro x Fete", "10 oct. 2025 19:30"))
+        .toDF("a", "b", "c")
+        .select(
+          F.stripAccents(col("a")).as("s"),
+          F.seqRatio(col("a"), col("b")).as("r"),
+          F.parseFrDatetime(col("c")).as("d"),
+          graft.ext.Dedup.charShingles(col("b"), 3).as("g"))
+        .collect()
+      assert(out.length == 1 && out(0).getSeq[String](3).nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("parse_fr_datetime: ISO fast path + French phrases") {
     def p(s: String): String = {
       val v = one(date_format(F.parseFrDatetime(lit(s)), "yyyy-MM-dd HH:mm"))

@@ -50,11 +50,53 @@ class StreamingSpec extends SparkSpec {
     val out = Streaming.sessionizeStream(ms.toDS(), gapSec = 1800L)
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
-    q.processAllAvailable()
+    // NOTE: processAllAvailable() never returns under ProcessingTimeTimeout
+    // (shouldRunAnotherBatch is always true while timeouts are armed) —
+    // poll the sink with a deadline instead.
+    awaitRows("sess_out", 1, 60000L)
     q.stop()
-    // only user 1's first session is CLOSED (a later event arrived)
+    // only user 1's first session is CLOSED (a later event arrived);
+    // trailing sessions flush via processing-time timeout, which has
+    // not elapsed here (gap = 1800 s wall-clock)
     val rows = spark.sql("SELECT user_id, n_events FROM sess_out")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rows == Set((1L, 2)))
+  }
+
+  private def awaitRows(table: String, n: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
+      Thread.sleep(200L)
+  }
+
+  test("sessionization flushes trailing sessions on processing-time timeout") {
+    import Streaming.{SessionInput, SessionOut, SessionState}
+    implicit val encOut = org.apache.spark.sql.Encoders.product[SessionOut]
+    implicit val encSt = org.apache.spark.sql.Encoders.product[SessionState]
+    val micros = (s: String) =>
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionInput](
+      spark)(org.apache.spark.sql.Encoders.product[SessionInput])
+    // 0.5 s apart in EVENT time (within the 1 s session gap → one open
+    // session of 2 events); the flush below is about PROCESSING time
+    ms.addData(
+      SessionInput(1L, 1L, micros("2024-01-01 10:00:00")),
+      SessionInput(1L, 2L, micros("2024-01-01 10:00:00") + 500000L))
+    val out = Streaming.sessionizeStream(ms.toDS(), gapSec = 1L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    // the 1 s processing-time gap elapses with no further user-1 events;
+    // the engine keeps running microbatches (timeouts armed) and fires
+    // the timed-out key — just wait for the flushed row
+    ms.addData(SessionInput(2L, 3L, micros("2024-01-01 09:00:00")))
+    awaitRows("sess_timeout_out", 1, 60000L)
+    q.stop()
+    // user 1's idle session was flushed by the timeout (no later event
+    // for user 1 ever arrived); user 2's may or may not have timed out
+    // yet by the time we stop — only assert the flush we waited for
+    val rows = spark.sql("SELECT user_id, n_events FROM sess_timeout_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows.contains((1L, 2)))
   }
 }
