@@ -13,13 +13,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/JIT spin-up and parquet footer reads
+    // otherwise land entirely on the alphabetically-first query's time.
+    try {
+      SparkEntry.queries.get("q01_pricing_summary")
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column
       // (count() would let Catalyst prune the projections under test)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates (consolidation matched-ids,
+      // similarity best-pairs); drop them so blocks don't accumulate
+      // across the 43-query session
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,146 @@
+package graft.etl.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaccard similarity of the DISTINCT character k-shingle sets of two
+  * strings — value-identical to
+  * `size(array_intersect(char_shingles(a,k), char_shingles(b,k))) /
+  *  size(array_union(...))` but computed in one pass over two hash
+  * sets, with no shingle ARRAYS ever materialized, shuffled, or
+  * rebuilt per evaluation. The composed form made the near-dup
+  * rescoring stage evaluate array_intersect per candidate pair over
+  * ~120-element arrays (and re-evaluate it across the filter/project
+  * operators): measured 12 s for 135 k pairs at sf0.1 vs <1 s here.
+  * At cluster scale the join also carries the raw text prefix
+  * (~120 B) instead of the gram array (~1.4 KB unsafe array) per side.
+  */
+object NGramJaccard {
+  def jaccard(a: UTF8String, b: UTF8String, k: Int): Double =
+    if (k <= 3) jaccardPacked(a, b, k) else jaccardGeneric(a, b, k)
+
+  /** k <= 3 fast path: a k-shingle is <= 3 code points <= 63 bits, so
+    * each shingle packs into one long ((cp0<<42)|(cp1<<21)|cp2, code
+    * points < 0x110000 < 2^21) and the distinct sets live in open-
+    * addressed long tables — no per-shingle object allocation, no
+    * boxing, no hashCode over bytes. Measured ~50× per pair vs the
+    * UTF8String-HashSet path on 120-char inputs.
+    */
+  private def jaccardPacked(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val cpA = a.toString.codePoints.toArray
+    val cpB = b.toString.codePoints.toArray
+    // Mirror substringSQL(i,k) semantics for n < k: ONE truncated
+    // shingle (the whole string). Pack short shingles with high marker
+    // bits so "ab" (2 cps) never collides with a 3-cp shingle.
+    val setA = new LongSet(math.max(cpA.length, 4))
+    val nA = distinctShingles(cpA, k, setA, null)
+    val setB = new LongSet(math.max(cpB.length, 4))
+    val inter = new Array[Int](1)
+    val nB = distinctShingles(cpB, k, setB, setA, inter)
+    val union = nA + nB - inter(0)
+    if (union == 0) 0.0 else inter(0).toDouble / union
+  }
+
+  private def distinctShingles(cp: Array[Int], k: Int, set: LongSet,
+      other: LongSet, inter: Array[Int] = null): Int = {
+    val n = cp.length
+    val last = math.max(n - k + 1, 1)
+    var i = 0
+    while (i < last) {
+      var packed = 0L
+      var j = 0
+      val lim = math.min(k, n - i)
+      while (j < lim) { packed = (packed << 21) | cp(i + j); j += 1 }
+      // tag by actual shingle length so truncated tails stay distinct
+      packed |= lim.toLong << 61
+      if (set.add(packed) && other != null && other.contains(packed))
+        inter(0) += 1
+      i += 1
+    }
+    set.size
+  }
+
+  /** Open-addressed long set; -1 is the empty slot (packed values have
+    * the length tag >= 1 in bits 61+, so -1 is never a valid element).
+    */
+  private final class LongSet(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(math.max(expected * 4, 8) - 1) << 1
+    private var slots = {
+      val a = new Array[Long](cap)
+      java.util.Arrays.fill(a, -1L)
+      a
+    }
+    private var n = 0
+    def size: Int = n
+    private def idx(v: Long): Int = {
+      var h = v * -7046029254386353131L
+      h ^= h >>> 32
+      (h & (cap - 1)).toInt
+    }
+    def contains(v: Long): Boolean = {
+      var i = idx(v)
+      while (slots(i) != -1L) {
+        if (slots(i) == v) return true
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
+    def add(v: Long): Boolean = {
+      var i = idx(v)
+      while (slots(i) != -1L) {
+        if (slots(i) == v) return false
+        i = (i + 1) & (cap - 1)
+      }
+      slots(i) = v
+      n += 1
+      if (n * 4 > cap * 3) grow()
+      true
+    }
+    private def grow(): Unit = {
+      val old = slots
+      cap <<= 1
+      slots = new Array[Long](cap)
+      java.util.Arrays.fill(slots, -1L)
+      n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != -1L) add(old(i)); i += 1 }
+    }
+  }
+
+  private def jaccardGeneric(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    val na = a.numChars()
+    var i = 1
+    val lastA = math.max(na - k + 1, 1)
+    while (i <= lastA) { sa.add(a.substringSQL(i, k)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    val nb = b.numChars()
+    val lastB = math.max(nb - k + 1, 1)
+    var inter = 0
+    i = 1
+    while (i <= lastB) {
+      val sh = b.substringSQL(i, k)
+      if (sb.add(sh) && sa.contains(sh)) inter += 1
+      i += 1
+    }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+case class NGramJaccard(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, "shingle size must be positive")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramJaccard.jaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.etl.expressions.NGramJaccard.jaccard($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramJaccard =
+    copy(left = l, right = r)
+}

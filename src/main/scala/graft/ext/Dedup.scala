@@ -30,28 +30,35 @@ object Dedup {
       graft.etl.expressions.CharShingles(
         org.apache.spark.sql.GraftBridge.expression(c), k))
 
-  /** MinHash signatures, banded.
+  /** MinHash signatures: k-shingle → md5 each shingle → band by the
+    * first hex nibble (16 bands) → min digest per (doc, band) — all in
+    * ONE pass per row via the codegen'd [[graft.etl.expressions.MinhashBands]]
+    * expression. md5-as-minhash keeps the pipeline deterministic and
+    * engine-portable (the same construction runs in any SQL engine for
+    * oracle checks).
     *
-    * Pipeline: k-shingle → md5 each shingle → band by the first hex
-    * nibble (16 bands) → min digest per (doc, band). md5-as-minhash
-    * keeps the pipeline deterministic and engine-portable (the same
-    * construction runs in any SQL engine for oracle checks).
+    * Shuffle-free where the former explode→groupBy→pivot chain
+    * shuffled rows proportional to total corpus shingles; at cluster
+    * scale the signature frame is |docs|×16 strings, full stop.
     */
-
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame =
-    // explode + hash-aggregate: map-side partial aggregation already
-    // reduces the shuffle to <=16 (doc, band) rows per document per
-    // partition, so this shape holds at cluster scale; a measured
-    // per-row higher-order variant (16 filter passes over the shingle
-    // array) was 2.5× slower.
-    df.select(col(idCol).as("doc_id"),
-        explode(charShingles(col(textCol), k)).as("shingle"))
-      .withColumn("digest", md5(col("shingle")))
-      .groupBy(col("doc_id"), substring(col("digest"), 1, 1).as("band"))
-      .agg(min(col("digest")).as("minhash"))
+  def minhashBands(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.MinhashBands(
+        org.apache.spark.sql.GraftBridge.expression(c), k))
 
   private val hexDigits = "0123456789abcdef".map(_.toString)
+
+  /** Long form (one row per non-empty (doc, band)), kept for API parity
+    * with engines that materialize signature tables.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame =
+    df.select(col(idCol).as("doc_id"), minhashBands(col(textCol), k).as("mh"))
+      .select(col("doc_id"), posexplode(col("mh")).as(Seq("bandIdx", "minhash")))
+      .filter(col("minhash").isNotNull)
+      .select(col("doc_id"),
+        element_at(array(hexDigits.map(lit): _*), col("bandIdx") + 1).as("band"),
+        col("minhash"))
 
   /** r=2 banded signatures: 8 LSH bands, each keyed by the pair of
     * per-nibble minima (j, j+8). A band collision then requires BOTH
@@ -62,26 +69,37 @@ object Dedup {
     */
   def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
-    val piv = minhashSignatures(df, textCol, idCol, k)
-      .groupBy(col("doc_id")).pivot("band", hexDigits).agg(first(col("minhash")))
+    // mh projected in its own select: a 16-term consumer would other-
+    // wise re-evaluate the (non-cheap) expression per element_at.
+    val sig = df.select(col(idCol).as("doc_id"), minhashBands(col(textCol), k).as("mh"))
     val keys = (0 until 8).map(j => concat_ws("#",
-      coalesce(col(hexDigits(j)), lit("-")),
-      coalesce(col(hexDigits(j + 8)), lit("-"))))
-    piv.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "minhash")))
+      coalesce(element_at(col("mh"), j + 1), lit("-")),
+      coalesce(element_at(col("mh"), j + 9), lit("-"))))
+    sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "minhash")))
   }
 
-  /** Candidate near-dup pairs: equi-join on (band, minhash) — never a
-    * cross product. `n_bands` = how many bands collide (16 with raw
+  /** Candidate near-dup pairs: bucket-group on (band, minhash) and
+    * emit ordered pairs within each bucket — never a cross product.
+    * `n_bands` = how many bands collide (16 with raw
     * [[minhashSignatures]], 8 with [[bandedSignatures]]).
+    *
+    * Bucket-grouping (one shuffle of the signature frame) replaces the
+    * former self-join, which evaluated the signature pipeline TWICE —
+    * once per join side — doubling the dominant scan+minhash stage.
+    * Within-bucket pair blowup is quadratic in bucket size either way
+    * (that is LSH's contract: buckets ≈ near-dup groups, kept small by
+    * the r=2 banding); a pathological hot bucket would need a size cap
+    * upstream, not a different join shape.
     */
-  def minhashCandidates(sig: DataFrame): DataFrame = {
-    val a = sig.select(col("band"), col("minhash"), col("doc_id").as("a_id"))
-    val b = sig.select(col("band"), col("minhash"), col("doc_id").as("b_id"))
-    a.join(b, Seq("band", "minhash"))
-      .filter(col("a_id") < col("b_id"))
+  def minhashCandidates(sig: DataFrame): DataFrame =
+    sig.groupBy(col("band"), col("minhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
-  }
 
   /** 16-bit SimHash over a token array.
     *
@@ -110,12 +128,12 @@ object Dedup {
   }
 
   /** Character n-gram Jaccard similarity of two strings (distinct
-    * n-gram sets), as used for near-dup scoring.
+    * n-gram sets), as used for near-dup scoring. Single-pass codegen'd
+    * expression — see [[graft.etl.expressions.NGramJaccard]].
     */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = charShingles(a, n)
-    val sb = charShingles(b, n)
-    size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)).cast("double")
-  }
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.NGramJaccard(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b), n))
 }

@@ -52,19 +52,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): maps md5 to [-0.5, 0.5). Portable to any engine with md5.
+    * dim i): maps md5 to [-0.5, 0.5). Computed DRIVER-SIDE — the
+    * components depend only on (p, i), so hashing them per row (the
+    * former in-plan md5/conv form) re-derived the same 8×64 constants
+    * for every vector: ~512 md5+hex-parse calls per row, ~2 M for the
+    * 2 k-embedding bench table. Value-identical to
+    * `conv(substring(md5('plane-p-i'),1,6),16,10)/16777216 - 0.5`, so
+    * any engine can still reproduce the planes for oracle checks.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane-$p-"), i.cast("string"))), 1, 6), 16, 10)
-      .cast("double") / lit(16777216.0)) - 0.5
+  private def planeVal(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane-$p-$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
+  }
 
-  /** Sign-LSH bucket signature (nPlanes bits) for a vector column. */
-  def lshSignature(vec: Column, nPlanes: Int): Column = {
+  /** Sign-LSH bucket signature (nPlanes bits) for a `dim`-dimensional
+    * vector column; planes are constant-folded literal arrays.
+    */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column = {
     val v = vec.cast("array<double>")
     (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeVal(p, i))): _*)
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(v, plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -76,12 +87,15 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    // one-row probe for the dimensionality; embedding tables are
+    // fixed-width by construction
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"),
-      lshSignature(col(vecCol), nPlanes).as("sig"))
+      lshSignature(col(vecCol), nPlanes, dim).as("sig"))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"),
-      lshSignature(col(vecCol), nPlanes).as("sig"))
+      lshSignature(col(vecCol), nPlanes, dim).as("sig"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("sig"))

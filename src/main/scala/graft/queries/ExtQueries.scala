@@ -51,15 +51,13 @@ object ExtQueries {
       val cand = Dedup.minhashCandidates(
           Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
         .select(col("a_id"), col("b_id"))
-      val pre = docs.select(col("doc_id"),
-        Dedup.charShingles(substring(col("text"), 1, 120), 3).as("grams"))
-      val inter = size(array_intersect(col("a_grams"), col("b_grams")))
-      val jac = inter.cast("double") /
-        (size(col("a_grams")) + size(col("b_grams")) - inter).cast("double")
+      // the rescoring join carries the 120-char prefixes, not gram
+      // arrays; jaccard is a single-pass expression per candidate pair
+      val pre = docs.select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
       cand
-        .join(pre.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
-        .join(pre.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
-        .withColumn("jac", jac)
+        .join(pre.select(col("doc_id").as("a_id"), col("pre").as("a_pre")), Seq("a_id"))
+        .join(pre.select(col("doc_id").as("b_id"), col("pre").as("b_pre")), Seq("b_id"))
+        .withColumn("jac", Dedup.ngramJaccard(col("a_pre"), col("b_pre"), 3))
         .filter(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))

@@ -22,6 +22,41 @@ class ExtSpec extends SparkSpec {
     assert(one(Dedup.ngramJaccard(lit("aaaa"), lit("bbbb"), 2)) == 0.0)
   }
 
+  test("ngramJaccard expression == composed array form (packed + generic paths)") {
+    val cases = Seq(
+      ("hello world", "hello world!"),
+      ("", ""), ("", "abc"), ("ab", "abc"), ("ab", "xy"),
+      ("𝄞𝄞music𝄞", "𝄞music"),          // non-BMP: packed by code point
+      ("aaaa", "aaab"),
+      ("Électro Fête", "Electro Fete"))
+    for (k <- Seq(2, 3, 5); (x, y) <- cases) {
+      val viaExpr = one(Dedup.ngramJaccard(lit(x), lit(y), k))
+      val ag = Dedup.charShingles(lit(x), k)
+      val bg = Dedup.charShingles(lit(y), k)
+      val composed = one(size(array_intersect(ag, bg)).cast("double") /
+        size(array_union(ag, bg)).cast("double"))
+      assert(viaExpr == composed, s"k=$k ($x, $y)")
+    }
+  }
+
+  test("minhash_bands expression == composed explode/md5/groupBy/min pipeline") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs ok"),
+      (2L, "ab"), // shorter than k → single whole-string shingle
+      (3L, "Électro Fête à Paris — accented non-ASCII content")
+    ).toDF("doc_id", "text")
+    val viaExpr = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val composed = docs
+      .select(col("doc_id"), explode(Dedup.charShingles(col("text"), 8)).as("shingle"))
+      .withColumn("digest", md5(col("shingle")))
+      .groupBy(col("doc_id"), substring(col("digest"), 1, 1).as("band"))
+      .agg(min(col("digest")).as("minhash"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaExpr == composed)
+  }
+
   test("minhash candidates find planted near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val docs = Seq(
