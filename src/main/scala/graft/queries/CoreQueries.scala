@@ -83,13 +83,20 @@ object CoreQueries {
       val c = broadcast(Tables.customer(s, d))
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // pre-aggregate lineitem per order BELOW the join: the join then
+      // carries |orders| rows instead of |lineitem|, and the
+      // count-distinct expansion disappears (each order is one row, so
+      // COUNT(*) == COUNT(DISTINCT o_orderkey)); decimal sums are
+      // exact and associative, so revenue is bit-identical
+      val lAgg = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .as("order_rev"))
+      lAgg.join(o, lAgg("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
+          count(lit(1)).as("n_orders"),
+          sum(col("order_rev")).cast("double").as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -313,11 +320,16 @@ object CoreQueries {
 
     // ---- interpolated percentiles ----
     "q38_percentiles" -> ((s, d) => {
+      // ONE percentile aggregate with an array of fractions: two
+      // separate percentile() calls each build and merge their own
+      // per-partition value-count map over the full column (measured
+      // ~2× the aggregation time at sf0.1)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("median_price"),
+          round(element_at(col("ps"), 2), 4).as("p95_price"))
         .orderBy(col("l_returnflag"))
     }),
 
