@@ -51,21 +51,26 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): maps md5 to [-0.5, 0.5). Computed DRIVER-SIDE — the
-    * components depend only on (p, i), so hashing them per row (the
-    * former in-plan md5/conv form) re-derived the same 8×64 constants
-    * for every vector: ~512 md5+hex-parse calls per row, ~2 M for the
+  /** Deterministic pseudo-random component in [-0.5, 0.5) derived from
+    * md5 of a seed string. Computed DRIVER-SIDE — these constants
+    * depend only on their indices, so hashing them per row (the former
+    * in-plan md5/conv form) re-derived the same values for every
+    * vector: ~512 md5+hex-parse calls per row, ~2 M for the
     * 2 k-embedding bench table. Value-identical to
-    * `conv(substring(md5('plane-p-i'),1,6),16,10)/16777216 - 0.5`, so
-    * any engine can still reproduce the planes for oracle checks.
+    * `conv(substring(md5(seed),1,6),16,10)/16777216 - 0.5`, so any
+    * engine can reproduce them for oracle checks.
     */
-  private def planeVal(p: Int, i: Int): Double = {
+  private def hashVal(seed: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane-$p-$i".getBytes("UTF-8"))
+    val hex = md.digest(seed.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
   }
+
+  private def planeVal(p: Int, i: Int): Double = hashVal(s"plane-$p-$i")
+
+  /** Component i of IVF coarse centroid `cell` (deterministic). */
+  def centroidVal(cell: Int, i: Int): Double = hashVal(s"centroid-$cell-$i")
 
   /** Sign-LSH bucket signature (nPlanes bits) for a `dim`-dimensional
     * vector column; planes are constant-folded literal arrays.
@@ -99,6 +104,55 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-flat ANN: every corpus vector is assigned to its best coarse
+    * centroid (argmax dot product, 16 deterministic md5-derived cells);
+    * a query probes its `nProbe` best cells and re-ranks candidates by
+    * exact cosine. The probe is an equi-join on the cell id — shuffle
+    * keyed by cell, candidate set ≈ nProbe/nCells of the corpus — the
+    * classic inverted-file trade of recall for a bounded scan, and the
+    * alternative scale path to [[lshTopK]] (IVF probes the *nearest*
+    * regions; LSH probes the *same-signature* region only).
+    *
+    * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
+    * reproducible across engines (same discipline as [[bruteForceTopK]]).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val cents = broadcast(
+      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
+        .toDF("cell", "cvec"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+      df.select(col(id), col(vec))
+        .crossJoin(cents)
+        .withColumn("cdot", dot(col(vec), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col(id), col(vec), col("cell"))
+    }
+
+    val c = assign(corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", 1)
+    val q = assign(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))

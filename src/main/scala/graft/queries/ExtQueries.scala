@@ -152,6 +152,17 @@ object ExtQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- IVF-flat ANN: the alternative scale path to LSH (q36) —
+    //      deterministic md5-derived coarse centroids, argmax-dot cell
+    //      assignment, nProbe-cell probe, exact cosine re-rank; full
+    //      DuckDB oracle (centroid constants inlined into the SQL) ----
+    "q44_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---- J2 similarity merge in production shape (SequenceRatio in a
     //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
     //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
@@ -195,6 +206,15 @@ object ExtQueries {
        lng AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
          unnest($karr) AS sigkey FROM keyed)"""
   }
+
+  /** IVF centroid VALUES rows for the q44 oracle — the exact constants
+    * the Spark side folds into its plan (test embeddings are 64-dim).
+    */
+  private val ivfCentroids: String =
+    (0 until 16).map { cl =>
+      val vals = (0 until 64).map(i => graft.ext.Similarity.centroidVal(cl, i)).mkString(", ")
+      s"($cl, [$vals]::DOUBLE[])"
+    }.mkString(", ")
 
   /** 16-term SimHash oracle is generated programmatically. */
   private val simhashTerms: String = (0 until 16).map { j =>
@@ -304,6 +324,28 @@ object ExtQueries {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q44_ivf_ann" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+         ca AS (SELECT n_id, n_vec, cell FROM (
+           SELECT n_id, n_vec, cell, ROW_NUMBER() OVER (PARTITION BY n_id
+             ORDER BY round(list_inner_product(n_vec, cvec), 6) DESC, cell) AS rn
+           FROM c, cent) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, q_vec, cell FROM (
+           SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         s AS (SELECT q_id, n_id,
+             list_inner_product(q_vec, n_vec) /
+               (sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(n_vec, n_vec))) AS sim
+           FROM qa JOIN ca USING (cell) WHERE q_id <> n_id),
+         r AS (SELECT q_id, n_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM s)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(sim, 6) AS sim FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""",
     "q31_multimodal" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
          d AS (SELECT doc_id, n_bytes,

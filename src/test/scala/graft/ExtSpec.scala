@@ -123,6 +123,25 @@ class ExtSpec extends SparkSpec {
     assert(lsh.count(brute.contains) >= lsh.length / 2)
   }
 
+  test("ivfTopK probes nearest cells; hits are genuine neighbors") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 50)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    assert(ivf.count(brute.contains) >= ivf.length / 2)
+    // probing ALL cells recovers the exact brute-force top-k
+    val full = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop5 = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bruteTop5)
+  }
+
   test("langId picks marker-majority language") {
     assert(one(TA.langId(lit("the cat and the dog of the house is big"))) == "en")
     assert(one(TA.langId(lit("le chat et la maison les arbres des fleurs"))) == "fr")
