@@ -2,7 +2,8 @@ package graft.etl.expressions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the engine's custom expressions
   * (SURVEY.md §2.11): makes `strip_accents`, `parse_fr_datetime` and
@@ -11,10 +12,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.etl.expressions.GraftExtensions`.
   */
 object Registry {
+  /** Shingle/band sizes are plan-time parameters, not per-row data. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a constant integer size argument, got $other")
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "strip_accents" -> (es => StripAccents(es.head)),
     "parse_fr_datetime" -> (es => ParseFrDatetime(es.head)),
-    "seq_ratio" -> (es => SequenceRatio(es(0), es(1))))
+    "seq_ratio" -> (es => SequenceRatio(es(0), es(1))),
+    "char_shingles" -> (es => CharShingles(es(0), intArg(es(1), "char_shingles"))),
+    "minhash_bands" -> (es => MinhashBands(es(0), intArg(es(1), "minhash_bands"))),
+    "ngram_jaccard" -> (es => NGramJaccard(es(0), es(1), intArg(es(2), "ngram_jaccard"))))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>

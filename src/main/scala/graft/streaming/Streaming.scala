@@ -85,6 +85,19 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the incremental twin of the batch
+    * content-hash dedup (q21): drops rows whose md5(content) was seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * expires state with the watermark, so the dedup map is bounded by
+    * the late-data window instead of growing with the corpus — the
+    * property that keeps continuous 100 TB-scale ingestion feasible.
+    */
+  def dedupStream(df: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 day"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .withColumn("content_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** K1/K2 as streaming sinks: per-microbatch overwrite (snapshot) or
     * append (historization) via foreachBatch.
     */

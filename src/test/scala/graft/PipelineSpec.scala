@@ -18,6 +18,13 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(0) == "Electro Fete")
     assert(r.getDouble(1) == 0.875)
     assert(r.getString(2) == "2025-10-10 19:30")
+    val r2 = spark.sql(
+      """SELECT char_shingles('abcd', 3) AS g,
+                ngram_jaccard('hello world', 'hello world', 3) AS j,
+                size(minhash_bands('some document text', 8)) AS m""").collect()(0)
+    assert(r2.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(r2.getDouble(1) == 1.0)
+    assert(r2.getInt(2) == 16)
   }
 
   test("E1 pipeline: sources → consolidate → three sinks") {

@@ -56,4 +56,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q22: documents scanned ONCE (bucket pairing, not a self-join)") {
+    // the former self-join evaluated the whole signature pipeline twice;
+    // the final AQE plan must contain a single documents FileScan
+    val df = SparkEntry.queries("q22_minhash_candidates")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints initial plan below
+    assert("documents\\.parquet".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
+  test("q43 exact greedy: shuffles keyed by day, no cartesian") {
+    val p = plan("q43_consolidate_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("CoGroup"), p)
+  }
+
+  test("q44 ivf: probe is an equi-join on the cell id") {
+    val p = plan("q44_ivf_ann")
+    // the 16-row centroid frame may cross-join (bounded, broadcast);
+    // the corpus-side probe join itself must be hash-keyed
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
 }

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 2)))
   }
 
+  test("streaming dedup drops within-watermark duplicate content") {
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)](
+      spark)(org.apache.spark.sql.Encoders.product[(Long, String, java.sql.Timestamp)])
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    ms.addData(
+      (1L, "same content", ts("2024-01-01 10:00:00")),
+      (2L, "same content", ts("2024-01-01 10:05:00")), // dup → dropped
+      (3L, "other content", ts("2024-01-01 10:06:00")))
+    val out = graft.streaming.Streaming.dedupStream(
+      ms.toDF.toDF("id", "text", "ts"), "text", "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // a later duplicate in a second microbatch is also dropped (state
+    // persists across batches within the watermark)
+    ms.addData((4L, "same content", ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT id FROM dedup_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   private def awaitRows(table: String, n: Long, timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis + timeoutMs
     while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
