@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: sweep every registered query's physical plan for
+  * scale anti-patterns (cartesian products, unkeyed nested-loop joins).
+  * Intentional exceptions are listed with their justification.
+  */
+object PlanAudit {
+  // queries where a BroadcastNestedLoopJoin is the DESIGNED plan:
+  // a bounded broadcast side makes the nested loop a streaming scan
+  private val allowedBnlj = Map(
+    "q25_knn_cosine" -> "query side is a bounded broadcast (brute-force baseline)",
+    "q35_merge_similarity" -> "dateless branch: rare rows × broadcast, by construction tiny",
+    "q20_interval_join" -> "dateless branch of mergeSimilarity (same as q35)",
+    "q44_ivf_ann" -> "16-row broadcast centroid frame; corpus×16 is the IVF assignment fan-out")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin")
+        if (cart) { bad += 1; println(s"AUDIT $name: CARTESIAN") }
+        else if (bnlj && !allowedBnlj.contains(name)) {
+          bad += 1; println(s"AUDIT $name: UNEXPECTED-BNLJ")
+        } else if (bnlj) println(s"AUDIT $name: bnlj-allowed (${allowedBnlj(name)})")
+        else println(s"AUDIT $name: ok")
+      } catch { case e: Throwable =>
+        bad += 1; println(s"AUDIT $name: ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    println(s"AUDIT_BAD=$bad")
+    spark.stop()
+  }
+}
