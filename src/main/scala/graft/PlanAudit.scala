@@ -12,7 +12,8 @@ object PlanAudit {
     "q25_knn_cosine" -> "query side is a bounded broadcast (brute-force baseline)",
     "q35_merge_similarity" -> "dateless branch: rare rows × broadcast, by construction tiny",
     "q20_interval_join" -> "dateless branch of mergeSimilarity (same as q35)",
-    "q44_ivf_ann" -> "16-row broadcast centroid frame; corpus×16 is the IVF assignment fan-out")
+    "q44_ivf_ann" -> "16-row broadcast centroid frame; corpus×16 is the IVF assignment fan-out",
+    "q48_tfidf" -> "one-row broadcast of the corpus-size scalar (N for idf)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -127,6 +127,50 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup candidates into dedup CLUSTERS (pick one
+    * canonical doc per component; everything else is a duplicate).
+    *
+    * Hash-min label propagation: every node repeatedly adopts the
+    * minimum label in its closed neighborhood until fixpoint. Each
+    * round is one shuffle keyed by node id; convergence takes
+    * O(component diameter) rounds. Near-dup graphs are unions of
+    * small dense clusters, so diameters are tiny (2-3 rounds in
+    * practice); for adversarial chain-shaped graphs switch to
+    * large-star/small-star (same join primitives, O(log n) rounds —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond").
+    *
+    * Returns (id, cluster_id) where cluster_id = min node id reachable.
+    * Only nodes that appear in an edge are returned (isolated docs are
+    * their own cluster trivially — callers left-join if they want them).
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col(src).as("id"), col(dst).as("nbr"))
+      .unionByName(edges.select(col(dst).as("id"), col(src).as("nbr")))
+      .distinct()
+      .persist(lvl)
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    var changed = 1L
+    while (changed > 0) {
+      // min label over the neighborhood, joined back against own label
+      val cand = sym
+        .join(labels.select(col("id").as("nbr"), col("comp").as("nbr_comp")), Seq("nbr"))
+        .groupBy(col("id")).agg(min(col("nbr_comp")).as("cand"))
+      val next = labels
+        .join(cand, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+        .persist(lvl)
+      changed = next.filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = next.drop("old")
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Character n-gram Jaccard similarity of two strings (distinct
     * n-gram sets), as used for near-dup scoring. Single-pass codegen'd
     * expression — see [[graft.etl.expressions.NGramJaccard]].

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -92,4 +93,29 @@ object TextAnalysis {
     */
   def contentFingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** TF-IDF keyword extraction: top-k terms per document by
+    * tf × ln(N/df) (rounded to 6 decimals BEFORE ranking so the order
+    * is reproducible across engines; ties break on the term).
+    *
+    * Shuffle shape at scale: one explode → groupBy keyed by (doc, term)
+    * for tf; the document-frequency table is vocabulary-sized and
+    * broadcast back, so no second full-corpus shuffle. N is a one-row
+    * broadcast — never a driver-side collect in the row path.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
 }

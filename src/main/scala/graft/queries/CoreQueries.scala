@@ -374,6 +374,48 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- skew-salted join (util.Skew): row-identical to the plain
+    //      join — only the shuffle distribution changes, which is the
+    //      point: the oracle proves salting is semantics-preserving ----
+    "q50_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderstatus"))
+      graft.util.Skew.saltedJoin(li, ord, Seq("okey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- tumbling window aggregation via the native window() operator
+    //      (the batch twin of the streaming daily snapshot, §2.10) ----
+    "q51_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // ---- time-RANGE window frame (trailing 1h count / average) ----
+    "q52_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("tsec"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w).cast("long"))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w))
+        .select(col("user_id"), col("event_id"), col("n_1h"),
+          round(col("sum_1h").cast("double") / col("n_1h"), 4).as("avg_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -653,6 +695,30 @@ object CoreQueries {
            / 100.0 / COUNT(*), 4) AS mean_price,
          COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q50_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q51_tumbling_window" ->
+      """SELECT strftime(make_timestamp(
+           CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q52_range_frame" ->
+      """WITH p AS (SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tsec, value
+           FROM events WHERE event_type = 'purchase'),
+         w AS (SELECT user_id, event_id,
+           COUNT(*) OVER win AS n_1h,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER win AS sum_1h
+           FROM p WINDOW win AS (PARTITION BY user_id ORDER BY tsec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, CAST(n_1h AS BIGINT) AS n_1h,
+           round(CAST(sum_1h AS DOUBLE) / n_1h, 4) AS avg_1h
+         FROM w ORDER BY user_id, event_id""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id

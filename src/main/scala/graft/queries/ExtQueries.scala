@@ -163,6 +163,75 @@ object ExtQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ---- dedup clusters: connected components over MinHash candidate
+    //      pairs (hash-min label propagation; cluster_id = min doc_id) ----
+    "q45_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(
+          Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
+        .filter(col("n_bands") >= 2)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(cand, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic md5-bucket train/val/test split (80/10/10):
+    //      content-stable assignment, reproducible on any engine ----
+    "q46_train_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long").as("hv"))
+        .withColumn("bucket", pmod(col("hv"), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII redaction: regex scrub of emails/phones + match counts
+    //      (PII synthesized deterministically — test corpus has none) ----
+    "q47_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9][0-9 ]{6,}[0-9]"
+      val synth = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +33 6 "),
+        lpad(pmod(col("doc_id") * 7919, lit(100000000L)).cast("string"), 8, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), synth.as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- TF-IDF keyword extraction (top-3 terms per doc) ----
+    "q48_tfidf" -> ((s, d) => {
+      TA.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- deterministic stratified (per-class balanced) subsample:
+    //      md5-ordered row_number caps each language at 20 docs ----
+    "q49_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // ---- J2 similarity merge in production shape (SequenceRatio in a
     //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
     //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
@@ -346,6 +415,66 @@ object ExtQueries {
            FROM s)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(sim, 6) AS sim FROM r
          WHERE rank <= 3 ORDER BY q_id, rank""",
+    "q45_dedup_clusters" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s)
+         SELECT id AS doc_id, MIN(comp) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q46_train_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         v AS (SELECT doc_id,
+           ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bucket
+           FROM h)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM v ORDER BY doc_id""",
+    "q47_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+           substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or +33 6 '
+             || lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+[0-9][0-9 ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+             '\+[0-9][0-9 ]{6,}[0-9]')) AS BIGINT) AS n_phones
+         FROM raw ORDER BY doc_id""",
+    "q48_tfidf" -> s"""
+         WITH toks AS (SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+           FROM tf JOIN dfreq USING (term), n),
+         r AS (SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q49_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 20 ORDER BY lang, rn""",
     "q31_multimodal" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
          d AS (SELECT doc_id, n_bytes,

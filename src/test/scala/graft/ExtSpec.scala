@@ -186,4 +186,28 @@ class ExtSpec extends SparkSpec {
     assert(offsets.length == out.getAs[Long]("n_frames"))
     assert(offsets.head == 0L)
   }
+
+  test("connectedComponents: chain, triangle, pair → min-label clusters") {
+    // chain 1-2-3-4 (diameter 3 → multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("tfidfTopTerms: rare term outranks common term") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple durian")).toDF("doc_id", "text")
+    val top = TA.tfidfTopTerms(docs, "text", "doc_id", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "apple" appears in every doc → idf = ln(1) = 0; the doc-unique
+    // term must win even at tf 1 vs banana's tf 2... banana is unique
+    // to doc 1 too, tf 2 → banana wins there
+    assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
+  }
 }
