@@ -416,6 +416,56 @@ object CoreQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- relational set operations (intersect / except) ----
+    "q53_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val big = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey")).distinct()
+      urgent.intersect(big).withColumn("tag", lit("both"))
+        .unionByName(urgent.except(big).withColumn("tag", lit("urgent_only")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // ---- correlated scalar subquery, Spark-first rewrite (TPC-H Q17
+    //      shape): the per-part average is a pre-aggregation joined
+    //      back — one shuffle keyed by partkey instead of a per-row
+    //      subquery; the oracle keeps the correlated form ----
+    "q54_small_qty_rev" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val avgQ = l.groupBy(col("l_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      l.join(avgQ, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // ---- JSON extraction (path + parsed-struct forms agree) ----
+    "q55_json_extract" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), schema).getField("k").as("k_struct"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- lag/lead window navigation (inter-event gaps) ----
+    "q56_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          (col("tsec") - lag(col("tsec"), 1).over(w)).as("gap_s"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -719,6 +769,39 @@ object CoreQueries {
          SELECT user_id, event_id, CAST(n_1h AS BIGINT) AS n_1h,
            round(CAST(sum_1h AS DOUBLE) / n_1h, 4) AS avg_1h
          FROM w ORDER BY user_id, event_id""",
+    "q53_set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+         UNION ALL
+         SELECT o_custkey, 'urgent_only' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+         ORDER BY tag, o_custkey""",
+    "q54_small_qty_rev" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+         FROM lineitem l1
+         WHERE l_quantity < 0.5 * (
+           SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""",
+    "q55_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+         FROM events ORDER BY event_id""",
+    "q56_lag_lead" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events WHERE event_type = 'click')
+         SELECT user_id, event_id,
+           lag(event_id) OVER win AS prev_id,
+           lead(event_id) OVER win AS next_id,
+           tsec - lag(tsec) OVER win AS gap_s
+         FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id
