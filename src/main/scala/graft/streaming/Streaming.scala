@@ -98,6 +98,31 @@ object Streaming {
       .withColumn("content_hash", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — the streaming twin of the q20 batch
+    * interval join (purchases within `tolMin` after a same-user signup).
+    *
+    * Both sides are watermarked: the time-bounded join condition plus
+    * the watermarks lets the state store evict a buffered row once no
+    * future match can exist for it (signups after `tolMin` + watermark,
+    * purchases after the watermark alone) — the property that keeps an
+    * unbounded stream-stream join's state finite at production scale.
+    * Inner join, so no emit-on-timeout subtleties.
+    */
+  def intervalJoinStream(signups: DataFrame, purchases: DataFrame,
+      tolMin: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val a = signups
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = purchases
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $tolMin MINUTES"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
   /** K1/K2 as streaming sinks: per-microbatch overwrite (snapshot) or
     * append (historization) via foreachBatch.
     */

@@ -122,4 +122,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rows.contains((1L, 2)))
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val enc = org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val signups = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 20L, ts("2024-01-01 11:00:00")))
+    val purchases = Seq(
+      (1L, 11L, ts("2024-01-01 10:20:00")),  // within 30 min → match
+      (1L, 12L, ts("2024-01-01 10:45:00")),  // past tolerance → no match
+      (2L, 21L, ts("2024-01-01 11:05:00")),  // match
+      (3L, 31L, ts("2024-01-01 11:00:00"))) // no signup → no match
+    val msA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)](spark)(enc)
+    val msB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)](spark)(enc)
+    msA.addData(signups: _*)
+    msB.addData(purchases: _*)
+    val out = Streaming.intervalJoinStream(
+      msA.toDF.toDF("user_id", "event_id", "ts"),
+      msB.toDF.toDF("user_id", "event_id", "ts"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT user_id, signup_id, purchase_id FROM ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 10L, 11L), (2L, 20L, 21L)))
+  }
 }
