@@ -210,4 +210,16 @@ class ExtSpec extends SparkSpec {
     // to doc 1 too, tf 2 → banana wins there
     assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
   }
+
+  test("partition-pooled decode agrees with the expression-stub metadata") {
+    val df = Seq((1L, "héllo"), (2L, "a"), (3L, "twelve chars")).toDF("doc_id", "text")
+    val pooled = Multimodal.decodeWithPool(
+        df.select(col("doc_id"), Multimodal.toBinary(col("text")).as("payload")),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val viaExpr = Multimodal.decodePipeline(df, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("n_frames"))).toSet
+    assert(pooled == viaExpr)
+  }
 }

@@ -108,4 +108,34 @@ class PropertySpec extends SparkSpec {
     assert(sgIds.length == names.length)
     assert(dcIds.length == names.length)
   }
+
+  test("connectedComponents matches local union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // local union-find ground truth
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // min node id per component (find() roots are not minima in
+        // general union-find, but unions always point max -> min root,
+        // so the root IS the component minimum here)
+        val expected = nodes.map(v => v -> find(v)).toMap
+        val got = graft.ext.Dedup.connectedComponents(
+            edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: $got vs $expected")
+      }
+    }
+  }
 }
