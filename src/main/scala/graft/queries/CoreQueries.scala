@@ -466,6 +466,30 @@ object CoreQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- quantile binning: ntile quartiles + percent_rank (the
+    //      class-balancing / quality-binning shape for training data) ----
+    "q57_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // ---- explicit GROUPING SETS (asymmetric combos rollup/cube can't) ----
+    "q58_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -802,6 +826,20 @@ object CoreQueries {
            tsec - lag(tsec) OVER win AS gap_s
          FROM c WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, event_id""",
+    "q57_ntile" ->
+      """SELECT lang, doc_id, n_chars,
+         CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+         round(percent_rank() OVER win, 6) AS pr
+         FROM documents WINDOW win AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+         ORDER BY lang, doc_id""",
+    "q58_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g2
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q20_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id
