@@ -78,6 +78,24 @@ object TextAnalysis {
     size(filter(toks, t => t.isInCollection(qualityStops))).cast("double") /
       size(toks).cast("double")
 
+  /** Word n-grams over a pre-projected token array: positions 1..len-n+1
+    * each yield `n` tokens joined by a single space. Empty (not null)
+    * below n tokens, so downstream explode/size never hit a null array.
+    * Pure builtins — pipelines into the scan stage, no shuffle.
+    */
+  def wordNGrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Normalized words for n-gram matching: lowercase, non-alphanumeric
+    * runs collapsed to a single space (the usual decontamination
+    * normalization — punctuation and casing must not hide an overlap).
+    */
+  def normWords(text: Column): Column =
+    wsTokens(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
     * character stream — an order-sensitive document fingerprint, unlike
     * the md5 content hash. Pure builtins: aggregate over the char array.

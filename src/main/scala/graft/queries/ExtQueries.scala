@@ -232,6 +232,69 @@ object ExtQueries {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // ---- benchmark decontamination: flag train-split docs sharing any
+    //      normalized word-8-gram with the held-out split (Lee et al.
+    //      2022 / GPT-3 appendix style n-gram overlap). Join key is a
+    //      64-bit-ish md5 prefix of the gram, not the gram text — at
+    //      100 TB the shuffle carries 16-byte keys instead of ~60-byte
+    //      strings, and the held-out gram set (a fixed small fraction of
+    //      the corpus) is broadcast, so the corpus side never shuffles ----
+    "q59_decontaminate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+          explode(array_distinct(
+            TA.wordNGrams(TA.normWords(col("text")), 8))).as("gram"))
+        .select(col("doc_id"), col("hb"),
+          substring(md5(col("gram")), 1, 16).as("gh"))
+      val heldOut = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+      grams.filter(col("hb") =!= "0")
+        .join(broadcast(heldOut), Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher-style repetition filter: fraction of duplicate word
+    //      2-/3-grams per document (Rae et al. 2021 §A1.1 repetition
+    //      signals). Pure array expressions — no shuffle, pipelines into
+    //      the scan ----
+    "q60_repeated_ngrams" -> ((s, d) => {
+      def dupFrac(g: org.apache.spark.sql.Column) =
+        when(size(g) === 0, lit(0.0)).otherwise(
+          (size(g) - size(array_distinct(g))).cast("double") /
+            size(g).cast("double"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TA.normWords(col("text")).as("words"))
+        .select(col("doc_id"),
+          TA.wordNGrams(col("words"), 2).as("g2"),
+          TA.wordNGrams(col("words"), 3).as("g3"))
+        .select(col("doc_id"),
+          size(col("g2")).cast("long").as("n_2grams"),
+          round(dupFrac(col("g2")), 6).as("dup2_frac"),
+          round(dupFrac(col("g3")), 6).as("dup3_frac"))
+        .withColumn("is_repetitive", (col("dup2_frac") > 0.2).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing: assign docs to fixed-token-budget training
+    //      sequences per source shard (running token total → budget
+    //      bucket). One shuffle keyed by the shard; at 100 TB the shard
+    //      key is (source × file split) so no global order is needed ----
+    "q61_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("prev_tokens") / lit(512)).cast("long"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
     // ---- J2 similarity merge in production shape (SequenceRatio in a
     //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
     //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
@@ -257,6 +320,12 @@ object ExtQueries {
 
   private def duckToks(expr: String) =
     s"list_filter(string_split_regex(trim(lower($expr)), '\\s+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[TA.normWords]]. */
+  private val duckNormWords =
+    """list_filter(string_split_regex(
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+       x -> x <> '')""".replaceAll("\n\\s*", " ")
 
   /** Shared oracle CTEs for the r=2 banded MinHash signature. */
   private val bandedSigSql: String = {
@@ -475,6 +544,53 @@ object ExtQueries {
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, rn""",
+    "q59_decontaminate" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         held AS (SELECT DISTINCT gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         train AS (SELECT doc_id, gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         SELECT doc_id, CAST(COUNT(DISTINCT gh) AS BIGINT) AS shared_grams
+         FROM train JOIN held USING (gh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q60_repeated_ngrams" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         g AS (SELECT doc_id,
+             list_transform(generate_series(1, len(words) - 1),
+               i -> array_to_string(words[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(words) - 2),
+               i -> array_to_string(words[i:i+2], ' ')) AS g3
+           FROM w),
+         m AS (SELECT doc_id,
+             CAST(len(g2) AS BIGINT) AS n_2grams,
+             CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+               round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                 / CAST(len(g2) AS DOUBLE), 6) END AS dup2_frac,
+             CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                 / CAST(len(g3) AS DOUBLE), 6) END AS dup3_frac
+           FROM g)
+         SELECT doc_id, n_2grams, dup2_frac, dup3_frac,
+           CAST(CASE WHEN dup2_frac > 0.2 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_repetitive
+         FROM m ORDER BY doc_id""",
+    "q61_pack_sequences" -> s"""
+         WITH t AS (SELECT source, doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM t)
+         SELECT source, CAST(prev // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         FROM c GROUP BY 1, 2 ORDER BY source, seq_id""",
     "q31_multimodal" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
          d AS (SELECT doc_id, n_bytes,

@@ -211,6 +211,72 @@ class ExtSpec extends SparkSpec {
     assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "durian"))
   }
 
+  test("wordNGrams: sliding windows, short-input empties, normalization") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "only two"),
+      (3L, "One, TWO!  one two")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TA.wordNGrams(TA.normWords(col("text")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty) // below n → empty array, not null
+    // punctuation/case collapse before gramming
+    assert(got(3L) == Seq("one two one", "two one two"))
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with held-out") {
+    // doc ids chosen so md5 first hex digit puts 27 in the held-out
+    // bucket ('0') and the rest in train: md5("27") = 02e7...
+    val base = "zero one two three four five six seven"
+    val docs = Seq(
+      (27L, base),            // held-out
+      (100L, base + " tail"), // train, shares the 8-gram
+      (101L, "totally different words that never overlap at all")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{md5 => smd5}
+    val hb = docs.select(col("doc_id"),
+        substring(smd5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hb(27L) == "0" && hb(100L) != "0" && hb(101L) != "0")
+    val grams = docs.select(col("doc_id"),
+        substring(smd5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        explode(array_distinct(TA.wordNGrams(TA.normWords(col("text")), 8))).as("gram"))
+    val held = grams.filter(col("hb") === "0").select(col("gram")).distinct()
+    val flagged = grams.filter(col("hb") =!= "0")
+      .join(held, Seq("gram")).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100L))
+  }
+
+  test("repeated-ngram duplicate fraction: crafted repetitive doc") {
+    // "x y x y x y" → 2-grams: [x y, y x, x y, y x, x y] = 5 total,
+    // 2 distinct → dup frac 3/5
+    val df = Seq((1L, "x y x y x y"), (2L, "a b c")).toDF("doc_id", "text")
+    val g2 = TA.wordNGrams(TA.normWords(col("text")), 2)
+    val got = df.select(col("doc_id"),
+        ((size(g2) - size(array_distinct(g2))).cast("double") /
+          size(g2).cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.6 && got(2L) == 0.0)
+  }
+
+  test("sequence packing: budget boundaries per shard") {
+    // tokens: 300+300 fills seq 0 (600 ≥ 512 after doc2), doc3 starts seq 1
+    val docs = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L),
+      ("s2", 9L, 600L), ("s2", 10L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = docs
+      .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("prev") / lit(512)).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq_id")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 9L -> 0L, 10L -> 1L))
+  }
+
   test("partition-pooled decode agrees with the expression-stub metadata") {
     val df = Seq((1L, "héllo"), (2L, "a"), (3L, "twelve chars")).toDF("doc_id", "text")
     val pooled = Multimodal.decodeWithPool(
