@@ -251,7 +251,11 @@ object ExtQueries {
       grams.filter(col("hb") =!= "0")
         .join(broadcast(heldOut), Seq("gh"))
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("gh")).as("shared_grams"))
+        // per-doc grams are array_distinct'd and heldOut is distinct, so
+        // plain count == count-distinct — but with map-side partial agg
+        // and one shuffle on doc_id instead of the expand-on-(doc_id,gh)
+        // exchange an exact distinct would add
+        .agg(count(lit(1)).as("shared_grams"))
         .orderBy(col("doc_id"))
     }),
 
@@ -556,7 +560,7 @@ object ExtQueries {
            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
          train AS (SELECT doc_id, gh FROM g
            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
-         SELECT doc_id, CAST(COUNT(DISTINCT gh) AS BIGINT) AS shared_grams
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
          FROM train JOIN held USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
     "q60_repeated_ngrams" -> s"""
