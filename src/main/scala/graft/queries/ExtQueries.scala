@@ -240,13 +240,15 @@ object ExtQueries {
     //      strings, and the held-out gram set (a fixed small fraction of
     //      the corpus) is broadcast, so the corpus side never shuffles ----
     "q59_decontaminate" -> ((s, d) => {
+      // dedupe AFTER hashing → per-doc gram set distinct in gh-space,
+      // matching the oracle's DISTINCT (doc_id, gh) without a shuffle
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-          explode(array_distinct(
-            TA.wordNGrams(TA.normWords(col("text")), 8))).as("gram"))
-        .select(col("doc_id"), col("hb"),
-          substring(md5(col("gram")), 1, 16).as("gh"))
+          explode(array_distinct(transform(
+            TA.wordNGrams(TA.normWords(col("text")), 8),
+            g => substring(md5(g), 1, 16)))).as("gh"))
+        .persist()
       val heldOut = grams.filter(col("hb") === "0").select(col("gh")).distinct()
       grams.filter(col("hb") =!= "0")
         .join(broadcast(heldOut), Seq("gh"))
@@ -256,6 +258,42 @@ object ExtQueries {
         // and one shuffle on doc_id instead of the expand-on-(doc_id,gh)
         // exchange an exact distinct would add
         .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-duplicated text fraction (RefinedWeb-style): share of
+    //      each doc's distinct 8-grams that occur in ≥2 docs. The only
+    //      corpus-wide shuffle is keyed by the 16-hex gram hash; the
+    //      gram→doc-count join is co-partitioned on that key (reused
+    //      exchange), so no second full shuffle. The dup-gram side is
+    //      NOT broadcast on purpose — at 100 TB it scales with the
+    //      corpus, unlike q59's bounded held-out set ----
+    "q62_dup_text_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // dedupe AFTER hashing so the per-doc gram set is distinct in
+      // gh-space (exactly the oracle's DISTINCT (doc_id, gh)) without
+      // a dedup shuffle
+      val grams = docs.select(col("doc_id"),
+          explode(array_distinct(transform(
+            TA.wordNGrams(TA.normWords(col("text")), 8),
+            g => substring(md5(g), 1, 16)))).as("gh"))
+        .persist() // three consumers (dup-gram set, totals, dup counts)
+      val dupG = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+        .select(col("gh"))
+      val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val dup = grams.join(dupG, Seq("gh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+      docs.select(col("doc_id"))
+        .join(tot, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        .withColumn("dup_frac",
+          round(when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("n_dup_grams").cast("double") /
+              col("n_grams").cast("double")), 6))
         .orderBy(col("doc_id"))
     }),
 
@@ -563,6 +601,27 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
          FROM train JOIN held USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q62_dup_text_frac" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         dupg AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+         dup AS (SELECT doc_id, COUNT(*) AS n_dup_grams
+           FROM g JOIN dupg USING (gh) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0.0 ELSE
+             round(CAST(COALESCE(p.n_dup_grams, 0) AS DOUBLE)
+               / CAST(t.n_grams AS DOUBLE), 6) END AS dup_frac
+         FROM documents d
+         LEFT JOIN tot t USING (doc_id) LEFT JOIN dup p USING (doc_id)
+         ORDER BY doc_id""",
     "q60_repeated_ngrams" -> s"""
          WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
          g AS (SELECT doc_id,

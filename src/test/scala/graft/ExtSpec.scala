@@ -249,6 +249,28 @@ class ExtSpec extends SparkSpec {
     assert(flagged == Set(100L))
   }
 
+  test("dup-text fraction: planted corpus duplicates, zero-gram docs kept") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-gram
+    val docs = Seq(
+      (1L, shared), (2L, shared),     // the 8-gram occurs in 2 docs → dup
+      (3L, "one unique doc with eight distinct little words"),
+      (4L, "short")                   // < 8 words → 0 grams
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{md5 => smd5}
+    val grams = docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TA.wordNGrams(TA.normWords(col("text")), 8),
+          g => substring(smd5(g), 1, 16)))).as("gh"))
+    val dupG = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("gh"))
+    val dup = grams.join(dupG, Seq("gh")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"))
+    val got = docs.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nd"), lit(0L)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("repeated-ngram duplicate fraction: crafted repetitive doc") {
     // "x y x y x y" → 2-grams: [x y, y x, x y, y x, x y] = 5 total,
     // 2 distinct → dup frac 3/5
