@@ -96,6 +96,17 @@ object TextAnalysis {
   def normWords(text: Column): Column =
     wsTokens(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Distinct md5-hex-prefix hashes of the normalized word n-grams —
+    * the single-pass codegen'd form of
+    * `array_distinct(transform(wordNGrams(normWords(text), n),
+    * g => substring(md5(g), 1, prefixChars)))`.
+    * See [[graft.etl.expressions.WordGramHashes]].
+    */
+  def wordGramHashes(text: Column, n: Int, prefixChars: Int = 16): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.WordGramHashes(
+        org.apache.spark.sql.GraftBridge.expression(text), n, prefixChars))
+
   /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
     * character stream — an order-sensitive document fingerprint, unlike
     * the md5 content hash. Pure builtins: aggregate over the char array.

@@ -171,6 +171,7 @@ object ExtQueries {
           Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
         .filter(col("n_bands") >= 2)
         .select(col("a_id"), col("b_id"))
+        .persist() // symmetrization union consumes the pipeline twice
       Dedup.connectedComponents(cand, "a_id", "b_id")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -240,15 +241,14 @@ object ExtQueries {
     //      strings, and the held-out gram set (a fixed small fraction of
     //      the corpus) is broadcast, so the corpus side never shuffles ----
     "q59_decontaminate" -> ((s, d) => {
-      // dedupe AFTER hashing → per-doc gram set distinct in gh-space,
-      // matching the oracle's DISTINCT (doc_id, gh) without a shuffle
+      // single-pass codegen'd gram hashing (WordGramHashes): per-doc
+      // distinct in gh-space == the oracle's DISTINCT (doc_id, gh).
+      // No persist: the held/train split filters push to the scan, and
+      // the two branches together cost one full pass
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-          explode(array_distinct(transform(
-            TA.wordNGrams(TA.normWords(col("text")), 8),
-            g => substring(md5(g), 1, 16)))).as("gh"))
-        .persist()
+          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
       val heldOut = grams.filter(col("hb") === "0").select(col("gh")).distinct()
       grams.filter(col("hb") =!= "0")
         .join(broadcast(heldOut), Seq("gh"))
@@ -270,13 +270,10 @@ object ExtQueries {
     //      corpus, unlike q59's bounded held-out set ----
     "q62_dup_text_frac" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // dedupe AFTER hashing so the per-doc gram set is distinct in
-      // gh-space (exactly the oracle's DISTINCT (doc_id, gh)) without
-      // a dedup shuffle
+      // single-pass codegen'd gram hashing; per-doc distinct in
+      // gh-space == the oracle's DISTINCT (doc_id, gh)
       val grams = docs.select(col("doc_id"),
-          explode(array_distinct(transform(
-            TA.wordNGrams(TA.normWords(col("text")), 8),
-            g => substring(md5(g), 1, 16)))).as("gh"))
+          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
         .persist() // three consumers (dup-gram set, totals, dup counts)
       val dupG = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)

@@ -57,9 +57,11 @@ class ExpressionsSpec extends SparkSpec {
           F.stripAccents(col("a")).as("s"),
           F.seqRatio(col("a"), col("b")).as("r"),
           F.parseFrDatetime(col("c")).as("d"),
-          graft.ext.Dedup.charShingles(col("b"), 3).as("g"))
+          graft.ext.Dedup.charShingles(col("b"), 3).as("g"),
+          graft.ext.TextAnalysis.wordGramHashes(col("b"), 2).as("w"))
         .collect()
-      assert(out.length == 1 && out(0).getSeq[String](3).nonEmpty)
+      assert(out.length == 1 && out(0).getSeq[String](3).nonEmpty
+        && out(0).getSeq[String](4).nonEmpty)
     } finally {
       spark.conf.unset("spark.sql.codegen.factoryMode")
       spark.conf.unset("spark.sql.codegen.fallback")

@@ -225,6 +225,27 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == Seq("one two one", "two one two"))
   }
 
+  test("wordGramHashes == composed array_distinct/transform/md5 pipeline") {
+    import org.apache.spark.sql.functions.{md5 => smd5}
+    val docs = Seq(
+      (1L, "The QUICK brown fox—jumps over the lazy dog again and again"),
+      (2L, "Électro, fête! à Paris 2025 summer nights festival tour dates"),
+      (3L, "short doc"),
+      (4L, "a b c a b c a b c a b c"), // duplicate grams → dedup
+      (5L, "  punctuation...only   &&& ***   ")).toDF("doc_id", "text")
+    for (n <- Seq(2, 8)) {
+      val composed = docs.select(col("doc_id"),
+          array_distinct(transform(
+            TA.wordNGrams(TA.normWords(col("text")), n),
+            g => substring(smd5(g), 1, 16))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val fused = docs.select(col("doc_id"),
+          TA.wordGramHashes(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fused == composed, s"n=$n")
+    }
+  }
+
   test("decontamination flags exactly the docs sharing an 8-gram with held-out") {
     // doc ids chosen so md5 first hex digit puts 27 in the held-out
     // bucket ('0') and the rest in train: md5("27") = 02e7...
