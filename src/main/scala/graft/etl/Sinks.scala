@@ -59,4 +59,16 @@ object Sinks {
   def jsonPreview(df: DataFrame, path: String, orderCols: Seq[String]): Unit =
     df.orderBy(orderCols.map(col): _*).limit(20)
       .write.mode(SaveMode.Overwrite).json(path)
+
+  /** K1 variant in any columnar format Spark bundles (parquet/orc) —
+    * the engine is format-agnostic at the writer layer; ORC matters
+    * when the downstream warehouse is ORC-native (Hive-era lakes).
+    */
+  def overwriteSnapshotAs(df: DataFrame, path: String, format: String): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode(SaveMode.Overwrite).format(format).save(path)
+      true
+    }
+  }
 }

@@ -77,4 +77,20 @@ class NormalizeSpec extends SparkSpec {
     val csv = spark.read.option("header", "true").csv(s"$tmp/csv")
     assert(csv.collect()(0).getAs[String]("ts") == "2026-09-10T20:00:00")
   }
+
+  test("sinks: ORC round-trip preserves schema and values") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq(
+      ("Électro Fête", java.sql.Timestamp.valueOf("2026-09-10 20:00:00"), 42L, 12.5),
+      ("Plain", java.sql.Timestamp.valueOf("2026-09-11 21:00:00"), 7L, 0.0))
+      .toDF("name", "ts", "sold", "pct")
+    assert(Sinks.overwriteSnapshotAs(df, s"$tmp/orc", "orc"))
+    val back = spark.read.orc(s"$tmp/orc")
+    // file sources widen nullability on read — compare names and types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("name").collect().map(_.getString(0)).toSeq ==
+      Seq("Plain", "Électro Fête"))
+    assert(!Sinks.overwriteSnapshotAs(df.filter(lit(false)), s"$tmp/empty", "orc"))
+  }
 }
