@@ -53,16 +53,37 @@ object MinhashBands {
   }
 
   def compute(s: UTF8String, k: Int): ArrayData = {
+    // Byte-offset walk instead of substringSQL per position: one char →
+    // byte-offset table, then each shingle is an (offset, len) window
+    // into the backing bytes — no UTF8String/byte[] allocation per
+    // position, one reusable digest scratch (allocation only when a
+    // band minimum is adopted). ~10M shingle digests per 5k docs at
+    // sf0.1 made this the dedup family's hot inner loop.
+    val bytes = s.getBytes
     val n = s.numChars()
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(n) = bytes.length
     val last = math.max(n - k + 1, 1)
     val mins = new Array[Array[Byte]](16)
     val md = digests.get()
-    var i = 1
-    while (i <= last) {
+    val scratch = new Array[Byte](16)
+    var i = 0
+    while (i < last) {
+      val from = offs(i)
+      val until = offs(math.min(i + k, n))
       md.reset()
-      val dg = md.digest(s.substringSQL(i, k).getBytes)
-      val band = (dg(0) >> 4) & 0xf
-      if (mins(band) == null || less(dg, mins(band))) mins(band) = dg
+      md.update(bytes, from, until - from)
+      md.digest(scratch, 0, 16)
+      val band = (scratch(0) >> 4) & 0xf
+      if (mins(band) == null || less(scratch, mins(band)))
+        mins(band) = java.util.Arrays.copyOf(scratch, 16)
       i += 1
     }
     val out = new Array[AnyRef](16)
