@@ -138,4 +138,70 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // Unicode-heavy generator: ASCII words mixed with accents, 3-byte CJK,
+  // and 4-byte astral code points — exercises the byte-offset walks in
+  // WordGramHashes / MinhashBands across every UTF-8 width.
+  private val uniTexts: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf(
+      "é", "Œ", "ß", "日本", "語", "🎸", "𝄞", "K", "...", "--", " ", "x9",
+      "The QUICK", "fox", "🎸🎸🎸"))).map(_.mkString(" "))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  test("WordGramHashes property: equals a pure-Scala reference on unicode input") {
+    // reference mirrors the composed pipeline semantics exactly:
+    // Spark lower() == UTF8String.toLowerCase, then [^a-z0-9]+ splits
+    def ref(text: String, n: Int, p: Int): Seq[String] = {
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+      val toks = lowered.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(g => md5hex(g.mkString(" ")).take(p)).toSeq.distinct
+    }
+    val in = Gen.listOfN(200, uniTexts).sample.getOrElse(Seq.fill(200)("a b c"))
+    for (t <- in; n <- Seq(1, 2, 8)) {
+      val got = graft.etl.expressions.WordGramHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), n, 16)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == ref(t, n, 16), s"text='$t' n=$n")
+    }
+  }
+
+  test("MinhashBands property: equals a pure-Scala reference on unicode input") {
+    def ref(text: String, k: Int): Seq[Option[String]] = {
+      // code-point shingles, like substringSQL
+      val cps = {
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          buf += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        buf.toSeq
+      }
+      val last = math.max(cps.length - k + 1, 1)
+      val digests = (0 until last).map(i =>
+        md5hex(cps.slice(i, i + k).mkString))
+      (0 until 16).map { band =>
+        val h = "0123456789abcdef" (band)
+        digests.filter(_.charAt(0) == h) match {
+          case Seq() => None
+          case ds => Some(ds.min)
+        }
+      }
+    }
+    val in = Gen.listOfN(120, uniTexts).sample.getOrElse(Seq.fill(120)("a b c"))
+    for (t <- in if t.nonEmpty; k <- Seq(3, 8)) {
+      val got = graft.etl.expressions.MinhashBands
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(v => Option(v).map(_.toString)).toSeq
+      assert(got == ref(t, k), s"text='$t' k=$k")
+    }
+  }
 }
