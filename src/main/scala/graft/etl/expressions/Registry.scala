@@ -27,7 +27,8 @@ object Registry {
     "minhash_bands" -> (es => MinhashBands(es(0), intArg(es(1), "minhash_bands"))),
     "ngram_jaccard" -> (es => NGramJaccard(es(0), es(1), intArg(es(2), "ngram_jaccard"))),
     "word_gram_hashes" -> (es => WordGramHashes(es(0),
-      intArg(es(1), "word_gram_hashes"), intArg(es(2), "word_gram_hashes"))))
+      intArg(es(1), "word_gram_hashes"), intArg(es(2), "word_gram_hashes"))),
+    "simhash16" -> (es => SimHash16(es.head)))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>

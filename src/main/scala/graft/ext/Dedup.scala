@@ -110,6 +110,15 @@ object Dedup {
     */
   def simhash(tokens: Column): Column = simhashFromDigests(transform(tokens, t => md5(t)))
 
+  /** Single-pass fused form over raw text — bit-identical to
+    * `simhashFromDigests(transform(wsTokens(lower(text)), md5))`.
+    * See [[graft.etl.expressions.SimHash16]].
+    */
+  def simhash16(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.SimHash16(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** SimHash over precomputed md5 digests. Callers should project the
     * digest array in its own select: higher-order functions are
     * excluded from Spark's subexpression elimination, so inlining

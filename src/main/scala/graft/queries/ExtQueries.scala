@@ -30,15 +30,12 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ---- SimHash fingerprints ----
+    // ---- SimHash fingerprints (single-pass fused expression; the
+    //      composed digest-array form stays as Dedup.simhash for
+    //      token-level callers and is parity-tested against this) ----
     "q23_simhash" -> ((s, d) => {
-      // digest array projected in its own select: CollapseProject keeps
-      // the non-cheap lambda from being inlined 16× into the bit terms
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          transform(TA.wsTokens(lower(col("text"))), t => md5(t)).as("digests"))
-        .select(col("doc_id"),
-          Dedup.simhashFromDigests(col("digests")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 

@@ -225,6 +225,21 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == Seq("one two one", "two one two"))
   }
 
+  test("simhash16 fused expression == composed digest-array form") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "Électro fête à Paris\t2025\nnew lines and tabs"),
+      (3L, ""), (4L, "   "), (5L, "one"),
+      (6L, "🎸 astral 𝄞 tokens 日本語 mixed")).toDF("doc_id", "text")
+    val composed = docs.select(col("doc_id"),
+        transform(TA.wsTokens(lower(col("text"))), t => md5(t)).as("dg"))
+      .select(col("doc_id"), Dedup.simhashFromDigests(col("dg")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed)
+  }
+
   test("wordGramHashes == composed array_distinct/transform/md5 pipeline") {
     import org.apache.spark.sql.functions.{md5 => smd5}
     val docs = Seq(
