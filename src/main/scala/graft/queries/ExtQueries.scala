@@ -331,6 +331,24 @@ object ExtQueries {
         .orderBy(col("source"), col("seq_id"))
     }),
 
+    // ---- vocabulary construction: top-1000 corpus terms by frequency
+    //      with deterministic ids (freq desc, term asc). The top-k goes
+    //      through TakeOrderedAndProject (per-partition heads merged on
+    //      the driver-side single reducer), NOT a global sort — the
+    //      window that assigns ids only ever sees the bounded k rows ----
+    "q63_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documents(s, d)
+        .select(explode(TA.wsTokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(1000)
+      top.withColumn("vocab_id",
+          row_number().over(Window.orderBy(col("freq").desc, col("term")))
+            .cast("long"))
+        .select(col("vocab_id"), col("term"), col("freq"))
+        .orderBy(col("vocab_id"))
+    }),
+
     // ---- J2 similarity merge in production shape (SequenceRatio in a
     //      distributed join; no SQL oracle — Ratcliff-Obershelp is not
     //      expressible in DuckDB; semantics pinned by ConsolidateSpec +
@@ -595,6 +613,14 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
          FROM train JOIN held USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q63_vocab" -> s"""
+         WITH t AS (SELECT unnest(${duckToks("text")}) AS term FROM documents),
+         f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY 1),
+         r AS (SELECT term, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS vocab_id FROM f)
+         SELECT CAST(vocab_id AS BIGINT) AS vocab_id, term,
+           CAST(freq AS BIGINT) AS freq
+         FROM r WHERE vocab_id <= 1000 ORDER BY vocab_id""",
     "q62_dup_text_frac" -> s"""
          WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
          gp AS (SELECT doc_id, words,

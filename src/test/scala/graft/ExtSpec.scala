@@ -225,6 +225,19 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == Seq("one two one", "two one two"))
   }
 
+  test("vocab construction: frequency-desc ids, ties break on term") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq((1L, "b a a c b a"), (2L, "c b z")).toDF("doc_id", "text")
+    val top = docs.select(explode(TA.wsTokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(3)
+    val got = top.withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("vocab_id") -> r.getAs[String]("term")).toMap
+    // a×3, b×3 (tie → a first), c×2
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("simhash16 fused expression == composed digest-array form") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
