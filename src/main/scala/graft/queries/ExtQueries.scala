@@ -331,6 +331,47 @@ object ExtQueries {
         .orderBy(col("source"), col("seq_id"))
     }),
 
+    // ---- the composed training-data curation pipeline — the capstone
+    //      proving the ext operators CHAIN: quality filter (token
+    //      floor) → near-dup removal (keep each MinHash/CC cluster's
+    //      canonical doc) → held-out decontamination (q59 semantics)
+    //      → sequence packing (q61 semantics) over the survivors.
+    //      Per-stage shuffle shape is each component's own (documented
+    //      on q22/q45/q59/q61); stages compose without any new
+    //      corpus-wide shuffle beyond their union ----
+    "q64_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).persist() // quality + signatures + grams
+      val meta = docs.select(col("doc_id"), col("source"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      val cand = Dedup.minhashCandidates(
+          Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
+        .filter(col("n_bands") >= 2)
+        .select(col("a_id"), col("b_id")).persist()
+      val nonCanonical = Dedup.connectedComponents(cand, "a_id", "b_id")
+        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+      val grams = docs.select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+      val contaminated = grams.filter(col("hb") =!= "0")
+        .join(broadcast(held), Seq("gh"))
+        .select(col("doc_id")).distinct()
+      val survivors = meta
+        .filter(col("n_tokens") >= 25 && col("hb") =!= "0")
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      survivors
+        .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("prev") / lit(512)).cast("long"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
     // ---- vocabulary construction: top-1000 corpus terms by frequency
     //      with deterministic ids (freq desc, term asc). The top-k goes
     //      through TakeOrderedAndProject (per-partition heads merged on
@@ -613,6 +654,46 @@ object ExtQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
          FROM train JOIN held USING (gh)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q64_curation_pipeline" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         noncanon AS (SELECT id AS doc_id FROM
+           (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) cc
+           WHERE id <> comp),
+         nw AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         ngp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM nw WHERE len(words) >= 8),
+         ng AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM ngp),
+         held AS (SELECT DISTINCT gh FROM ng
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         contam AS (SELECT DISTINCT doc_id FROM ng JOIN held USING (gh)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         dmeta AS (SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         surv AS (SELECT doc_id, source, n_tokens FROM dmeta
+           WHERE n_tokens >= 25 AND hb <> '0'
+             AND doc_id NOT IN (SELECT doc_id FROM noncanon)
+             AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         c AS (SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM surv)
+         SELECT source, CAST(prev // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         FROM c GROUP BY 1, 2 ORDER BY source, seq_id""",
     "q63_vocab" -> s"""
          WITH t AS (SELECT unnest(${duckToks("text")}) AS term FROM documents),
          f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY 1),
