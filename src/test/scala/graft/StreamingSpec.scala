@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("text-analysis operators run unchanged on a document stream") {
+    // quality scoring / token counting / gram hashing are stateless
+    // projections, so the SAME Column expressions drive readStream —
+    // the streaming story for the training-data operators is free.
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val docs = graft.util.Tables.documents(spark, sf0001).limit(50)
+    docs.write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.ext.Dedup.simhash16(col("text")).as("simhash"),
+        size(graft.ext.TextAnalysis.wordGramHashes(col("text"), 8)).as("n_grams"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ta_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM ta_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batch = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")),
+        graft.ext.Dedup.simhash16(col("text")),
+        size(graft.ext.TextAnalysis.wordGramHashes(col("text"), 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed == batch && streamed.size == 50)
+  }
+
   test("stateful streaming sessionization groups within-gap events") {
     import Streaming.{SessionInput, SessionOut, SessionState}
     implicit val encOut = org.apache.spark.sql.Encoders.product[SessionOut]
