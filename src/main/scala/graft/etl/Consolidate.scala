@@ -71,6 +71,10 @@ object Consolidate {
         col("city").as("sg_city"),
         col("tickets_sold_total").as("sg_tickets"),
         col("sg_ord"))
+      // four consumers (token explode, score join, matched join, rest
+      // anti-join) would each replay the regex-heavy artistTokens
+      // projection; the frame is id-sized, so cache it once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dcP = dc
       .withColumn("dc_ord", dcOrder)
@@ -85,6 +89,7 @@ object Consolidate {
         col("city").as("dc_city"),
         col("tickets_sold_total").as("dc_tickets"),
         col("dc_ord"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (day, token) equi-join → overlap counts. Explode is the prefilter:
     // only same-day pairs sharing >= 1 token are ever materialized.
