@@ -46,6 +46,14 @@ SG = [
        artist="Gamma Delta", tickets=80),
     ev("shotgun", "sg9", "Gamma Solo", datetime(2026, 9, 13, 21, 0),
        artist="Gamma", tickets=20),
+    # empty name: norm('')=='' and difflib ratio('','')==1.0, so an
+    # empty-named DICE row within tolerance MUST match (matching.py
+    # maps None/'' via `s or ''`)
+    ev("shotgun", "sg10", "", datetime(2026, 9, 14, 20, 0), tickets=15),
+    # cross-midnight: 23:50 vs next-day 00:10 is within 30 min but NOT
+    # the same calendar day -> must NOT match in J2
+    ev("shotgun", "sg11", "Midnight Run", datetime(2026, 9, 14, 23, 50),
+       artist="Midnight Run", tickets=12),
 ]
 DC = [
     ev("dice", "dc1", "Electro Fete", datetime(2026, 9, 10, 19, 35),
@@ -59,6 +67,12 @@ DC = [
     ev("dice", "dc6", "DJ Snake", datetime(2026, 9, 10, 20, 10), tickets=55),
     ev("dice", "dc7", "Gamma Delta", datetime(2026, 9, 13, 20, 5), tickets=45),
     ev("dice", "dc8", "Gamma Delta Show", datetime(2026, 9, 13, 20, 30), tickets=35),
+    ev("dice", "dc9", "", datetime(2026, 9, 14, 20, 10), tickets=25),
+    ev("dice", "dc10", "Midnight Run", datetime(2026, 9, 15, 0, 10), tickets=65),
+    # canonical-key collision: same norm name, dts in the same 5-min
+    # bucket -> same key; dict insert order means the LATER one wins
+    ev("dice", "dc11", "Dup Key Show", datetime(2026, 9, 16, 21, 1), tickets=41),
+    ev("dice", "dc12", "Dup Key Show", datetime(2026, 9, 16, 21, 3), tickets=42),
 ]
 
 rows = consolidate_events(SG, DC)

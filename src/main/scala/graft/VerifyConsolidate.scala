@@ -53,7 +53,13 @@ object VerifyConsolidate {
       ev("shotgun", "sg8", "Gamma Delta Night", Some(LocalDateTime.of(2026, 9, 13, 20, 0)),
         artist = Some("Gamma Delta"), tickets = Some(80L)),
       ev("shotgun", "sg9", "Gamma Solo", Some(LocalDateTime.of(2026, 9, 13, 21, 0)),
-        artist = Some("Gamma"), tickets = Some(20L))
+        artist = Some("Gamma"), tickets = Some(20L)),
+      // empty name: ratio('','')==1.0 must match an empty-named DICE
+      ev("shotgun", "sg10", "", Some(LocalDateTime.of(2026, 9, 14, 20, 0)),
+        tickets = Some(15L)),
+      // cross-midnight: within 30 min but different calendar day -> no J2 match
+      ev("shotgun", "sg11", "Midnight Run", Some(LocalDateTime.of(2026, 9, 14, 23, 50)),
+        artist = Some("Midnight Run"), tickets = Some(12L))
     ).zipWithIndex.map { case (e, i) => (e, i.toLong) }
       .toDF("e", "ord").select(col("e.*"), col("ord"))
 
@@ -72,7 +78,16 @@ object VerifyConsolidate {
       ev("dice", "dc7", "Gamma Delta", Some(LocalDateTime.of(2026, 9, 13, 20, 5)),
         tickets = Some(45L)),
       ev("dice", "dc8", "Gamma Delta Show", Some(LocalDateTime.of(2026, 9, 13, 20, 30)),
-        tickets = Some(35L))
+        tickets = Some(35L)),
+      ev("dice", "dc9", "", Some(LocalDateTime.of(2026, 9, 14, 20, 10)),
+        tickets = Some(25L)),
+      ev("dice", "dc10", "Midnight Run", Some(LocalDateTime.of(2026, 9, 15, 0, 10)),
+        tickets = Some(65L)),
+      // same canonical key (same norm name + 5-min bucket): later wins
+      ev("dice", "dc11", "Dup Key Show", Some(LocalDateTime.of(2026, 9, 16, 21, 1)),
+        tickets = Some(41L)),
+      ev("dice", "dc12", "Dup Key Show", Some(LocalDateTime.of(2026, 9, 16, 21, 3)),
+        tickets = Some(42L))
     ).zipWithIndex.map { case (e, i) => (e, i.toLong) }
       .toDF("e", "ord").select(col("e.*"), col("ord"))
 
