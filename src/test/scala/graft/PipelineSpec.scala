@@ -25,6 +25,11 @@ class PipelineSpec extends SparkSpec {
     assert(r2.getSeq[String](0) == Seq("abc", "bcd"))
     assert(r2.getDouble(1) == 1.0)
     assert(r2.getInt(2) == 16)
+    val r3 = spark.sql(
+      """SELECT size(word_gram_hashes('a b c d', 2, 16)) AS w,
+                simhash16('some tokens here') AS s""").collect()(0)
+    assert(r3.getInt(0) == 3)
+    assert(r3.getLong(1) != 0L)
   }
 
   test("E1 pipeline: sources → consolidate → three sinks") {
