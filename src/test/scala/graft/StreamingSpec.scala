@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 50)
   }
 
+  test("file-sink stream restarts from checkpoint without reprocessing") {
+    // exactly-once across restarts is the property the daily-cron
+    // reference gets by rewriting the whole sheet; the engine gets it
+    // from the checkpoint + file-sink commit log.
+    val base = java.nio.file.Files.createTempDirectory("graft-chk")
+    val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+    val docs = graft.util.Tables.documents(spark, sf0001).limit(50)
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 25)
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    runOnce() // second incarnation resumes from the checkpoint
+    val got = spark.read.parquet(out)
+    assert(got.count() == 50)
+    assert(got.select(col("doc_id")).distinct().count() == 50) // no reprocessing
+  }
+
   test("stateful streaming sessionization groups within-gap events") {
     import Streaming.{SessionInput, SessionOut, SessionState}
     implicit val encOut = org.apache.spark.sql.Encoders.product[SessionOut]
