@@ -171,6 +171,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused expressions == composed forms through the codegen runtime (batched)") {
+    // one DataFrame job over 300 generated strings — exercises doGenCode,
+    // not just the static compute() the other property tests call
+    val in = Gen.listOfN(300, uniTexts).sample.getOrElse(Seq.fill(300)("a b c"))
+    val df = in.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    import graft.ext.{TextAnalysis => TA}
+    val rows = df.select(col("id"),
+        TA.wordGramHashes(col("text"), 3).as("fused_g"),
+        array_distinct(transform(
+          TA.wordNGrams(TA.normWords(col("text")), 3),
+          g => substring(md5(g), 1, 16))).as("composed_g"),
+        Dedup.simhash16(col("text")).as("fused_s"),
+        Dedup.simhash(TA.wsTokens(lower(col("text")))).as("composed_s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"grams diverge at id=${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"simhash diverges at id=${r.getLong(0)}")
+    }
+  }
+
   test("MinhashBands property: equals a pure-Scala reference on unicode input") {
     def ref(text: String, k: Int): Seq[Option[String]] = {
       // code-point shingles, like substringSQL
