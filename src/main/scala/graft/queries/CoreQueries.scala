@@ -490,6 +490,72 @@ object CoreQueries {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- data profiling (ANALYZE-style statistics): one aggregation
+    //      pass per column — null counts, exact distincts, min/max.
+    //      Numeric min/max go through DECIMAL(18,2) so the string
+    //      rendering is fixed-format on any engine ----
+    "q65_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def prof(name: String, c: org.apache.spark.sql.Column) =
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_val"),
+          max(c).cast("string").as("max_val"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      prof("l_returnflag", col("l_returnflag"))
+        .unionByName(prof("l_linestatus", col("l_linestatus")))
+        .unionByName(prof("l_orderkey", col("l_orderkey")))
+        .unionByName(prof("l_quantity", col("l_quantity").cast("decimal(18,2)")))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- time-series gap fill: sparse daily counts densified over the
+    //      full observed span (type spine × date sequence, missing days
+    //      zero-filled). The span is a one-row broadcast; the spine is
+    //      |types| × |days| — bounded, never row-scaled ----
+    "q66_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ---- conversion funnel: per signup user, first purchase AT OR
+    //      AFTER signup and a 7-day conversion flag. The time predicate
+    //      lives in the join condition (a post-join filter would drop
+    //      users whose only purchases precede signup) ----
+    "q67_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      su.join(pu,
+          col("user_id") === col("p_user") && col("p_ts") >= col("signup_ts"),
+          "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(col("p_ts")).as("p_ts"))
+        .select(col("user_id"),
+          date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_purchase_ts"),
+          (col("p_ts").isNotNull &&
+            col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+            .cast("long").as("converted_7d"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -509,6 +575,64 @@ object CoreQueries {
     """['the','and','feat','ft','with','x','&','+','-','–','—','le','la','les','l','de','du','des','et','au','aux','chez','a','an','on','in']"""
 
   val oracleSql: Map[String, String] = Map(
+    "q65_profile" ->
+      """WITH p AS (
+           SELECT 'l_returnflag' AS col_name, COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             COUNT(DISTINCT l_returnflag) AS n_distinct,
+             CAST(MIN(l_returnflag) AS VARCHAR) AS min_val,
+             CAST(MAX(l_returnflag) AS VARCHAR) AS max_val
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', COUNT(*),
+             SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_linestatus),
+             CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_orderkey', COUNT(*),
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_orderkey),
+             CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', COUNT(*),
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT CAST(l_quantity AS DECIMAL(18,2))),
+             CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+             CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+           FROM lineitem)
+         SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+         FROM p ORDER BY col_name""",
+    "q66_gap_fill" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1 FROM events),
+         spine AS (SELECT et.event_type,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+               CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT DISTINCT event_type FROM events) et, span)
+         SELECT s.event_type, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s LEFT JOIN daily d USING (event_type, day)
+         ORDER BY event_type, day""",
+    "q67_funnel" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         fp AS (SELECT s.user_id, s.signup_ts, MIN(p.ts) AS p_ts
+           FROM su s LEFT JOIN events p ON p.user_id = s.user_id
+             AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+           GROUP BY 1, 2)
+         SELECT user_id,
+           strftime(signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase_ts,
+           CAST(CASE WHEN p_ts IS NOT NULL
+             AND p_ts <= signup_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END AS BIGINT)
+             AS converted_7d
+         FROM fp ORDER BY user_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
