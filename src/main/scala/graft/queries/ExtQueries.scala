@@ -235,8 +235,11 @@ object ExtQueries {
     //      2022 / GPT-3 appendix style n-gram overlap). Join key is a
     //      64-bit-ish md5 prefix of the gram, not the gram text — at
     //      100 TB the shuffle carries 16-byte keys instead of ~60-byte
-    //      strings, and the held-out gram set (a fixed small fraction of
-    //      the corpus) is broadcast, so the corpus side never shuffles ----
+    //      strings. The held-out side is broadcast because real
+    //      decontamination targets are benchmark test sets (10^5-10^6
+    //      grams); if the held split ever scales with the corpus, drop
+    //      the broadcast() hint and this degrades gracefully to a
+    //      shuffled hash join on the same 16-byte key ----
     "q59_decontaminate" -> ((s, d) => {
       // single-pass codegen'd gram hashing (WordGramHashes): per-doc
       // distinct in gh-space == the oracle's DISTINCT (doc_id, gh).
