@@ -556,6 +556,25 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ---- cohort retention: signup-week cohorts × week offsets, with
+    //      distinct active users per cell. Both engines truncate weeks
+    //      to ISO Monday, keeping the cohort keys portable ----
+    "q68_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("signup_day"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      first.join(act, Seq("user_id"))
+        .filter(col("day") >= col("signup_day"))
+        .select(col("user_id"),
+          date_trunc("week", col("signup_day")).cast("date").as("cohort_week"),
+          floor(datediff(col("day"), col("signup_day")) / 7).cast("long")
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // ---- J2-shape: interval (range-predicate) join ----
     "q20_interval_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -619,6 +638,18 @@ object CoreQueries {
          SELECT s.event_type, s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
          FROM spine s LEFT JOIN daily d USING (event_type, day)
          ORDER BY event_type, day""",
+    "q68_cohort_retention" ->
+      """WITH first AS (SELECT user_id,
+             CAST(MIN(date_trunc('day', ts)) AS DATE) AS signup_day
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         act AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+         SELECT CAST(date_trunc('week', signup_day) AS DATE) AS cohort_week,
+           CAST((day - signup_day) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM first JOIN act USING (user_id)
+         WHERE day >= signup_day
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q67_funnel" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
            WHERE event_type = 'signup' GROUP BY 1),
