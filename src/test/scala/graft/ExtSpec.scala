@@ -225,6 +225,34 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == Seq("one two one", "two one two"))
   }
 
+  test("funnel: purchase-before-signup users still appear, unconverted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "signup", ts("2026-01-10 10:00:00")),
+      (1L, "purchase", ts("2026-01-09 10:00:00")), // before signup only
+      (2L, "signup", ts("2026-01-10 10:00:00")),
+      (2L, "purchase", ts("2026-01-15 10:00:00")), // within 7 days
+      (3L, "signup", ts("2026-01-10 10:00:00")),
+      (3L, "purchase", ts("2026-01-20 10:00:00")) // past 7 days
+    ).toDF("user_id", "event_type", "ts")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // the q67 shape: time predicate INSIDE the join condition — a
+    // post-join filter would drop user 1 entirely
+    val got = su.join(pu,
+        col("user_id") === col("p_user") && col("p_ts") >= col("signup_ts"),
+        "left")
+      .groupBy(col("user_id"), col("signup_ts")).agg(min(col("p_ts")).as("p_ts"))
+      .select(col("user_id"),
+        (col("p_ts").isNotNull &&
+          col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+          .cast("long").as("conv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("vocab construction: frequency-desc ids, ties break on term") {
     import org.apache.spark.sql.expressions.Window
     val docs = Seq((1L, "b a a c b a"), (2L, "c b z")).toDF("doc_id", "text")
