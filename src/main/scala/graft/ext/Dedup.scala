@@ -88,18 +88,42 @@ object Dedup {
     * once per join side — doubling the dominant scan+minhash stage.
     * Within-bucket pair blowup is quadratic in bucket size either way
     * (that is LSH's contract: buckets ≈ near-dup groups, kept small by
-    * the r=2 banding); a pathological hot bucket would need a size cap
-    * upstream, not a different join shape.
+    * the r=2 banding).
+    *
+    * `maxBucket` is the 100-TB safety valve: a degenerate bucket (all
+    * boilerplate pages hashing to one (band, sig) cell) would emit
+    * O(n²) pairs and stall the stage. Buckets above the cap are
+    * DROPPED from candidate generation — the standard LSH-at-scale
+    * trade (a bucket that hot is boilerplate, not near-dup signal; the
+    * members still pair with each other through their 7 other bands
+    * when genuinely similar). Audit what the cap discarded with
+    * [[hotBuckets]] before tightening it; `maxBucket <= 0` disables
+    * the cap.
     */
-  def minhashCandidates(sig: DataFrame): DataFrame =
-    sig.groupBy(col("band"), col("minhash"))
+  def minhashCandidates(sig: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val grouped = sig.groupBy(col("band"), col("minhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val capped =
+      if (maxBucket > 0) grouped.filter(size(col("ids")) <= maxBucket)
+      else grouped
+    capped
       .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
       .select(col("a_id"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Observability twin of the [[minhashCandidates]] cap: the buckets
+    * the cap would drop, with their sizes — run this (cheap: one
+    * shuffle, no pair explosion) to log the drop count before/while
+    * capping at corpus scale.
+    */
+  def hotBuckets(sig: DataFrame, maxBucket: Int = 10000): DataFrame =
+    sig.groupBy(col("band"), col("minhash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
 
   /** 16-bit SimHash over a token array.
     *

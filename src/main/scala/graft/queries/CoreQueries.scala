@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.etl.{Consolidate, Functions => F}
+import graft.etl.{Consolidate, Normalize, Sinks, Functions => F}
 import graft.util.Tables
 
 /** Core relational operator queries (SURVEY.md §2), each paired with a
@@ -587,6 +587,111 @@ object CoreQueries {
           col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("user_id"), col("signup_id"), col("purchase_id"))
         .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+    }),
+
+    // ---- E1 end-to-end: raw-shaped provider payloads through the real
+    //      normalize projections (S3/P1) — puts F6 parseMoney, F11
+    //      artist/venue guess, F15 ISO-Z parse, F16 isoZ render, F18
+    //      digitCoerce, FL3 nameless-drop and FL4 today-counter-strip
+    //      under the DuckDB hash gate (VERDICT r4 item 2). Raw frames
+    //      are derived deterministically from `part`; the oracle
+    //      recomputes the expected NormalizedEvent rows directly.
+    //      Excluded from the compared projection: scrape_ts_utc (wall
+    //      clock) and event_id_provider (sha1-based for shotgun; sha1
+    //      is absent in DuckDB 1.0 — slug+surrogate-id composition is
+    //      gated separately via q15) ----
+    "q69_normalize_e2e" -> ((s, d) => {
+      val k = col("p_partkey")
+      val p = Tables.part(s, d)
+      // DICE raw: the flattened GraphQL shape (dice.py:112-156) —
+      // nested arrays of structs, string ticket counts, nullable
+      // timezone/status exercising the normalize coalesce chain.
+      val diceRaw = p.filter(k % 2 === 0).select(
+        k.as("id"),
+        concat(lit("  Dice Show "), k.cast("string"), lit("  ")).as("name"),
+        concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"), lit("-"),
+          lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T20:30:00Z"))
+          .as("startDatetime"),
+        array(struct(concat(lit("Artist "), (k % 53).cast("string")).as("name")))
+          .as("artists"),
+        array(
+          struct(concat(lit("Venue "), (k % 29).cast("string")).as("name"),
+            lit("Paris").as("city"), lit("FR").as("country"),
+            when(k % 5 === 0, lit(null).cast("string"))
+              .otherwise(lit("Europe/Brussels")).as("timezoneName")),
+          // second venue must be ignored by the first-element pick
+          struct(lit("Wrong").as("name"), lit("X").as("city"),
+            lit("Y").as("country"), lit("Z").as("timezoneName"))).as("venues"),
+        struct(when(k % 11 === 0, lit("n/a"))
+          .otherwise((k % 500).cast("string")).as("totalCount")).as("tickets"),
+        lit(" EUR ").as("currency"),
+        when(k % 6 === 0, lit("sold out")).otherwise(lit(null).cast("string"))
+          .as("status"))
+      // Shotgun raw: semi-structured card text (shotgun.py:276-460) —
+      // three dt fallbacks (attr / French label / ISO inside the card),
+      // hint-or-parse artist/venue, money+pct stats with an
+      // "aujourd'hui" counter line FL4 must strip.
+      val frMonths = array(Seq("janvier", "févr.", "mars", "avr.", "mai", "juin",
+        "juil.", "août", "sept.", "oct.", "nov.", "déc.").map(lit): _*)
+      val artistPart = concat(lit("Band "), k.cast("string"))
+      val venuePart = concat(lit("Salle "), (k % 19).cast("string"))
+      val sgName = when(k % 7 === 0, lit(""))
+        .otherwise(concat(artistPart, lit(" @ "), venuePart))
+      val isoTxt = concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"),
+        lit("-"), lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T21:00:00"))
+      val frTxt = concat(((k % 27) + 1).cast("string"), lit(" "),
+        element_at(frMonths, ((k % 12) + 1).cast("int")), lit(" 2024 19:30"))
+      // NOTE: only odd-reachable moduli below (frame is k % 2 === 1)
+      val sgRaw = p.filter(k % 2 === 1).select(
+        concat(sgName, lit("\n"),
+          when(k % 9 === 0, lit("COMPLET\n")).otherwise(lit("")),
+          lit("Infos: "), isoTxt, lit("\n")).as("card_text"),
+        when(k % 3 === 0, lit("")).otherwise(sgName).as("name_hint"),
+        when(k % 3 === 0, isoTxt).otherwise(lit("")).as("dt_attr"),
+        when(k % 3 === 1, frTxt).otherwise(lit("")).as("dt_label"),
+        when(k % 5 === 0, concat(lit("Hint "), artistPart)).otherwise(lit(""))
+          .as("artist_hint"),
+        when(k % 11 === 0, lit("Grande  Halle")).otherwise(lit("")).as("venue_hint"),
+        when(k % 13 === 0,
+          concat((k % 30).cast("string"), lit(" aujourd'hui\n"),
+            (k % 400).cast("string"), lit(",50 €\n"),
+            (k % 100).cast("string"), lit(" %")))
+          .otherwise(concat((k % 400).cast("string"), lit(",50 €\n"),
+            (k % 100).cast("string"), lit(" %"))).as("stats_text"),
+        concat(lit("https://sg.example/"), k.cast("string")).as("source_url"))
+      Normalize.diceNormalize(diceRaw, "run-q69")
+        .unionByName(Normalize.shotgunNormalize(sgRaw, "run-q69"))
+        .select(col("provider"), col("event_name"), col("city"), col("country"),
+          F.isoZ(col("event_datetime_local")).as("event_dt_iso"),
+          col("timezone"), col("status"), col("tickets_sold_total"),
+          col("gross_total"), col("net_total"), col("currency"),
+          col("sell_through_pct"), col("ingestion_run_id"),
+          col("artist_name"), col("venue_name"))
+        .orderBy(col("provider"), col("event_name"))
+    }),
+
+    // ---- K2 sink read-back under the gate (VERDICT r4 item 4): write
+    //      through Sinks.appendHistorized (append mode, partitioned by
+    //      ingestion_run_id) into a fresh temp dir, then read the
+    //      partitioned parquet back and compare against an oracle that
+    //      never saw the round-trip. A fresh dir per invocation keeps
+    //      append-mode runs independent; ts is rendered to string
+    //      before the write so the compare covers the stored bytes,
+    //      not a reader-side timestamp coercion ----
+    "q70_sink_readback" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q70_sink_")
+        .toFile.getAbsolutePath
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("value"),
+          concat(lit("run-"), (col("event_id") % 3).cast("string"))
+            .as("ingestion_run_id"))
+      Sinks.appendHistorized(ev, dir)
+      s.read.parquet(dir)
+        .select(col("event_id"), col("user_id"), col("ts_str"), col("value"),
+          col("ingestion_run_id"))
+        .orderBy(col("event_id"), col("user_id"), col("ts_str"))
     }))
 
   /** 26-word stopword list rendered for DuckDB lambdas. */
@@ -1000,5 +1105,62 @@ object CoreQueries {
          FROM events a JOIN events b ON a.user_id = b.user_id
          WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
-         ORDER BY a.user_id, signup_id, purchase_id""")
+         ORDER BY a.user_id, signup_id, purchase_id""",
+    // The oracle recomputes the expected NormalizedEvent rows from the
+    // same deterministic raw derivation: datetime strings are rebuilt
+    // literally (the engine's parse→render must be the identity on
+    // them), FL3 is the %7 exclusion, FL4 means tickets come from the
+    // money line, never the stripped "aujourd'hui" counter.
+    "q69_normalize_e2e" ->
+      """WITH dice AS (
+           SELECT 'dice' AS provider,
+             'Dice Show ' || CAST(p_partkey AS VARCHAR) AS event_name,
+             'Paris' AS city, 'FR' AS country,
+             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') || 'T20:30:00Z'
+               AS event_dt_iso,
+             CASE WHEN p_partkey % 5 = 0 THEN 'Europe/Paris'
+                  ELSE 'Europe/Brussels' END AS timezone,
+             CASE WHEN p_partkey % 6 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
+             CASE WHEN p_partkey % 11 = 0 THEN NULL
+                  ELSE p_partkey % 500 END AS tickets_sold_total,
+             CAST(NULL AS DOUBLE) AS gross_total,
+             CAST(NULL AS DOUBLE) AS net_total,
+             'EUR' AS currency,
+             CAST(NULL AS DOUBLE) AS sell_through_pct,
+             'run-q69' AS ingestion_run_id,
+             'Artist ' || CAST(p_partkey % 53 AS VARCHAR) AS artist_name,
+             'Venue ' || CAST(p_partkey % 29 AS VARCHAR) AS venue_name
+           FROM part WHERE p_partkey % 2 = 0),
+         sg AS (
+           SELECT 'shotgun' AS provider,
+             'Band ' || CAST(p_partkey AS VARCHAR) || ' @ Salle ' ||
+               CAST(p_partkey % 19 AS VARCHAR) AS event_name,
+             CAST(NULL AS VARCHAR) AS city, CAST(NULL AS VARCHAR) AS country,
+             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') ||
+               CASE WHEN p_partkey % 3 = 1 THEN 'T19:30:00Z'
+                    ELSE 'T21:00:00Z' END AS event_dt_iso,
+             'Europe/Paris' AS timezone,
+             CASE WHEN p_partkey % 9 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
+             p_partkey % 400 AS tickets_sold_total,
+             CAST(p_partkey % 400 AS DOUBLE) + 0.5 AS gross_total,
+             CAST(NULL AS DOUBLE) AS net_total,
+             'EUR' AS currency,
+             CAST(p_partkey % 100 AS DOUBLE) AS sell_through_pct,
+             'run-q69' AS ingestion_run_id,
+             CASE WHEN p_partkey % 5 = 0
+                  THEN 'Hint Band ' || CAST(p_partkey AS VARCHAR)
+                  ELSE 'Band ' || CAST(p_partkey AS VARCHAR) END AS artist_name,
+             CASE WHEN p_partkey % 11 = 0 THEN 'Grande Halle'
+                  ELSE 'Salle ' || CAST(p_partkey % 19 AS VARCHAR) END AS venue_name
+           FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 <> 0)
+         SELECT * FROM (SELECT * FROM dice UNION ALL SELECT * FROM sg) u
+         ORDER BY provider, event_name""",
+    "q70_sink_readback" ->
+      """SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value,
+         'run-' || CAST(event_id % 3 AS VARCHAR) AS ingestion_run_id
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id, user_id, ts_str""")
 }

@@ -78,6 +78,26 @@ class ExtSpec extends SparkSpec {
     assert(banded == Set((0L, 1L)))
   }
 
+  test("minhash candidates hot-bucket cap drops oversized buckets; hotBuckets reports them") {
+    // hand-built signature frame: one hot bucket of 4 ids, one normal
+    // bucket of 2 — with maxBucket=3 the 6 hot-bucket pairs vanish and
+    // the normal pair survives; hotBuckets names exactly the hot cell
+    val sig = Seq(
+      (0L, "0", "aaaa"), (1L, "0", "aaaa"), (2L, "0", "aaaa"), (3L, "0", "aaaa"),
+      (10L, "1", "bbbb"), (11L, "1", "bbbb")
+    ).toDF("doc_id", "band", "minhash")
+    val uncapped = Dedup.minhashCandidates(sig, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (10L, 11L)))
+    val capped = Dedup.minhashCandidates(sig, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)))
+    val hot = Dedup.hotBuckets(sig, maxBucket = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hot == Set(("0", "aaaa", 4L)))
+  }
+
   test("simhash: identical token sets agree, hamming-near for near-dups") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
