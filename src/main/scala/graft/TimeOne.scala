@@ -8,7 +8,9 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // WARN, not ERROR: surfacing plan-level warnings (e.g. WindowExec
+    // "No Partition Defined") is part of what this tool is for
+    spark.sparkContext.setLogLevel("WARN")
     val (name, dir) = (args(0), args(1))
     // warm
     SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -692,6 +692,47 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("ts_str"), col("value"),
           col("ingestion_run_id"))
         .orderBy(col("event_id"), col("user_id"), col("ts_str"))
+    }),
+
+    // ---- S2 raw-card dedup under the gate: dropDuplicates by sha1 of
+    //      the leading 512 chars (shotgun.py:209-231). Which row of a
+    //      prefix-group survives is arbitrary under distributed
+    //      dropDuplicates, so the compared projection is prefix-derived
+    //      only (deterministic for every survivor choice); sha1 is
+    //      injective here, so groups == distinct 512-prefixes, which
+    //      DuckDB can enumerate without sha1 ----
+    "q71_dedup_cards" -> ((s, d) => {
+      Normalize.dedupRawCards(Tables.documents(s, d).select(col("text")), "text")
+        .select(substring(col("text"), 1, 512).as("p512"))
+        .select(substring(col("p512"), 1, 40).as("prefix40"), col("p512"))
+        .orderBy(col("p512"))
+        .select(col("prefix40"))
+    }),
+
+    // ---- K3 CSV export read-back under the gate: header + ISO-rendered
+    //      timestamps + per-day partition files, written to a fresh temp
+    //      dir and read back as CSV (storage/google_sheets.py:81-100).
+    //      All data columns come back as strings; casts restore the
+    //      comparable types, and the partition column is re-cast to
+    //      string in case partition type inference reads it as DATE ----
+    "q72_csv_readback" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q72_csv_")
+        .toFile.getAbsolutePath
+      val src = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          col("o_orderdate").cast("timestamp").as("o_ts"),
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      Sinks.csvExport(src, dir, "day")
+      s.read.option("header", "true").csv(dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_ts"), col("o_orderpriority"),
+          col("day").cast("string").as("day"))
+        .orderBy(col("o_orderkey"))
     }))
 
   /** 26-word stopword list rendered for DuckDB lambdas. */
@@ -1162,5 +1203,14 @@ object CoreQueries {
          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value,
          'run-' || CAST(event_id % 3 AS VARCHAR) AS ingestion_run_id
          FROM events WHERE event_type = 'purchase'
-         ORDER BY event_id, user_id, ts_str""")
+         ORDER BY event_id, user_id, ts_str""",
+    "q71_dedup_cards" ->
+      """SELECT substr(p512, 1, 40) AS prefix40
+         FROM (SELECT DISTINCT substr(text, 1, 512) AS p512 FROM documents)
+         ORDER BY p512""",
+    "q72_csv_readback" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS o_ts,
+         o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day
+         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""")
 }
