@@ -67,7 +67,10 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
   }
 
-  private def planeVal(p: Int, i: Int): Double = hashVal(s"plane-$p-$i")
+  /** Component i of sign-LSH hyperplane `p` (deterministic; public so
+    * the oracle SQL can inline the same constants, like [[centroidVal]]).
+    */
+  def planeVal(p: Int, i: Int): Double = hashVal(s"plane-$p-$i")
 
   /** Component i of IVF coarse centroid `cell` (deterministic). */
   def centroidVal(cell: Int, i: Int): Double = hashVal(s"centroid-$cell-$i")
@@ -123,6 +126,43 @@ object Similarity {
     * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
     * reproducible across engines (same discipline as [[bruteForceTopK]]).
     */
+  /** One Lloyd (k-means) refinement iteration over the deterministic
+    * coarse centroids — the "training" step that adapts the static IVF
+    * cells ([[ivfTopK]]) to the data. Assignment is the same bounded
+    * broadcast-NLJ (nCells rows broadcast, argmax rounded dot); the
+    * update is posexplode + aggregate, so the only shuffle is keyed by
+    * (cell, dim-position) with map-side partial sums — no driver-side
+    * vectors, distributes at any corpus size.
+    *
+    * Output is LONG-FORM — one row per (cell, pos) with the
+    * element-wise member mean and the member count — because a
+    * list-typed result column defeats cross-engine hash comparison;
+    * callers wanting array centroids regroup with collect_list over
+    * pos order.
+    */
+  def kmeansIteration(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val cents = broadcast(
+      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
+        .toDF("cell", "cvec"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(cents)
+      .withColumn("cdot", dot(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("v")), 6).as("c_val"), count(lit(1)).as("n_members"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {

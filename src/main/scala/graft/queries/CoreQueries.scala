@@ -712,19 +712,27 @@ object CoreQueries {
     // ---- K3 CSV export read-back under the gate: header + ISO-rendered
     //      timestamps + per-day partition files, written to a fresh temp
     //      dir and read back as CSV (storage/google_sheets.py:81-100).
+    //      The export window is bounded to one quarter — the reference
+    //      exports a recent daily snapshot, and an UNBOUNDED per-day
+    //      partitionBy is the classic small-files trap (at sf0.1 it
+    //      wrote 1712 directories for 3000 rows and dominated the whole
+    //      bench); repartition(day) gives each day exactly one writer.
     //      All data columns come back as strings; casts restore the
     //      comparable types, and the partition column is re-cast to
     //      string in case partition type inference reads it as DATE ----
     "q72_csv_readback" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_q72_csv_")
         .toFile.getAbsolutePath
-      val src = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"),
           col("o_orderdate").cast("timestamp").as("o_ts"),
           col("o_orderpriority"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
-      Sinks.csvExport(src, dir, "day")
+      Sinks.csvExport(src.repartition(col("day")), dir, "day")
       s.read.option("header", "true").csv(dir)
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_custkey").cast("long").as("o_custkey"),
@@ -732,6 +740,27 @@ object CoreQueries {
           col("o_totalprice").cast("double").as("o_totalprice"),
           col("o_ts"), col("o_orderpriority"),
           col("day").cast("string").as("day"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- K4 JSON preview read-back under the gate: first-20 rows by a
+    //      deterministic order, written as JSON to a fresh temp dir and
+    //      read back (cli.py:44-55). The date is ISO-rendered before
+    //      the write so the round trip is string-exact; numerics come
+    //      back typed from Spark's JSON schema inference but are cast
+    //      explicitly anyway ----
+    "q75_json_readback" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q75_json_")
+        .toFile.getAbsolutePath
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      Sinks.jsonPreview(src, dir, Seq("o_orderkey"))
+      s.read.json(dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_date"))
         .orderBy(col("o_orderkey"))
     }))
 
@@ -1212,5 +1241,12 @@ object CoreQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS o_ts,
          o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS day
-         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""")
+         FROM orders WHERE o_orderkey % 10 = 0
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+         ORDER BY o_orderkey""",
+    "q75_json_readback" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders ORDER BY o_orderkey LIMIT 20""")
 }

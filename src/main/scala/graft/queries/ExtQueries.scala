@@ -139,9 +139,9 @@ object ExtQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // ---- embedding-cosine near-dup via LSH buckets (no oracle: the
-    //      md5-derived hyperplanes use base-16 conv, absent in DuckDB;
-    //      correctness pinned by the LSH-vs-brute-force recall spec) ----
+    // ---- embedding-cosine near-dup via LSH buckets; full DuckDB
+    //      oracle with the md5-derived hyperplane constants inlined
+    //      into the SQL (same discipline as q44's centroids) ----
     "q36_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3, nPlanes = 8)
@@ -228,6 +228,37 @@ object ExtQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 20)
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ---- domain mixing: deterministic per-source downsampling quotas
+    //      (content-hash Bernoulli) — the data-mixing step of a
+    //      training pipeline (downsample over-represented domains,
+    //      keep the rest at 100%). The quota table is broadcast; the
+    //      filter pipelines into the scan, so at 100 TB this is one
+    //      pass with no shuffle at all ----
+    "q73_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val quotas = broadcast(Seq(("src0", 25L), ("src1", 50L), ("src2", 75L))
+        .toDF("source", "pct"))
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"), lit(100L)))
+        .join(quotas, Seq("source"), "left")
+        .filter(col("bucket") < coalesce(col("pct"), lit(100L)))
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- IVF training: one Lloyd (k-means) iteration over the coarse
+    //      centroids — assignment is the bounded broadcast NLJ from
+    //      q44; the mean update shuffles keyed by (cell, pos) with
+    //      map-side partial sums. Full DuckDB oracle (centroids
+    //      inlined, long-form output) ----
+    "q74_kmeans_iter" -> ((s, d) => {
+      Similarity.kmeansIteration(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCells = 16)
+        .orderBy(col("cell"), col("pos"))
     }),
 
     // ---- benchmark decontamination: flag train-split docs sharing any
@@ -472,6 +503,17 @@ object ExtQueries {
       s"($cl, [$vals]::DOUBLE[])"
     }.mkString(", ")
 
+  /** Sign-LSH hyperplane VALUES rows for the q36 oracle — the exact
+    * constants the Spark side folds into its plan ([[graft.ext.Similarity.planeVal]];
+    * test embeddings are 64-dim, 8 planes). `bit` carries 1<<p so the
+    * SQL needs no shift operator.
+    */
+  private val lshPlanes: String =
+    (0 until 8).map { p =>
+      val vals = (0 until 64).map(i => graft.ext.Similarity.planeVal(p, i)).mkString(", ")
+      s"(${1L << p}, [$vals]::DOUBLE[])"
+    }.mkString(", ")
+
   /** 16-term SimHash oracle is generated programmatically. */
   private val simhashTerms: String = (0 until 16).map { j =>
     s"""CASE WHEN 2 * len(list_filter(toks, t ->
@@ -580,6 +622,45 @@ object ExtQueries {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
          FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q73_domain_mix" ->
+      """WITH quotas(source, pct) AS (VALUES ('src0', 25), ('src1', 50), ('src2', 75)),
+         h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         v AS (SELECT doc_id, source,
+           ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bucket
+           FROM h)
+         SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
+         FROM v LEFT JOIN quotas USING (source)
+         WHERE bucket < coalesce(pct, 100) ORDER BY doc_id""",
+    "q74_kmeans_iter" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         a AS (SELECT vec_id, vec, cell FROM (
+           SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM e, cent) t WHERE rn = 1),
+         x AS (SELECT cell, vec, unnest(generate_series(1, 64)) AS i FROM a)
+         SELECT CAST(cell AS BIGINT) AS cell, CAST(i - 1 AS BIGINT) AS pos,
+           round(avg(vec[i]), 6) AS c_val, COUNT(*) AS n_members
+         FROM x GROUP BY cell, i ORDER BY cell, pos""",
+    "q36_embed_neardup" -> s"""
+         WITH planes(bit, pvec) AS (VALUES $lshPlanes),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         sg AS (SELECT vec_id, CAST(SUM(CASE WHEN
+             list_inner_product(vec, pvec) >= 0 THEN bit ELSE 0 END) AS BIGINT) AS sig
+           FROM e, planes GROUP BY vec_id),
+         b AS (SELECT e.vec_id, e.vec, sg.sig FROM e JOIN sg USING (vec_id)),
+         s AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+             list_inner_product(a.vec, c.vec) /
+               (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(c.vec, c.vec))) AS sim
+           FROM b a JOIN b c ON a.sig = c.sig AND a.vec_id <> c.vec_id),
+         r AS (SELECT q_id, n_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM s)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(sim, 6) AS sim FROM r
+         WHERE rank <= 3 AND round(sim, 6) >= 0.2 ORDER BY q_id, rank""",
     "q44_ivf_ann" -> s"""
          WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
          c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),

@@ -162,6 +162,32 @@ class ExtSpec extends SparkSpec {
     assert(full == bruteTop5)
   }
 
+  test("kmeansIteration: long-form means partition the corpus per position") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val rows = Similarity.kmeansIteration(emb, "vec_id", "embedding", nCells = 16)
+      .collect()
+    // every nonempty cell emits exactly one row per dimension position
+    assert(rows.groupBy(_.getLong(0)).values.map(_.length).toSet == Set(64))
+    // member counts at each position sum to the corpus size (the
+    // assignment is a partition: argmax picks exactly one cell per vec)
+    val perPos = rows.groupBy(_.getLong(1)).values
+      .map(_.map(_.getLong(3)).sum).toSet
+    assert(perPos == Set(n))
+    assert(rows.forall(r => !r.getDouble(2).isNaN))
+  }
+
+  test("domain mixing: quota-ed sources downsampled, unquoted kept whole") {
+    val bySrc = graft.queries.ExtQueries.queries("q73_domain_mix")(spark, sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sf0.001 has 25 docs per source; src0/src1/src2 carry 25/50/75%
+    // quotas, everything else passes untouched
+    assert(bySrc("src3") == 25 && bySrc("src19") == 25)
+    assert(bySrc.getOrElse("src0", 0L) < 25)
+    assert(bySrc.getOrElse("src0", 0L) <= bySrc("src2"))
+  }
+
   test("langId picks marker-majority language") {
     assert(one(TA.langId(lit("the cat and the dog of the house is big"))) == "en")
     assert(one(TA.langId(lit("le chat et la maison les arbres des fleurs"))) == "fr")

@@ -81,4 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q73 domain mix: quota table broadcast, no shuffle join") {
+    val p = plan("q73_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q36 lsh near-dup: bucket join is hash-keyed, not cartesian") {
+    val p = plan("q36_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
