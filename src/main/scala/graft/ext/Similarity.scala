@@ -97,7 +97,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     // one-row probe for the dimensionality; embedding tables are
     // fixed-width by construction
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
@@ -114,18 +114,6 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF-flat ANN: every corpus vector is assigned to its best coarse
-    * centroid (argmax dot product, 16 deterministic md5-derived cells);
-    * a query probes its `nProbe` best cells and re-ranks candidates by
-    * exact cosine. The probe is an equi-join on the cell id — shuffle
-    * keyed by cell, candidate set ≈ nProbe/nCells of the corpus — the
-    * classic inverted-file trade of recall for a bounded scan, and the
-    * alternative scale path to [[lshTopK]] (IVF probes the *nearest*
-    * regions; LSH probes the *same-signature* region only).
-    *
-    * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
-    * reproducible across engines (same discipline as [[bruteForceTopK]]).
-    */
   /** One Lloyd (k-means) refinement iteration over the deterministic
     * coarse centroids — the "training" step that adapts the static IVF
     * cells ([[ivfTopK]]) to the data. Assignment is the same bounded
@@ -144,7 +132,7 @@ object Similarity {
       nCells: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val cents = broadcast(
       (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
         .toDF("cell", "cvec"))
@@ -163,12 +151,24 @@ object Similarity {
       .agg(round(avg(col("v")), 6).as("c_val"), count(lit(1)).as("n_members"))
   }
 
+  /** IVF-flat ANN: every corpus vector is assigned to its best coarse
+    * centroid (argmax dot product, 16 deterministic md5-derived cells);
+    * a query probes its `nProbe` best cells and re-ranks candidates by
+    * exact cosine. The probe is an equi-join on the cell id — shuffle
+    * keyed by cell, candidate set ≈ nProbe/nCells of the corpus — the
+    * classic inverted-file trade of recall for a bounded scan, and the
+    * alternative scale path to [[lshTopK]] (IVF probes the *nearest*
+    * regions; LSH probes the *same-signature* region only).
+    *
+    * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
+    * reproducible across engines (same discipline as [[bruteForceTopK]]).
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val cents = broadcast(
       (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
         .toDF("cell", "cvec"))

@@ -164,11 +164,12 @@ object ExtQueries {
     //      pairs (hash-min label propagation; cluster_id = min doc_id) ----
     "q45_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashCandidates(
+      // symmetrization union consumes the pipeline twice; level is the
+      // deploy-time switch (util.Persist — DISK_ONLY/NONE at scale)
+      val cand = graft.util.Persist(Dedup.minhashCandidates(
           Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
         .filter(col("n_bands") >= 2)
-        .select(col("a_id"), col("b_id"))
-        .persist() // symmetrization union consumes the pipeline twice
+        .select(col("a_id"), col("b_id")))
       Dedup.connectedComponents(cand, "a_id", "b_id")
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -261,6 +262,44 @@ object ExtQueries {
         .orderBy(col("cell"), col("pos"))
     }),
 
+    // ---- domain upsampling: integer epoch counts per source (the
+    //      complement of q73's downsampling — over-weighted domains
+    //      are repeated N times, everything else passes once). The
+    //      epoch table is broadcast and the explode is scan-pipelined:
+    //      zero shuffles before the output sort ----
+    "q77_domain_epochs" -> ((s, d) => {
+      import s.implicits._
+      val epochs = broadcast(Seq(("src0", 3), ("src1", 2))
+        .toDF("source", "n_epochs"))
+      Tables.documents(s, d)
+        .join(epochs, Seq("source"), "left")
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), coalesce(col("n_epochs").cast("long"), lit(1L))))
+            .as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // ---- ANN quality evaluation: recall@3 of the LSH bucket path
+    //      (q36) against the exact brute-force ranking (q25) — the
+    //      measurement a 100 TB similarity pipeline runs on a sampled
+    //      query set before trusting the approximate path. Exact and
+    //      approximate sides share tie-breaking (round(sim,6) desc,
+    //      id asc), so the comparison is deterministic ----
+    "q76_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3, nPlanes = 8)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("n_hits"),
+          round(count(col("a_n")) / lit(3.0), 6).as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
     // ---- benchmark decontamination: flag train-split docs sharing any
     //      normalized word-8-gram with the held-out split (Lee et al.
     //      2022 / GPT-3 appendix style n-gram overlap). Join key is a
@@ -306,14 +345,12 @@ object ExtQueries {
       // Three consumers (dup-gram set, totals, dup counts) replay the
       // scan+gram stage without a persist. 100-TB POLICY: the exploded
       // gram frame is ~10x the corpus and will NOT fit a memory-backed
-      // level — at scale use StorageLevel.DISK_ONLY (sequential-write
-      // shuffle-grade spill, still cheaper than 2 extra corpus scans)
-      // or drop the persist entirely and eat the recompute if cluster
-      // disk is the scarcer resource. MEMORY_AND_DISK here is the
-      // bench-scale choice only.
-      val grams = docs.select(col("doc_id"),
-          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
-        .persist()
+      // level — util.Persist makes the level a deploy-time switch
+      // (DISK_ONLY for sequential shuffle-grade spill, NONE to eat the
+      // recompute when cluster disk is the scarcer resource);
+      // MEMORY_AND_DISK is the bench-scale default.
+      val grams = graft.util.Persist(docs.select(col("doc_id"),
+          explode(TA.wordGramHashes(col("text"), 8)).as("gh")))
       val dupG = grams.groupBy(col("gh"))
         .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
         .select(col("gh"))
@@ -384,17 +421,18 @@ object ExtQueries {
     "q64_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       // quality + signatures + grams each rescan docs; see q62's
-      // 100-TB POLICY note — at corpus scale this persist (and cand's
-      // below) must be DISK_ONLY or dropped for recompute; the gram
-      // explosion itself is never persisted here, only consumed once
-      val docs = Tables.documents(s, d).persist()
+      // 100-TB POLICY note — util.Persist makes this persist (and
+      // cand's below) a deploy-time switch (DISK_ONLY / NONE at corpus
+      // scale); the gram explosion itself is never persisted here,
+      // only consumed once
+      val docs = graft.util.Persist(Tables.documents(s, d))
       val meta = docs.select(col("doc_id"), col("source"),
         substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
         TA.tokenCount(col("text")).as("n_tokens"))
-      val cand = Dedup.minhashCandidates(
+      val cand = graft.util.Persist(Dedup.minhashCandidates(
           Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
         .filter(col("n_bands") >= 2)
-        .select(col("a_id"), col("b_id")).persist()
+        .select(col("a_id"), col("b_id")))
       val nonCanonical = Dedup.connectedComponents(cand, "a_id", "b_id")
         .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
       val grams = docs.select(col("doc_id"),
@@ -645,6 +683,41 @@ object ExtQueries {
          SELECT CAST(cell AS BIGINT) AS cell, CAST(i - 1 AS BIGINT) AS pos,
            round(avg(vec[i]), 6) AS c_val, COUNT(*) AS n_members
          FROM x GROUP BY cell, i ORDER BY cell, pos""",
+    "q77_domain_epochs" ->
+      """WITH epochs(source, n_epochs) AS (VALUES ('src0', 3), ('src1', 2)),
+         d AS (SELECT doc_id, documents.source AS source,
+             coalesce(n_epochs, 1) AS n
+           FROM documents LEFT JOIN epochs ON documents.source = epochs.source)
+         SELECT doc_id, source,
+           CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+         FROM d ORDER BY doc_id, epoch""",
+    "q76_ann_recall" -> s"""
+         WITH planes(bit, pvec) AS (VALUES $lshPlanes),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 50),
+         bf AS (SELECT q_id, n_id FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               round(list_inner_product(a.vec, b.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))), 6) DESC,
+               b.vec_id) AS rank
+           FROM q a JOIN e b ON a.vec_id <> b.vec_id) t WHERE rank <= 3),
+         sg AS (SELECT vec_id, CAST(SUM(CASE WHEN
+             list_inner_product(vec, pvec) >= 0 THEN bit ELSE 0 END) AS BIGINT) AS sig
+           FROM e, planes GROUP BY vec_id),
+         b AS (SELECT e.vec_id, e.vec, sg.sig FROM e JOIN sg USING (vec_id)),
+         ap AS (SELECT q_id, n_id FROM (
+           SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               round(list_inner_product(a.vec, c.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(c.vec, c.vec))), 6) DESC,
+               c.vec_id) AS rank
+           FROM b a JOIN b c ON a.sig = c.sig AND a.vec_id <> c.vec_id
+           WHERE a.vec_id < 50) t WHERE rank <= 3)
+         SELECT bf.q_id, COUNT(ap.n_id) AS n_hits,
+           round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
+         FROM bf LEFT JOIN ap ON bf.q_id = ap.q_id AND bf.n_id = ap.n_id
+         GROUP BY bf.q_id ORDER BY bf.q_id""",
     "q36_embed_neardup" -> s"""
          WITH planes(bit, pvec) AS (VALUES $lshPlanes),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

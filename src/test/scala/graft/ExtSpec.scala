@@ -188,6 +188,20 @@ class ExtSpec extends SparkSpec {
     assert(bySrc.getOrElse("src0", 0L) <= bySrc("src2"))
   }
 
+  test("Persist level is a deploy-time switch (conf-driven)") {
+    import org.apache.spark.storage.StorageLevel
+    spark.conf.set(graft.util.Persist.ConfKey, "DISK_ONLY")
+    val p = graft.util.Persist(Seq(1, 2, 3).toDF("x"))
+    try assert(p.storageLevel == StorageLevel.DISK_ONLY)
+    finally p.unpersist()
+    spark.conf.set(graft.util.Persist.ConfKey, "NONE")
+    assert(graft.util.Persist(Seq(1).toDF("y")).storageLevel == StorageLevel.NONE)
+    spark.conf.unset(graft.util.Persist.ConfKey)
+    assert(graft.util.Persist(Seq(1).toDF("z")).storageLevel
+      == StorageLevel.MEMORY_AND_DISK)
+    spark.catalog.clearCache()
+  }
+
   test("langId picks marker-majority language") {
     assert(one(TA.langId(lit("the cat and the dog of the house is big"))) == "en")
     assert(one(TA.langId(lit("le chat et la maison les arbres des fleurs"))) == "fr")
