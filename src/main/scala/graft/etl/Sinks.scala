@@ -60,6 +60,33 @@ object Sinks {
     df.orderBy(orderCols.map(col): _*).limit(20)
       .write.mode(SaveMode.Overwrite).json(path)
 
+  /** K5 — debug artifacts (`shotgun.py:261-268,465-474`): the reference
+    * drops a counts file (`cards_detected=… parsed=… sample=[…]`), a
+    * page screenshot, and the raw page HTML next to its outputs when a
+    * run needs forensics. The engine-native equivalents: a row-count +
+    * head-sample counts file, the executed physical plan (what actually
+    * ran — the engine's "screenshot"), and a bounded JSON sample of the
+    * frame itself (the raw material). Best-effort like the reference's
+    * try/except: a failed artifact write never risks the pipeline
+    * result. All driver-side reads are bounded (`count` + `limit(n)`).
+    */
+  def debugArtifacts(df: DataFrame, dir: String, sampleCol: String,
+      n: Int = 10): Unit = {
+    try {
+      val path = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(path)
+      val total = df.count()
+      val sample = df.select(col(sampleCol)).limit(n).collect()
+        .map(r => String.valueOf(r.get(0)))
+      java.nio.file.Files.writeString(path.resolve("counts.txt"),
+        s"rows=$total sample=${sample.mkString("[", ", ", "]")}\n")
+      java.nio.file.Files.writeString(path.resolve("plan.txt"),
+        df.queryExecution.executedPlan.toString)
+      df.limit(n).coalesce(1).write.mode(SaveMode.Overwrite)
+        .json(s"$dir/sample_json")
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** K1 variant in any columnar format Spark bundles (parquet/orc) —
     * the engine is format-agnostic at the writer layer; ORC matters
     * when the downstream warehouse is ORC-native (Hive-era lakes).

@@ -78,6 +78,20 @@ class NormalizeSpec extends SparkSpec {
     assert(csv.collect()(0).getAs[String]("ts") == "2026-09-10T20:00:00")
   }
 
+  test("sinks: debug artifacts drop counts, plan, and a bounded sample") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-debug").toString
+    val df = Seq(("E1", 10L), ("E2", 20L), ("E3", 30L)).toDF("name", "sold")
+    Sinks.debugArtifacts(df, s"$tmp/dbg", "name", n = 2)
+    val counts = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/dbg/counts.txt"))
+    assert(counts.startsWith("rows=3 sample=[E1, E2]"), counts)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/dbg/plan.txt")).nonEmpty)
+    assert(spark.read.json(s"$tmp/dbg/sample_json").count() == 2)
+    // best-effort: a bogus sample column must not throw
+    Sinks.debugArtifacts(df, s"$tmp/dbg2", "no_such_col")
+  }
+
   test("sinks: ORC round-trip preserves schema and values") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val df = Seq(
