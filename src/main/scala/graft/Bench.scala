@@ -30,8 +30,11 @@ object Bench {
     // Median-of-3 per query: single-run numbers swing up to 5x round-to-
     // round on identical code (BENCH_r03 vs r04: q64 5.3->25.9s with zero
     // engine change), so one sample can't gate anything. The median
-    // filters a one-off GC/AQE outlier in either direction.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // filters a one-off GC/AQE outlier in either direction. A malformed
+    // or non-positive env override falls back to 3 rather than aborting
+    // the session with no metric line at all.
+    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+      .toOption.filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -42,17 +45,20 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // queries persist() intermediates (consolidation matched-ids,
         // similarity best-pairs); drop them so blocks don't accumulate
-        // across the 68-query session and each repeat starts cold
+        // across the 77-query session and each repeat starts cold
         spark.catalog.clearCache()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      // lower median: for even run counts report the faster middle
+      // sample (times(n/2) would be the max of 2 runs — an upward bias)
+      name -> times((times.length - 1) / 2)
     }
-    // 3-decimal rounding keeps the whole line under ~2KB: the driver
-    // captures only a bounded tail of the run output, and with 68
-    // full-precision doubles the head of this line fell outside the
-    // window, so the metric was never parsed (BENCH_r0{1,2,3}.json all
-    // show "parsed": null).
+    // 3-decimal rounding keeps the whole line bounded (~2.4KB at 77
+    // queries): the driver captures only a bounded tail of the run
+    // output, and with full-precision doubles the head of this line
+    // fell outside the window, so the metric was never parsed
+    // (BENCH_r0{1,2,3}.json all show "parsed": null). Re-check this
+    // budget when the registry grows.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

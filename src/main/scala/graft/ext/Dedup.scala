@@ -94,11 +94,15 @@ object Dedup {
     * boilerplate pages hashing to one (band, sig) cell) would emit
     * O(n²) pairs and stall the stage. Buckets above the cap are
     * DROPPED from candidate generation — the standard LSH-at-scale
-    * trade (a bucket that hot is boilerplate, not near-dup signal; the
-    * members still pair with each other through their 7 other bands
-    * when genuinely similar). Audit what the cap discarded with
-    * [[hotBuckets]] before tightening it; `maxBucket <= 0` disables
-    * the cap.
+    * trade: a bucket that hot is boilerplate, not near-dup signal.
+    * Note the recall cost is real, not free: a dropped bucket also
+    * stops contributing to the pair's n_bands count, so a pair seen in
+    * exactly two bands with one of them hot falls below a
+    * `n_bands >= 2` consumer threshold. The query-registry oracles
+    * mirror the cap exactly (an anti-join against over-cap buckets),
+    * so capped and uncapped regimes both stay under the hash gate.
+    * Audit what the cap discarded with [[hotBuckets]] before
+    * tightening it; `maxBucket <= 0` disables the cap.
     */
   def minhashCandidates(sig: DataFrame, maxBucket: Int = 10000): DataFrame = {
     val grouped = sig.groupBy(col("band"), col("minhash"))

@@ -53,6 +53,23 @@ object CoreQueries {
     (sg, dc)
   }
 
+  /** Fresh temp dir, removed recursively on JVM exit. The sink
+    * read-back queries (q70/q72/q75) materialize output per invocation
+    * and bench/verify sessions invoke each query several times — a
+    * plain createTempDirectory would leave one data copy per run.
+    */
+  private def tempQueryDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toFile.getAbsolutePath
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- A1/A2 aggregation with map-side partials (TPC-H Q1 shape) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -679,8 +696,7 @@ object CoreQueries {
     //      before the write so the compare covers the stored bytes,
     //      not a reader-side timestamp coercion ----
     "q70_sink_readback" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q70_sink_")
-        .toFile.getAbsolutePath
+      val dir = tempQueryDir("graft_q70_sink_")
       val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
@@ -721,8 +737,7 @@ object CoreQueries {
     //      comparable types, and the partition column is re-cast to
     //      string in case partition type inference reads it as DATE ----
     "q72_csv_readback" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q72_csv_")
-        .toFile.getAbsolutePath
+      val dir = tempQueryDir("graft_q72_csv_")
       val src = Tables.orders(s, d)
         .filter(col("o_orderkey") % 10 === 0 &&
           col("o_orderdate") >= lit("1997-01-01") &&
@@ -750,8 +765,7 @@ object CoreQueries {
     //      back typed from Spark's JSON schema inference but are cast
     //      explicitly anyway ----
     "q75_json_readback" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q75_json_")
-        .toFile.getAbsolutePath
+      val dir = tempQueryDir("graft_q75_json_")
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))

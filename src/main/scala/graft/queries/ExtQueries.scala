@@ -514,7 +514,14 @@ object ExtQueries {
        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
        x -> x <> '')""".replaceAll("\n\\s*", " ")
 
-  /** Shared oracle CTEs for the r=2 banded MinHash signature. */
+  /** Shared oracle CTEs for the r=2 banded MinHash signature. The
+    * final `lng` mirrors `Dedup.minhashCandidates`' hot-bucket cap
+    * (default 10000): rows of an over-cap (band, sigkey) bucket are
+    * excluded, which drops exactly that bucket's pair contributions —
+    * so the oracle and the Spark side agree even on a corpus with a
+    * degenerate bucket (never the case at fixture scale, but the gate
+    * should not silently depend on that).
+    */
   private val bandedSigSql: String = {
     val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
       s"coalesce(MIN(minhash) FILTER (band = '$h'), '-') AS b$i"
@@ -528,8 +535,13 @@ object ExtQueries {
          MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2),
        piv AS (SELECT doc_id, $cols FROM sig GROUP BY doc_id),
        keyed AS (SELECT doc_id, $keys FROM piv),
-       lng AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
-         unnest($karr) AS sigkey FROM keyed)"""
+       lng0 AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
+         unnest($karr) AS sigkey FROM keyed),
+       lng AS (SELECT l.doc_id, l.band, l.sigkey FROM lng0 l
+         JOIN (SELECT band, sigkey, COUNT(*) AS bs
+               FROM lng0 GROUP BY 1, 2) s
+         ON l.band = s.band AND l.sigkey = s.sigkey
+         WHERE s.bs <= 10000)"""
   }
 
   /** IVF centroid VALUES rows for the q44 oracle — the exact constants
