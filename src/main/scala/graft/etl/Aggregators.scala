@@ -13,11 +13,19 @@ object Aggregators {
     * (associative, overflow-safe to ~9e16 cents) so partial aggregation
     * order can never perturb the result — the typed twin of the
     * decimal-in/double-out convention used across the query layer.
+    *
+    * The input is `Option[Double]`, NOT a primitive: with a primitive
+    * encoder a SQL NULL decodes to 0.0 and gets COUNTED, deflating the
+    * mean — this is a money mean for nullable money columns, so NULLs
+    * must be ignored exactly like `avg()` ignores them.
     */
-  object CentsMean extends Aggregator[Double, (Long, Long), Double] {
+  object CentsMean extends Aggregator[Option[Double], (Long, Long), Double] {
     override def zero: (Long, Long) = (0L, 0L)
-    override def reduce(b: (Long, Long), a: Double): (Long, Long) =
-      (b._1 + math.round(a * 100), b._2 + 1)
+    override def reduce(b: (Long, Long), a: Option[Double]): (Long, Long) =
+      a match {
+        case Some(v) => (b._1 + math.round(v * 100), b._2 + 1)
+        case None => b
+      }
     override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
     override def finish(r: (Long, Long)): Double =

@@ -55,6 +55,13 @@ object Consolidate {
     * group-by, i.e. a classic similarity-join prefilter. No cartesian
     * anywhere; AQE handles day/token skew; the two window ranks
     * partition by dc_id / sg_id so they shuffle by key, not globally.
+    *
+    * PRECONDITION: `event_id_provider` is unique per side (the
+    * reference data model's provider key, SURVEY §1.2). Duplicate ids
+    * would merge token overlaps across their rows and fan out the
+    * matched join. The returned frame holds MEMORY_AND_DISK persists
+    * on id-sized intermediates; in a long-lived session the caller
+    * should clearCache (or unpersist) between runs.
     */
   def consolidate(sg: DataFrame, dc: DataFrame, today: String,
       sgOrder: Column, dcOrder: Column): DataFrame = {
@@ -280,6 +287,15 @@ object Consolidate {
     * datetimes (which the reference lets match any day) are handled on a
     * separate broadcast-nested-loop branch, which stays tiny because
     * dateless rows are rare by construction.
+    *
+    * PRECONDITION: `dcOrder` must be row-unique on the DICE side — it
+    * is both the processing order AND the row identity for best-match
+    * selection and the unmatched anti-join (mirroring the reference,
+    * where identity is the physical row). A colliding order value
+    * silently merges two DICE rows into one best-match group and drops
+    * the loser from the output. Callers here pass a unique event id;
+    * do NOT pass a hash of a high-cardinality key at cluster scale
+    * (64-bit birthday collisions start around 2^32 rows).
     */
   def mergeSimilarity(sg: DataFrame, dc: DataFrame,
       sgOrder: Column, dcOrder: Column,

@@ -104,12 +104,17 @@ object Normalize {
     df.filter(col(tsCol) >= now - expr(s"INTERVAL $days DAYS"))
 
   /** P4: header-union projection (`core/gsheet.py:19-24,74-92`) — fixed
-    * prefix columns first, then the sorted union of extras; missing → "".
+    * prefix columns first, then the sorted union of extras; missing →
+    * "". A fixed column absent from EVERY input still appears as an
+    * empty-string column (the reference always writes the full fixed
+    * header), rather than failing analysis.
     */
   def headerUnion(dfs: Seq[DataFrame], fixed: Seq[String]): DataFrame = {
     val unioned = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val present = unioned.columns.toSet
     val extras = unioned.columns.filterNot(fixed.contains).sorted
     unioned.select((fixed ++ extras).map(c =>
-      coalesce(col(c).cast("string"), lit("")).as(c)): _*)
+      (if (present(c)) coalesce(col(c).cast("string"), lit(""))
+       else lit("")).as(c)): _*)
   }
 }

@@ -26,11 +26,20 @@ object Pipeline {
     * sinks (overwrite snapshot K1, historized append K2, JSON preview
     * K4). Returns the consolidated frame.
     *
+    * `sg`/`dc` are BY-NAME so the per-source failure isolation is
+    * real: building a source frame (e.g. `spark.read` over a missing
+    * path, which fails eagerly at file listing) throws inside
+    * [[sourceOrEmpty]]'s try and degrades to an empty frame instead of
+    * aborting the run — with strict parameters the exception would
+    * fire at the caller before this method was entered.
+    *
     * One shuffle for the token join, one per window rank, one for the
     * final sort — the same stage shape at any scale; sinks reuse the
-    * sorted result (cached to avoid recomputing the join per sink).
+    * sorted result (cached to avoid recomputing the join per sink; the
+    * caller owns the cached result's lifecycle — unpersist it, or
+    * clearCache between runs in a long-lived session).
     */
-  def run(spark: SparkSession, sg: DataFrame, dc: DataFrame, today: String,
+  def run(spark: SparkSession, sg: => DataFrame, dc: => DataFrame, today: String,
       outDir: String, runId: String): DataFrame = {
     val sgSafe = withOrder(sourceOrEmpty(spark)(sg))
     val dcSafe = withOrder(sourceOrEmpty(spark)(dc))

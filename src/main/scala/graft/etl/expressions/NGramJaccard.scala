@@ -31,6 +31,13 @@ object NGramJaccard {
   private def jaccardPacked(a: UTF8String, b: UTF8String, k: Int): Double = {
     val cpA = a.toString.codePoints.toArray
     val cpB = b.toString.codePoints.toArray
+    // For k=3 the pack uses all 63 value bits, so the 2-bit length tag
+    // overlaps cp0's bits 19-20: code points >= U+80000 (planes 8+ —
+    // unassigned, tags, PUA-B) would alias across the tag. Punt those
+    // rare strings to the generic set-of-strings path rather than risk
+    // an inflated intersection. k <= 2 packs <= 42 bits — never affected.
+    if (k == 3 && (hasHighCp(cpA) || hasHighCp(cpB)))
+      return jaccardGeneric(a, b, k)
     // Mirror substringSQL(i,k) semantics for n < k: ONE truncated
     // shingle (the whole string). Pack short shingles with high marker
     // bits so "ab" (2 cps) never collides with a 3-cp shingle.
@@ -41,6 +48,15 @@ object NGramJaccard {
     val nB = distinctShingles(cpB, k, setB, setA, inter)
     val union = nA + nB - inter(0)
     if (union == 0) 0.0 else inter(0).toDouble / union
+  }
+
+  private def hasHighCp(cp: Array[Int]): Boolean = {
+    var i = 0
+    while (i < cp.length) {
+      if (cp(i) >= 0x80000) return true
+      i += 1
+    }
+    false
   }
 
   private def distinctShingles(cp: Array[Int], k: Int, set: LongSet,

@@ -56,7 +56,21 @@ object ParseFrDatetime {
     if (s.isEmpty) return null
     if (iso.matcher(s).matches()) {
       try {
-        val ldt = LocalDateTime.parse(s.replace("Z", "").takeWhile(c => c != '+'))
+        // drop any trailing zone ('Z', '+HH:MM', '-HH:MM') and keep the
+        // wall time, like Python's fromisoformat + naive use. A '-'
+        // only counts as an offset sign after the 'T' — the date part's
+        // hyphens must survive (the time part cannot contain '-').
+        val noZ = s.replace("Z", "")
+        val t = noZ.indexOf('T')
+        val plus = noZ.indexOf('+', t)
+        val minus = noZ.indexOf('-', t + 1)
+        val cut = (plus, minus) match {
+          case (-1, -1) => noZ.length
+          case (-1, m) => m
+          case (p, -1) => p
+          case (p, m) => math.min(p, m)
+        }
+        val ldt = LocalDateTime.parse(noZ.substring(0, cut))
         return micros(ldt)
       } catch { case _: Exception => return null }
     }

@@ -75,6 +75,11 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(p("2025-11-29T19:00") == "2025-11-29 19:00")
     assert(p("2025-11-29T19:00:30") == "2025-11-29 19:00")
+    assert(p("2025-11-29T19:00:30Z") == "2025-11-29 19:00")
+    // offsets of either sign are stripped, keeping the wall time —
+    // a negative offset must not be mistaken for a date hyphen
+    assert(p("2025-10-10T19:30:00+02:00") == "2025-10-10 19:30")
+    assert(p("2025-10-10T19:30:00-05:00") == "2025-10-10 19:30")
     assert(p("2025-10-10") == "2025-10-10 00:00")
     assert(p("ven. 10 oct. 2025 19:30") == "2025-10-10 19:30")
     assert(p("10 octobre 2025") == "2025-10-10 00:00")

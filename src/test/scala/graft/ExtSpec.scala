@@ -28,6 +28,12 @@ class ExtSpec extends SparkSpec {
       ("", ""), ("", "abc"), ("ab", "abc"), ("ab", "xy"),
       ("𝄞𝄞music𝄞", "𝄞music"),          // non-BMP: packed by code point
       ("aaaa", "aaab"),
+      // code points >= U+80000: at k=3 the 63-bit pack would alias the
+      // length tag, so these must route through the generic path
+      (new String(Character.toChars(0x100041)) + "ab",
+        new String(Character.toChars(0x80041)) + "ab"),
+      (new String(Character.toChars(0x100041)) + "xy",
+        "A" + "xy"),
       ("Électro Fête", "Electro Fete"))
     for (k <- Seq(2, 3, 5); (x, y) <- cases) {
       val viaExpr = one(Dedup.ngramJaccard(lit(x), lit(y), k))

@@ -13,6 +13,20 @@ class FunctionsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
 
+  test("CentsMean ignores NULLs exactly like avg()") {
+    val centsMean = udaf(graft.etl.Aggregators.CentsMean)
+    val df = Seq(Some(100.0), None, Some(50.0), None)
+      .toDF("v")
+    val r = df.agg(centsMean(col("v")).as("cm"), avg(col("v")).as("a"))
+      .collect()(0)
+    assert(r.getDouble(0) == 75.0, "NULL must not deflate the mean")
+    assert(r.getDouble(0) == r.getDouble(1))
+    // all-NULL group: avg yields null; the typed mean signals NaN
+    val empty = Seq[Option[Double]](None, None).toDF("v")
+      .agg(centsMean(col("v"))).collect()(0)
+    assert(empty.getDouble(0).isNaN)
+  }
+
   test("parse_money: French formats (shotgun.py:33-39)") {
     assert(one(F.parseMoney(lit("1 234,56 €"))) == 1234.56)
     assert(one(F.parseMoney(lit("12.345"))) == 12345.0)

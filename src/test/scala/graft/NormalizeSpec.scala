@@ -63,6 +63,15 @@ class NormalizeSpec extends SparkSpec {
     assert(r2.getAs[String]("alpha") == "y")
   }
 
+  test("headerUnion: fixed column absent from EVERY input still renders as \"\"") {
+    val a = Seq(("E1", "2026-09-10")).toDF("event_name", "event_datetime_local")
+    val out = Normalize.headerUnion(Seq(a),
+      Seq("event_name", "event_datetime_local", "artist"))
+    assert(out.columns.toSeq ==
+      Seq("event_name", "event_datetime_local", "artist"))
+    assert(out.collect()(0).getAs[String]("artist") == "")
+  }
+
   test("sinks: overwrite skip-when-empty, append partitioning, csv render") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sinks").toString
     val df = Seq(("a", java.sql.Timestamp.valueOf("2026-09-10 20:00:00"), "run-1"))

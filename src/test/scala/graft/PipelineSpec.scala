@@ -58,4 +58,26 @@ class PipelineSpec extends SparkSpec {
     assert(boom.count() == 0)
     assert(boom.columns.contains("event_id_provider"))
   }
+
+  test("run() isolates a source that throws at construction time") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipe-iso").toString
+    val sg = Seq(
+      graft.etl.NormalizedEvent("sg", "sg-1", "A100 Live",
+        event_datetime_local =
+          Some(java.time.LocalDateTime.of(2026, 9, 10, 20, 0)),
+        tickets_sold_total = Some(10L)),
+      graft.etl.NormalizedEvent("sg", "sg-2", "A200 Live",
+        event_datetime_local =
+          Some(java.time.LocalDateTime.of(2026, 9, 11, 21, 0)),
+        tickets_sold_total = Some(20L))).toDF()
+    // the dc argument throws WHEN EVALUATED — by-name params mean the
+    // run survives it (a strict signature would throw at the call site)
+    val out = Pipeline.run(spark, sg,
+      spark.read.parquet(s"$tmp/does-not-exist"), "2024-01-15",
+      s"$tmp/out", "run-iso")
+    assert(out.count() == 2)
+    assert(out.filter(col("dice_tickets_sold").isNotNull).count() == 0)
+    assert(spark.read.parquet(s"$tmp/out/historized").count() == 2)
+  }
 }
