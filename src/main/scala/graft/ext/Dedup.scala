@@ -66,6 +66,14 @@ object Dedup {
     * which is what keeps the candidate join selective on corpora with
     * heavy shingle sharing (measured: 5M → 135k candidate pairs on the
     * documents table at sf0.1).
+    *
+    * A band with EITHER nibble minimum absent emits no key at all
+    * (short/sparse docs fill few of the 16 nibble buckets). The former
+    * '-' placeholder matched absence against absence: two docs with no
+    * shared shingles ("hello" vs "world") collided on every mutually
+    * empty band and sailed past the n_bands >= 2 gate as
+    * high-confidence near-dups. Evidence must be shared presence.
+    * Exact short duplicates are q21's job (content hash), not LSH's.
     */
   def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
@@ -73,9 +81,17 @@ object Dedup {
     // wise re-evaluate the (non-cheap) expression per element_at.
     val sig = df.select(col(idCol).as("doc_id"), minhashBands(col(textCol), k).as("mh"))
     val keys = (0 until 8).map(j => concat_ws("#",
-      coalesce(element_at(col("mh"), j + 1), lit("-")),
-      coalesce(element_at(col("mh"), j + 9), lit("-"))))
-    sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "minhash")))
+      element_at(col("mh"), j + 1),
+      element_at(col("mh"), j + 9)))
+    // concat_ws skips NULL args, so a half-present band would collapse
+    // to the bare minhash and could alias a different band pairing;
+    // require both halves before keying
+    val guarded = (0 until 8).map { j =>
+      when(element_at(col("mh"), j + 1).isNotNull &&
+        element_at(col("mh"), j + 9).isNotNull, keys(j))
+    }
+    sig.select(col("doc_id"), posexplode(array(guarded: _*)).as(Seq("band", "minhash")))
+      .filter(col("minhash").isNotNull)
   }
 
   /** Candidate near-dup pairs: bucket-group on (band, minhash) and
@@ -105,13 +121,27 @@ object Dedup {
     * tightening it; `maxBucket <= 0` disables the cap.
     */
   def minhashCandidates(sig: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val grouped = sig.groupBy(col("band"), col("minhash"))
+    // Enforce the cap BEFORE collect_list: filtering size(ids) after
+    // the aggregation would still materialize the degenerate bucket's
+    // full id array in one reducer buffer — the OOM/stall the cap
+    // exists to prevent. A windowed count over the SAME (band, minhash)
+    // key shares the groupBy's exchange (one shuffle, one scan — a
+    // count-then-semi-join pre-pass would re-evaluate the whole
+    // signature pipeline, the regression the bucket-grouping design
+    // removed), and WindowExec's row buffer spills to disk, so even
+    // the degenerate bucket streams through instead of building a
+    // giant in-memory array.
+    val base =
+      if (maxBucket > 0) {
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("minhash"))
+        sig.withColumn("bs", count(lit(1)).over(wB))
+          .filter(col("bs") <= maxBucket)
+          .drop("bs")
+      } else sig
+    base.groupBy(col("band"), col("minhash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val capped =
-      if (maxBucket > 0) grouped.filter(size(col("ids")) <= maxBucket)
-      else grouped
-    capped
       .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
       .select(col("a_id"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b_id"))
@@ -135,6 +165,13 @@ object Dedup {
     * an odd hex nibble j in md5(token) (the ±1 vote of classic SimHash).
     * 16 bits keeps the cross-engine oracle tractable while exercising
     * the real algorithm; widen with more nibbles for production use.
+    *
+    * SPEC-REFERENCE FORM ONLY: inlining the md5 transform into the 32
+    * HOF consumers re-hashes every token 32x per row (HOFs are exempt
+    * from subexpression elimination — the trap the *FromDigests doc
+    * below describes). Production callers use the fused [[simhash16]];
+    * this wrapper exists as the composed form the parity specs compare
+    * against.
     */
   def simhash(tokens: Column): Column = simhashFromDigests(transform(tokens, t => md5(t)))
 

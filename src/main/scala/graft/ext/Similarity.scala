@@ -20,14 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential left-fold dot product — the single definition every
+    * rank path shares, so the bit-determinism claim (same fold order
+    * as the oracle's list_inner_product) has exactly one place to hold.
+    */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two double-array columns (sequential left
     * fold → bit-deterministic across engines).
+    *
+    * Inside the top-k joins the norms are NOT computed through this
+    * (it would re-fold dot(a,a)/dot(b,b) for every candidate pair —
+    * 3 dim-length folds per pair instead of 1); each side projects its
+    * norm once and the pair work is a single dot. Value-identical:
+    * same fold, same sqrt, just evaluated per row instead of per pair.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** sqrt(dot(v, v)) — per-side norm projection for the pair stages. */
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact brute-force cosine top-k.
     *
@@ -38,14 +51,17 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("q_vec")))
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec"))))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
@@ -95,24 +111,36 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    // one-row probe for the dimensionality; embedding tables are
-    // fixed-width by construction
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = probeDim(corpus, vecCol)
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
+      .withColumn("n_norm", norm(col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("sig"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** First non-empty vector's length — a limit-1 probe, not a full
+    * scan. An empty (or all-NULL-vector) input returns 1 so plan
+    * construction still succeeds; every downstream join over such an
+    * input is empty anyway (a NULL vector's signature/cell is NULL and
+    * equi-joins drop it), where the former `head()` threw on empty
+    * input and NPE'd on a NULL probe row.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
+      .take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** One Lloyd (k-means) refinement iteration over the deterministic
     * coarse centroids — the "training" step that adapts the static IVF
@@ -132,12 +160,10 @@ object Similarity {
       nCells: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = probeDim(corpus, vecCol)
     val cents = broadcast(
       (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
         .toDF("cell", "cvec"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     val w = Window.partitionBy(col("id"))
       .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
     corpus
@@ -168,12 +194,10 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dim = probeDim(corpus, vecCol)
     val cents = broadcast(
       (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
         .toDF("cell", "cvec"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
@@ -188,13 +212,16 @@ object Similarity {
 
     val c = assign(corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", 1)
+      .withColumn("n_norm", norm(col("n_vec")))
     val q = assign(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))

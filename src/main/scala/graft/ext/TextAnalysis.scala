@@ -66,8 +66,16 @@ object TextAnalysis {
     */
   def nWords(c: Column): Column = tokenCount(c)
   def meanWordLen(c: Column): Column = meanWordLenFromTokens(c, wsTokens(c))
+  /** Mean token length = sum of token lengths / token count. The
+    * former `(len(text) - (n-1)) / n` shortcut assumed exactly one
+    * separator char between tokens and none at the ends — repeated or
+    * leading/trailing whitespace inflated the mean on exactly the
+    * messy text a quality metric exists for. `text` is kept in the
+    * signature for source compatibility; the metric no longer reads it.
+    */
   def meanWordLenFromTokens(text: Column, toks: Column): Column =
-    (length(text) - (size(toks).cast("long") - lit(1L))).cast("double") /
+    aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, v) => a + v).cast("double") /
       size(toks).cast("double")
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /

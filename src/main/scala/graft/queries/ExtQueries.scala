@@ -514,17 +514,20 @@ object ExtQueries {
        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
        x -> x <> '')""".replaceAll("\n\\s*", " ")
 
-  /** Shared oracle CTEs for the r=2 banded MinHash signature. The
-    * final `lng` mirrors `Dedup.minhashCandidates`' hot-bucket cap
-    * (default 10000): rows of an over-cap (band, sigkey) bucket are
-    * excluded, which drops exactly that bucket's pair contributions —
-    * so the oracle and the Spark side agree even on a corpus with a
-    * degenerate bucket (never the case at fixture scale, but the gate
-    * should not silently depend on that).
+  /** Shared oracle CTEs for the r=2 banded MinHash signature,
+    * mirroring `Dedup.bandedSignatures` + `minhashCandidates` exactly:
+    * a band key exists only when BOTH nibble minima are present (`||`
+    * propagates NULL, and `lng` drops NULL keys — matching absence
+    * against absence is not near-dup evidence), and rows of an
+    * over-cap (band, sigkey) bucket are excluded, which drops exactly
+    * that bucket's pair contributions — so the oracle and the Spark
+    * side agree even on a corpus with a degenerate bucket (never the
+    * case at fixture scale, but the gate should not silently depend on
+    * that).
     */
   private val bandedSigSql: String = {
     val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
-      s"coalesce(MIN(minhash) FILTER (band = '$h'), '-') AS b$i"
+      s"MIN(minhash) FILTER (band = '$h') AS b$i"
     }.mkString(", ")
     val keys = (0 until 8).map(j => s"b$j || '#' || b${j + 8} AS k$j").mkString(", ")
     val karr = (0 until 8).map(j => s"k$j").mkString("[", ", ", "]")
@@ -539,9 +542,9 @@ object ExtQueries {
          unnest($karr) AS sigkey FROM keyed),
        lng AS (SELECT l.doc_id, l.band, l.sigkey FROM lng0 l
          JOIN (SELECT band, sigkey, COUNT(*) AS bs
-               FROM lng0 GROUP BY 1, 2) s
+               FROM lng0 WHERE sigkey IS NOT NULL GROUP BY 1, 2) s
          ON l.band = s.band AND l.sigkey = s.sigkey
-         WHERE s.bs <= 10000)"""
+         WHERE l.sigkey IS NOT NULL AND s.bs <= 10000)"""
   }
 
   /** IVF centroid VALUES rows for the q44 oracle — the exact constants
@@ -636,7 +639,8 @@ object ExtQueries {
          WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks,
            len(${duckToks("text")}) AS nw FROM documents)
          SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-           round(CAST(len(text) - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE), 6) AS mean_word_len,
+           round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+             / CAST(nw AS DOUBLE), 6) AS mean_word_len,
            round(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
              / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
            round(CAST(len(list_filter(toks, x ->
@@ -659,10 +663,10 @@ object ExtQueries {
          FROM documents ORDER BY doc_id""",
     "q30_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,
-           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
            FROM events),
          f AS (SELECT user_id, event_id, ts,
-           CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS new_sess
+           CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
            FROM g),
          s AS (SELECT user_id, ts,
            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
