@@ -40,7 +40,10 @@ object ParseFrDatetime {
     "novembre" -> 11, "nov" -> 11,
     "decembre" -> 12, "dec" -> 12)
 
-  private val iso = Pattern.compile("^\\d{4}-\\d{2}-\\d{2}T.*")
+  // 'T' or space separator: the reference falls through to
+  // dateparser.parse, which accepts "YYYY-MM-DD HH:MM" — requiring 'T'
+  // silently nulled (and FL1 then dropped) every space-separated feed
+  private val iso = Pattern.compile("^\\d{4}-\\d{2}-\\d{2}[T ]\\d.*")
   // "ven. 10 oct. 2025 19:30" / "10 octobre 2025" / "10 oct 2025 à 19h30"
   private val fr = Pattern.compile(
     "(?iu)^\\s*(?:[\\p{L}]+\\.?\\s+)?(\\d{1,2})(?:er)?\\s+([\\p{L}]+)\\.?\\s+(\\d{4})" +
@@ -61,6 +64,7 @@ object ParseFrDatetime {
         // only counts as an offset sign after the 'T' — the date part's
         // hyphens must survive (the time part cannot contain '-').
         val noZ = s.replace("Z", "")
+          .replaceFirst("^(\\d{4}-\\d{2}-\\d{2}) ", "$1T")
         val t = noZ.indexOf('T')
         val plus = noZ.indexOf('+', t)
         val minus = noZ.indexOf('-', t + 1)

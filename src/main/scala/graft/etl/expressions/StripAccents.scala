@@ -10,14 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics from `concerts_etl/core/consolidate_events.py:18-19` (and the
   * duplicates at `adapters/shotgun.py:29-31`, `core/matching.py:14`):
   * `unicodedata.normalize("NFKD", s)` followed by removal of combining
-  * characters. Java's `\p{M}` covers Mn/Mc/Me, matching Python's
-  * `unicodedata.combining(c) != 0` for all practical inputs.
+  * characters (`unicodedata.combining(c) != 0`). The JDK exposes no
+  * canonical-combining-class API, so the closest category match is
+  * `\p{Mn}\p{Me}` (non-spacing + enclosing marks): SPACING marks (Mc)
+  * are kept, because they carry ccc=0 and Python keeps them —
+  * stripping `\p{M}` wholesale deleted Indic vowel signs (e.g.
+  * U+0940 in Devanagari "की") that the reference preserves. Remaining
+  * divergence: the rare ccc=0 Mn characters, which Python keeps and
+  * this strips — none occur in the reference's Latin-script domain.
   *
   * Spark has no builtin for this; implemented as a codegen'd unary
   * expression (stays inside WholeStageCodegen — no UDF serialization).
   */
 object StripAccents {
-  private val marks = java.util.regex.Pattern.compile("\\p{M}+")
+  private val marks = java.util.regex.Pattern.compile("[\\p{Mn}\\p{Me}]+")
   def strip(s: UTF8String): UTF8String = {
     val str = s.toString
     // Fast path: pure-ASCII strings are NFKD fixpoints with no marks.

@@ -23,7 +23,11 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 day").as("day_window"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal inside, double at the surface — same discipline as the
+      // batch twin q11: a raw double sum depends on accumulation order
+      // across partitions/microbatches and diverges from the oracle
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("day_window.start").as("day_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -74,7 +78,15 @@ object Streaming {
               else if (r.tsMicros - st.last > gapMicros) {
                 out = SessionOut(user, st.n, st.start, st.last) :: out
                 st = SessionState(r.tsMicros, r.tsMicros, 1)
-              } else st = SessionState(st.start, r.tsMicros, st.n + 1)
+              } else {
+                // A LATE event from a prior microbatch can precede the
+                // buffered session (batch-local sorting cannot see it):
+                // clamp the bounds instead of moving `last` backwards,
+                // which emitted end < start and split the session on
+                // the next in-order event.
+                st = SessionState(math.min(st.start, r.tsMicros),
+                  math.max(st.last, r.tsMicros), st.n + 1)
+              }
             }
             if (st != null) {
               state.update(st)
@@ -125,15 +137,30 @@ object Streaming {
 
   /** K1/K2 as streaming sinks: per-microbatch overwrite (snapshot) or
     * append (historization) via foreachBatch.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a retried microbatch re-runs the
+    * writer after a crash between the parquet commit and the
+    * checkpoint commit. Append mode therefore writes each batch into
+    * its own `batch_id=<id>` directory with overwrite — the replay
+    * rewrites the same directory instead of duplicating rows, and
+    * readers prune on the partition column like any historized table.
     */
   def snapshotSink(df: DataFrame, path: String, checkpoint: String,
       append: Boolean): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode(if (append) OutputMode.Append else OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write
-          .mode(if (append) "append" else "overwrite")
-          .parquet(path)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch, id, path, append)
       }
+
+  /** The foreachBatch body, separated so its idempotency is testable
+    * without simulating a mid-commit crash.
+    */
+  private[streaming] def writeBatch(batch: Dataset[org.apache.spark.sql.Row],
+      id: Long, path: String, append: Boolean): Unit =
+    if (append)
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+    else
+      batch.write.mode("overwrite").parquet(path)
 }

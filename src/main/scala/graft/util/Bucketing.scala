@@ -22,7 +22,7 @@ object Bucketing {
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
 
   /** Join two bucketed tables on their bucket key. */
-  def cotlocatedJoin(spark: SparkSession, left: String, right: String,
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 }

@@ -26,6 +26,7 @@ object Persist {
   def apply[T](ds: Dataset[T]): Dataset[T] = {
     val name = ds.sparkSession.conf.get(ConfKey, "MEMORY_AND_DISK")
     if (name.equalsIgnoreCase("NONE")) ds
-    else ds.persist(StorageLevel.fromString(name.toUpperCase))
+    else ds.persist(StorageLevel.fromString(
+      name.toUpperCase(java.util.Locale.ROOT)))
   }
 }

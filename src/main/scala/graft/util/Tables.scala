@@ -30,6 +30,15 @@ object Tables {
     * the legacy nanosAsLong conf on some versions; normalize here so
     * every query sees a plain TimestampType `ts` column (session TZ is
     * pinned UTC, matching DuckDB's naive reading of the same file).
+    *
+    * CAVEAT: the conf is SESSION-WIDE and is deliberately not restored
+    * — the scan consults it lazily at execution time, so a
+    * set-then-restore around the (lazy) read would flip it back before
+    * the query ever runs. After the first events() call, other parquet
+    * reads in the session will also read nanos columns as raw longs
+    * instead of erroring; no other nanos table exists in this harness,
+    * but a caller embedding the library should scope sessions
+    * accordingly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Spark rejects INT64(TIMESTAMP(NANOS)) outright without this legacy

@@ -19,7 +19,7 @@ class BucketingSpec extends SparkSpec {
     // bucketed layout); force the SMJ path the layout exists for
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = Bucketing.cotlocatedJoin(spark, "li_bkt", "o_bkt", "l_orderkey")
+      val joined = Bucketing.colocatedJoin(spark, "li_bkt", "o_bkt", "l_orderkey")
       joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
