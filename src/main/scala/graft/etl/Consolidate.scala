@@ -353,8 +353,12 @@ object Consolidate {
 
     // Dateless branch: the reference skips the day/tolerance guards
     // when either side has no datetime, leaving only name similarity.
+    // The BROADCAST side is always the dateless slice — small by
+    // construction — never the full opposing frame: one dateless DICE
+    // row must pair with every SG row, so the bounded thing to ship is
+    // the dateless rows, streaming the big side locally.
     val dateless =
-      dcN.filter(col("dc_dt").isNull).crossJoin(broadcast(sgN))
+      sgN.crossJoin(broadcast(dcN.filter(col("dc_dt").isNull)))
         .unionByName(
           dcN.filter(col("dc_dt").isNotNull)
             .crossJoin(broadcast(sgN.filter(col("sg_dt").isNull))))

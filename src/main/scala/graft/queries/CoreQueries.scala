@@ -399,7 +399,11 @@ object CoreQueries {
         col("l_extendedprice"), col("l_discount"))
       val ord = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
         col("o_orderstatus"))
-      graft.util.Skew.saltedJoin(li, ord, Seq("okey"), salts = 8)
+      // hotThreshold=4: orders with >=4 lineitems take the salted path,
+      // the rest the plain path — both slices of the join are exercised
+      // and oracle-checked.
+      graft.util.Skew.saltedJoin(li, ord, Seq("okey"), salts = 8,
+        hotThreshold = 4L)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))

@@ -145,6 +145,48 @@ class ConsolidateSpec extends SparkSpec {
     assert(out(0).getAs[Long]("tickets_sold_total_dice") == 9L)
   }
 
+  test("J2: dateless branch broadcasts ONLY the dateless slice (oversized SG side)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+    // 5000 dated SG rows vs ONE dateless DICE row: the broadcast payload
+    // of every nested-loop (dateless) branch must be the dateless slice,
+    // never the 5000-row frame — one dateless row at corpus scale must
+    // not force an OOM-sized broadcast of the opposing side.
+    val sg = frame((1 to 5000).map(i =>
+      ev(s"sg$i", s"Band Number $i", Some(d.plusMinutes((i % 600).toLong)),
+        tickets = Some(i.toLong))))
+    val dc = frame(Seq(
+      ev("dc1", "Band Number 1", None, tickets = Some(1L)),
+      ev("dc2", "Band Number 2", Some(d), tickets = Some(2L))))
+    val out = Consolidate.mergeSimilarity(sg, dc, col("ord"), col("ord"))
+    out.collect()
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case r: ReusedExchangeExec => r +: flatten(r.child)
+      // mergeSimilarity persists `best`; the join lives in the cached plan
+      case c: InMemoryTableScanExec => c +: flatten(c.relation.cachedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val bnljs = flatten(out.queryExecution.executedPlan)
+      .collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnljs.nonEmpty, "expected the dateless branch to plan as BNLJ")
+    for (b <- bnljs) {
+      val build = if (b.buildSide == BuildLeft) b.left else b.right
+      val broadcastRows = flatten(build)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      assert(broadcastRows.nonEmpty, s"no broadcast row metric under:\n$build")
+      assert(broadcastRows.forall(_ <= 10),
+        s"broadcast payload is not the dateless slice (rows=$broadcastRows):\n$build")
+    }
+  }
+
   test("J2: canonical-key last-wins dedup on SG side") {
     val sg = frame(Seq(
       ev("sg1", "Same Key", Some(d), tickets = Some(1L)),
