@@ -25,32 +25,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` is written with `timestamp[ns]` physical type.
-    * Spark's vectorized reader handles INT64(TIMESTAMP(NANOS)) only via
-    * the legacy nanosAsLong conf on some versions; normalize here so
-    * every query sees a plain TimestampType `ts` column (session TZ is
-    * pinned UTC, matching DuckDB's naive reading of the same file).
-    *
-    * CAVEAT: the conf is SESSION-WIDE and is deliberately not restored
-    * — the scan consults it lazily at execution time, so a
-    * set-then-restore around the (lazy) read would flip it back before
-    * the query ever runs. After the first events() call, other parquet
-    * reads in the session will also read nanos columns as raw longs
-    * instead of erroring; no other nanos table exists in this harness,
-    * but a caller embedding the library should scope sessions
-    * accordingly.
+  /** `events.parquet` is written with `timestamp[ns]` physical type,
+    * which Spark's schema INFERENCE rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless the session-global legacy conf
+    * `spark.sql.legacy.parquet.nanosAsLong` is flipped. Supplying the
+    * read schema explicitly sidesteps inference: the INT64 nanos column
+    * arrives as a raw long with NO session state touched, so an
+    * embedding caller's other parquet reads are unaffected (the earlier
+    * conf-setting loader leaked long-typed nanos reads session-wide).
+    * The column set below is pinned by TESTDATA.md; a drifted file
+    * surfaces as all-null columns, caught by every events-table oracle.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // Spark rejects INT64(TIMESTAMP(NANOS)) outright without this legacy
-    // conf (PARQUET_TYPE_ILLEGAL); with it, ts arrives as LongType nanos.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer `div`, not `/`: double division loses precision at
-        // 1.7e18 ns and shifts timestamps by hundreds of nanoseconds
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$d/events.parquet")
+      // integer `div`, not `/`: double division loses precision at
+      // 1.7e18 ns and shifts timestamps by hundreds of nanoseconds
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }
