@@ -49,10 +49,11 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      // lower median: for even run counts report the faster middle
-      // sample (times(n/2) would be the max of 2 runs — an upward bias)
-      name -> times((times.length - 1) / 2)
+      name -> times
     }
+    // lower median: for even run counts report the faster middle
+    // sample (times(n/2) would be the max of 2 runs — an upward bias)
+    def med(ts: Seq[Double]): Double = ts((ts.length - 1) / 2)
     // 3-decimal rounding keeps the whole line bounded (~2.4KB at 77
     // queries): the driver captures only a bounded tail of the run
     // output, and with full-precision doubles the head of this line
@@ -61,12 +62,18 @@ object Bench {
     // budget when the registry grows.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(med(ts)) }
       .mkString("{", ",", "}")
     // Sum the ROUNDED values so the printed total equals the sum of the
     // printed per-query times exactly (consumer-side consistency).
-    val total = results.map(r => BigDecimal(fmt(r._2))).sum.toDouble
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
+    // [min,max] across runs for the 10 slowest queries only (full spread
+    // for 79 queries would blow the driver's bounded tail capture):
+    // lets a reader separate host variance from real drift per query.
+    val spreadTop = results.sortBy(r => -med(r._2)).take(10)
+      .map { case (k, ts) => "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread_top":$spreadTop,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

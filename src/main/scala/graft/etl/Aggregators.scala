@@ -19,7 +19,7 @@ object Aggregators {
     * mean — this is a money mean for nullable money columns, so NULLs
     * must be ignored exactly like `avg()` ignores them.
     */
-  object CentsMean extends Aggregator[Option[Double], (Long, Long), Double] {
+  object CentsMean extends Aggregator[Option[Double], (Long, Long), java.lang.Double] {
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: Option[Double]): (Long, Long) =
       a match {
@@ -28,10 +28,12 @@ object Aggregators {
       }
     override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
-    override def finish(r: (Long, Long)): Double =
-      if (r._2 == 0) Double.NaN else r._1.toDouble / 100.0 / r._2
+    // boxed Double so an all-NULL group yields SQL NULL — exactly what
+    // avg() and the DuckDB oracle produce (NaN would hash-diverge)
+    override def finish(r: (Long, Long)): java.lang.Double =
+      if (r._2 == 0) null else java.lang.Double.valueOf(r._1.toDouble / 100.0 / r._2)
     override def bufferEncoder: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 }

@@ -115,10 +115,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
+      .filter(col("q_vec").isNotNull && size(col("q_vec")) > 0)
       .withColumn("q_norm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
+      .filter(col("n_vec").isNotNull && size(col("n_vec")) > 0)
       .withColumn("n_norm", norm(col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
@@ -134,9 +136,10 @@ object Similarity {
   /** First non-empty vector's length — a limit-1 probe, not a full
     * scan. An empty (or all-NULL-vector) input returns 1 so plan
     * construction still succeeds; every downstream join over such an
-    * input is empty anyway (a NULL vector's signature/cell is NULL and
-    * equi-joins drop it), where the former `head()` threw on empty
-    * input and NPE'd on a NULL probe row.
+    * input is empty anyway (NULL/empty vectors are filtered out before
+    * signature/cell assignment in lshTopK / ivfTopK / kmeansIteration,
+    * so they never enter a join with NULL sims), where the former
+    * `head()` threw on empty input and NPE'd on a NULL probe row.
     */
   private def probeDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
@@ -168,6 +171,7 @@ object Similarity {
       .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
     corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
       .crossJoin(cents)
       .withColumn("cdot", dot(col("vec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
@@ -203,6 +207,7 @@ object Similarity {
       val w = Window.partitionBy(col(id))
         .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
       df.select(col(id), col(vec))
+        .filter(col(vec).isNotNull && size(col(vec)) > 0)
         .crossJoin(cents)
         .withColumn("cdot", dot(col(vec), col("cvec")))
         .withColumn("rn", row_number().over(w))

@@ -53,20 +53,28 @@ object CoreQueries {
     (sg, dc)
   }
 
-  /** Fresh temp dir, removed recursively on JVM exit. The sink
-    * read-back queries (q70/q72/q75) materialize output per invocation
-    * and bench/verify sessions invoke each query several times — a
-    * plain createTempDirectory would leave one data copy per run.
+  /** Fresh temp dir per invocation for the sink read-back queries
+    * (q70/q72/q75/q78/q79). ONE shared JVM shutdown hook covers every
+    * live dir, and the previous invocation's dir for the same prefix is
+    * deleted eagerly (safe: each invocation fully materializes its
+    * read-back before the query can run again) — a bench/verify session
+    * invoking 70+ queries x 3 runs previously registered hundreds of
+    * hooks and kept every data copy on disk until JVM exit.
     */
-  private def tempQueryDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val tempDirHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
+      tempDirs.values.forEach(p => rmTree(p.toFile))
     }))
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+  private def tempQueryDir(prefix: String): String = {
+    tempDirHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Option(tempDirs.put(prefix, dir)).foreach(prev => rmTree(prev.toFile))
     dir.toFile.getAbsolutePath
   }
 
@@ -780,6 +788,55 @@ object CoreQueries {
           col("o_totalprice").cast("double").as("o_totalprice"),
           col("o_date"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- §2.10 streaming under the gate: the events table replayed as
+    //      a file stream (one file per microbatch) through
+    //      Streaming.dailyAggregation and the K1 Complete-mode snapshot
+    //      sink (reference cadence: daily.yml:4-6 cron re-run writing a
+    //      fresh daily snapshot, storage/google_sheets.py:20-79). The
+    //      final snapshot parquet is read back and compared against an
+    //      oracle that never saw the stream — the same read-back
+    //      discipline as q70 ----
+    "q78_stream_daily" -> ((s, d) => {
+      val dir = tempQueryDir("graft_q78_stream_")
+      val in = s"$dir/in"; val out = s"$dir/out"; val ck = s"$dir/ck"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      // 4 input files -> 4 microbatches (maxFilesPerTrigger=1): the
+      // aggregation state is genuinely carried across batches
+      ev.repartition(4).write.mode("overwrite").parquet(in)
+      val agg = graft.streaming.Streaming.dailyAggregation(
+        graft.streaming.Streaming.eventsStream(s, in, ev.schema))
+      val q = graft.streaming.Streaming
+        .snapshotSink(agg, out, ck, append = false).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .select(to_date(col("day_start")).as("day"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- K5 debug artifacts under the gate (shotgun.py:261-268,
+    //      465-474): write the forensics bundle for an ordered frame,
+    //      then read the bounded JSON sample back. counts.txt/plan.txt
+    //      stay best-effort text; the JSON sample is the
+    //      machine-readable artifact, so it carries the oracle. The
+    //      source is orderBy'd, making the limit-10 sample
+    //      deterministic (TakeOrderedAndProject) ----
+    "q79_debug_artifacts" -> ((s, d) => {
+      val dir = tempQueryDir("graft_q79_debug_")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      Sinks.debugArtifacts(src, dir, "o_orderkey", n = 10)
+      s.read.json(s"$dir/sample_json")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }))
 
   /** 26-word stopword list rendered for DuckDB lambdas. */
@@ -1266,5 +1323,12 @@ object CoreQueries {
     "q75_json_readback" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
          strftime(o_orderdate, '%Y-%m-%d') AS o_date
-         FROM orders ORDER BY o_orderkey LIMIT 20""")
+         FROM orders ORDER BY o_orderkey LIMIT 20""",
+    "q78_stream_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q79_debug_artifacts" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey LIMIT 10""")
 }

@@ -157,7 +157,7 @@ object Streaming {
   /** The foreachBatch body, separated so its idempotency is testable
     * without simulating a mid-commit crash.
     */
-  private[streaming] def writeBatch(batch: Dataset[org.apache.spark.sql.Row],
+  private[graft] def writeBatch(batch: Dataset[org.apache.spark.sql.Row],
       id: Long, path: String, append: Boolean): Unit =
     if (append)
       batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")

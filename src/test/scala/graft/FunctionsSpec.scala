@@ -21,10 +21,10 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(r.getDouble(0) == 75.0, "NULL must not deflate the mean")
     assert(r.getDouble(0) == r.getDouble(1))
-    // all-NULL group: avg yields null; the typed mean signals NaN
+    // all-NULL group: NULL out, matching avg() and the DuckDB oracle
     val empty = Seq[Option[Double]](None, None).toDF("v")
       .agg(centsMean(col("v"))).collect()(0)
-    assert(empty.getDouble(0).isNaN)
+    assert(empty.isNullAt(0))
   }
 
   test("parse_money: French formats (shotgun.py:33-39)") {

@@ -204,4 +204,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == Set((1L, 10L, 11L), (2L, 20L, 21L)))
   }
+
+  test("append sink replay of the same batch id is idempotent") {
+    // foreachBatch is at-least-once: a crash between the parquet commit
+    // and the checkpoint commit replays the batch. The per-batch
+    // overwrite directory must absorb the replay without duplicates.
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Streaming.writeBatch(batch, 7L, path, append = true)
+    Streaming.writeBatch(batch, 7L, path, append = true) // replay
+    Streaming.writeBatch(Seq((3L, "c")).toDF("id", "v"), 8L, path, append = true)
+    val back = spark.read.parquet(path)
+    // layout note for readers: append historization adds a batch_id
+    // partition column to the read schema (vs the former flat layout)
+    assert(back.columns.toSet == Set("id", "v", "batch_id"))
+    val rows = back.select("id", "v", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Any](2).toString)).toSet
+    assert(rows == Set((1L, "a", "7"), (2L, "b", "7"), (3L, "c", "8")))
+  }
 }
