@@ -163,6 +163,29 @@ object Consolidate {
       .orderBy(col("event_datetime_local"), lower(col("event_name")))
   }
 
+  /** Observability for the (day, token) prefilter join — the
+    * consolidation analog of [[graft.ext.Dedup.hotBuckets]] (SURVEY
+    * §7.4: "salted token join if a token is ultra-frequent"). Per key
+    * present on BOTH sides: each side's row count and their product —
+    * the pairs the token join materializes for that key. A ubiquitous
+    * token that survives the stopword filter at corpus scale surfaces
+    * here (cheap: two keyed counts + a count-sized equi-join, no pair
+    * explosion) before it stalls a reducer; remedies are extending the
+    * stopword list or routing the join through Skew.saltedJoin with
+    * the flagged keys hot.
+    */
+  def hotTokenKeys(sg: DataFrame, dc: DataFrame,
+      minPairs: Long = 1000000L): DataFrame = {
+    def keyCounts(df: DataFrame, as: String): DataFrame =
+      df.filter(col("event_datetime_local").isNotNull)
+        .select(dayStr(col("event_datetime_local")).as("day"),
+          explode(artistTokens(col("artist_name"), col("event_name"))).as("tok"))
+        .groupBy(col("day"), col("tok")).agg(count(lit(1)).as(as))
+    keyCounts(sg, "sg_rows").join(keyCounts(dc, "dc_rows"), Seq("day", "tok"))
+      .withColumn("pairs", col("sg_rows") * col("dc_rows"))
+      .filter(col("pairs") >= minPairs)
+  }
+
   /** J1 exact — bit-faithful sequential greedy (`consolidate_events.py:86-130`).
     *
     * The reference's matching is inherently sequential: DICE events are

@@ -308,6 +308,17 @@ object CoreQueries {
           col("shotgun_event_id").asc_nulls_first, col("dice_event_id").asc_nulls_first)
     }),
 
+    // ---- J1 hot-key audit: the (day, token) join keys whose pair
+    //      fan-out crosses a threshold — the consolidation analog of
+    //      the dedup hotBuckets audit (SURVEY §7.4). minPairs=2 at
+    //      test scale so the gate sees real rows; at corpus scale the
+    //      default flags only reducer-stalling keys ----
+    "q80_hot_token_audit" -> ((s, d) => {
+      val (sg, dc) = j1Frames(s, d)
+      Consolidate.hotTokenKeys(sg, dc, minPairs = 2L)
+        .orderBy(col("pairs").desc, col("day"), col("tok"))
+    }),
+
     // ---- grouping-set extension: full cube ----
     "q32_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -1330,5 +1341,21 @@ object CoreQueries {
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q79_debug_artifacts" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM orders ORDER BY o_orderkey LIMIT 10""")
+         FROM orders ORDER BY o_orderkey LIMIT 10""",
+    "q80_hot_token_audit" ->
+      """WITH sgc AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS tok,
+             COUNT(*) AS sg_rows
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         dcc AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             'a' || CAST(100 + user_id % 900 AS VARCHAR) AS tok,
+             COUNT(*) AS dc_rows
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT s.day, s.tok, s.sg_rows, d.dc_rows,
+           s.sg_rows * d.dc_rows AS pairs
+         FROM sgc s JOIN dcc d ON s.day = d.day AND s.tok = d.tok
+         WHERE s.sg_rows * d.dc_rows >= 2
+         ORDER BY pairs DESC, s.day, s.tok""")
 }

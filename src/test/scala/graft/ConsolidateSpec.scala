@@ -116,6 +116,18 @@ class ConsolidateSpec extends SparkSpec {
     assert(exact == windowed)
   }
 
+  test("hot-token audit flags only the planted ubiquitous token") {
+    val sg = frame((1 to 20).map(i =>
+      ev(s"sg$i", s"Headliner$i Night", Some(d), artist = Some("ubiqband"))))
+    val dc = frame((1 to 20).map(i =>
+      ev(s"dc$i", s"Support$i Gig", Some(d), artist = Some("ubiqband"))))
+    val hot = Consolidate.hotTokenKeys(sg, dc, minPairs = 100L)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("pairs")))
+    // the shared artist token co-occurs 20x20; per-row name tokens
+    // never appear on both sides, so nothing else crosses the bar
+    assert(hot.toSeq == Seq(("ubiqband", 400L)))
+  }
+
   test("J2: ±30-min + similarity threshold edges") {
     val sg = frame(Seq(
       ev("sg1", "DJ Snake", Some(d), tickets = Some(200L)),
