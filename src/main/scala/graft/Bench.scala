@@ -35,7 +35,12 @@ object Bench {
     // the session with no metric line at all.
     val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
       .toOption.filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args restrict the bench to a query subset (dev
+    // iteration / regression isolation); the driver passes none
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column

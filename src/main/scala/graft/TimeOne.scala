@@ -3,8 +3,11 @@ import org.apache.spark.sql.SparkSession
 /** Dev harness: time a single query. */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // optional 3rd arg: thread/partition count (to mirror the bench's
+    // local[32] when hunting a bench-only slowdown)
+    val cpus = if (args.length > 2) args(2) else "4"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
