@@ -147,7 +147,11 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    // no broadcast hint on dfreq: it is VOCABULARY-sized, which grows
+    // with the corpus — at 100 TB forcing it onto every executor OOMs.
+    // The term equi-join shuffles fine, and AQE still picks a broadcast
+    // build when the vocab actually fits under the threshold.
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))

@@ -103,9 +103,15 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // ---- J1-physical: broadcast dim join + aggregation ----
+    // ---- J1-physical: broadcast dim join + aggregation. The dim side
+    //      carries no hint: customer GROWS with scale factor (unlike
+    //      region/nation), so the broadcast decision belongs to the
+    //      size threshold / AQE, which still builds a BroadcastHashJoin
+    //      whenever the dim actually fits (PlanSpec pins that at test
+    //      scale) and degrades to a shuffle join instead of an OOM
+    //      when it does not ----
     "q03_join_agg" -> ((s, d) => {
-      val c = broadcast(Tables.customer(s, d))
+      val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
       // pre-aggregate lineitem per order BELOW the join: the join then
