@@ -215,19 +215,22 @@ object Dedup {
     * O(log diameter) regardless of shape (the same doubling trick as
     * Kiveris et al., "Connected Components in MapReduce and Beyond").
     * Each round is two keyed joins + one aggregation; frames are
-    * localCheckpoint'd so plan lineage stays constant across rounds.
+    * checkpointed via [[graft.util.Checkpoints]] so plan lineage stays
+    * constant across rounds (executor-local by default; reliable when
+    * `spark.graft.checkpointDir` is set — required on fleets where an
+    * executor can die mid-loop, since truncated lineage can't recompute).
     *
     * Returns (id, cluster_id) where cluster_id = min node id reachable.
     * Only nodes that appear in an edge are returned (isolated docs are
     * their own cluster trivially — callers left-join if they want them).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val sym = edges.select(col(src).as("id"), col(dst).as("nbr"))
-      .unionByName(edges.select(col(dst).as("id"), col(src).as("nbr")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    val sym = graft.util.Checkpoints(
+      edges.select(col(src).as("id"), col(dst).as("nbr"))
+        .unionByName(edges.select(col(dst).as("id"), col(src).as("nbr")))
+        .distinct())
+    var labels = graft.util.Checkpoints(
+      sym.select(col("id")).distinct().withColumn("comp", col("id")))
     var changed = 1L
     while (changed > 0) {
       // (a) min label over the open neighborhood
@@ -241,12 +244,11 @@ object Dedup {
       // labels[x] is always in x's component, so adopting it is sound;
       // at fixpoint comp(id) == comp(comp(id)) and no neighbor improves,
       // which forces comp constant per component.
-      val next = m1
+      val next = graft.util.Checkpoints(m1
         .join(labels.select(col("id").as("pk"), col("comp").as("pc")),
           col("m1") === col("pk"), "left")
         .select(col("id"), col("old"),
-          least(col("m1"), coalesce(col("pc"), col("m1"))).as("comp"))
-        .localCheckpoint()
+          least(col("m1"), coalesce(col("pc"), col("m1"))).as("comp")))
       changed = next.filter(col("comp") < col("old")).count()
       labels = next.drop("old")
     }

@@ -1,0 +1,31 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative algorithms (the connected-components
+  * label loop), with the same deploy-time-switch discipline as
+  * [[Persist]].
+  *
+  * Default is `localCheckpoint()`: executor-local blocks, no cluster
+  * store needed — right for single-JVM bench/verify. Its blocks die
+  * with an executor, though, and an iterative loop cannot recompute
+  * them (the lineage was truncated away) — on a large or preemptible
+  * fleet that kills the job mid-loop. Submitting with
+  * `--conf spark.graft.checkpointDir=<reliable path>` switches every
+  * truncation point to a RELIABLE `checkpoint()` whose blocks live in
+  * the shared store and survive executor loss.
+  */
+object Checkpoints {
+  val ConfKey = "spark.graft.checkpointDir"
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+}

@@ -264,6 +264,30 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents under a reliable checkpoint dir") {
+    // spark.graft.checkpointDir switches the loop's lineage truncation
+    // from executor-local to reliable checkpoints; results must be
+    // identical and checkpoint data must land in the configured dir
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toFile
+    spark.conf.set(graft.util.Checkpoints.ConfKey, ckDir.getAbsolutePath)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (21L, 20L)).toDF("a_id", "b_id")
+      val got = Dedup.connectedComponents(edges, "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        20L -> 20L, 21L -> 20L))
+      def files(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten.flatMap(c => c +: files(c))
+      assert(files(ckDir).exists(_.isFile), "no reliable checkpoint written")
+    } finally {
+      spark.conf.unset(graft.util.Checkpoints.ConfKey)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckDir)
+    }
+  }
+
   test("tfidfTopTerms: rare term outranks common term") {
     val docs = Seq(
       (1L, "apple banana banana"),
