@@ -145,6 +145,24 @@ object Similarity {
     df.select(size(col(vecCol)).as("d")).filter(col("d") > 0)
       .take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** Symmetric per-vector int8 scale: max |x_i|. Paired with
+    * [[quantizeInt8]] this shrinks an fp32 embedding corpus 4x before
+    * storage/ANN — pure per-row arithmetic on codegen'd builtins, no
+    * shuffle, so it streams at scan speed at any corpus size.
+    */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec.cast("array<double>"), lit(0.0), (a, x) => greatest(a, abs(x)))
+
+  /** q_i = round(x_i * 127 / scale) — the int8 code for each element.
+    * Callers project the scale ONCE and pass it in (lambda expressions
+    * are exempt from subexpression elimination; recomputing the scale
+    * inside would double the per-element work).
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec.cast("array<double>"), x =>
+      when(scale > 0, round(x * lit(127.0) / scale).cast("int"))
+        .otherwise(lit(0)))
+
   /** One Lloyd (k-means) refinement iteration over the deterministic
     * coarse centroids — the "training" step that adapts the static IVF
     * cells ([[ivfTopK]]) to the data. Assignment is the same bounded

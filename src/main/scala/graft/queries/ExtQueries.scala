@@ -285,6 +285,35 @@ object ExtQueries {
     //      query set before trusting the approximate path. Exact and
     //      approximate sides share tie-breaking (round(sim,6) desc,
     //      id asc), so the comparison is deterministic ----
+    // ---- int8 embedding quantization: symmetric per-vector scale,
+    //      codes = round(x*127/scale). 4x storage shrink before ANN;
+    //      per-row builtins only — no shuffle, scan-speed at 100 TB ----
+    "q81_embed_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("scale0"))
+        .select(col("vec_id"),
+          round(col("scale0"), 6).as("scale"),
+          Similarity.quantizeInt8(col("embedding"), col("scale0")).as("qvec"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- sliding-window document chunking (size 500, stride 400 →
+    //      100-char overlap): the pre-tokenization split a training
+    //      pipeline feeds to the tokenizer. explode(sequence) keeps it
+    //      a generator inside the scan stage — no shuffle ----
+    "q82_chunk_docs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            greatest(length(col("text")).cast("long") - 1, lit(0L)),
+            lit(400L))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          col("text").substr(col("chunk_start").cast("int") + 1, lit(500)).as("chunk"))
+        .withColumn("n_chars", length(col("chunk")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
+
     "q76_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 50)
@@ -707,6 +736,22 @@ object ExtQueries {
          SELECT doc_id, source,
            CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
          FROM d ORDER BY doc_id, epoch""",
+    "q81_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale0
+         FROM embeddings)
+         SELECT vec_id, round(scale0, 6) AS scale,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS INTEGER)) AS qvec
+         FROM s ORDER BY vec_id""",
+    "q82_chunk_docs" ->
+      """WITH c AS (SELECT doc_id, text,
+           unnest(range(0, greatest(len(text), 1), 400)) AS chunk_start
+         FROM documents)
+         SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_start + 1 AS INTEGER), 500) AS chunk,
+           CAST(len(substr(text, CAST(chunk_start + 1 AS INTEGER), 500)) AS BIGINT) AS n_chars
+         FROM c ORDER BY doc_id, chunk_start""",
     "q76_ann_recall" -> s"""
          WITH planes(bit, pvec) AS (VALUES $lshPlanes),
          e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
