@@ -846,13 +846,65 @@ object CoreQueries {
       }
       val agg = graft.streaming.Streaming.dailyAggregation(
         graft.streaming.Streaming.eventsStream(s, in, ev.schema))
-      val q = graft.streaming.Streaming
-        .snapshotSink(agg, out, ck, append = false).start()
-      try q.processAllAvailable() finally q.stop()
+      // scoped stateful-op parallelism, same rationale as q83: the
+      // aggregation state is 150 day-windows — 32 state stores of
+      // per-batch checkpoint I/O for that is pure overhead
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streaming
+          .snapshotSink(agg, out, ck, append = false).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out)
         .select(to_date(col("day_start")).as("day"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- §2.10 stream-stream interval join under the gate: both sides
+    //      of the q20 batch twin replayed as file streams through
+    //      intervalJoinStream and the K2 APPEND foreachBatch sink
+    //      (batch_id-partitioned dirs), read back minus the partition
+    //      column. The replay watermark spans the whole event history:
+    //      the input files are split randomly, so a production-sized
+    //      watermark would evict state whose matches arrive in a later
+    //      file — bounded-state behavior is spec'd separately
+    //      (StreamingSpec), correctness-vs-batch is gated here. The
+    //      replay is bounded to a deterministic user slice: the
+    //      full-size batch semantics are already gated by q20, and an
+    //      unbounded replay spends its whole budget on state-store
+    //      writes (12s vs 3s at sf0.1) ----
+    "q83_stream_interval_join" -> ((s, d) => {
+      val dir = tempQueryDir("graft_q83_ssjoin_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val in = sharedInputDir(
+        s"graft_q83_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        ev.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val stream = graft.streaming.Streaming.eventsStream(s, in, ev.schema)
+      val joined = graft.streaming.Streaming.intervalJoinStream(
+        stream.filter(col("event_type") === "signup"),
+        stream.filter(col("event_type") === "purchase"),
+        tolMin = 30, watermark = "3650 days")
+      // stateful-op parallelism == shuffle partitions; at 32 this join
+      // maintains 128 state-store instances whose per-batch checkpoint
+      // I/O dwarfs the data (10.5s vs ~3s at sf0.1). Scoped override —
+      // safe here, unlike a lazy scan: the stream runs to completion
+      // synchronously between set and restore
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streaming
+          .snapshotSink(joined, out, ck, append = true).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("user_id"), col("signup_id"), col("purchase_id"))
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
     }),
 
     // ---- K5 debug artifacts under the gate (shotgun.py:261-268,
@@ -1369,6 +1421,13 @@ object CoreQueries {
     "q79_debug_artifacts" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 10""",
+    "q83_stream_interval_join" ->
+      """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+           AND a.user_id % 5 = 0 AND b.user_id % 5 = 0
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+         ORDER BY a.user_id, signup_id, purchase_id""",
     "q80_hot_token_audit" ->
       """WITH sgc AS (
            SELECT strftime(ts, '%Y-%m-%d') AS day,
