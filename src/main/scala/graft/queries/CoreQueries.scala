@@ -879,7 +879,7 @@ object CoreQueries {
       val dir = tempQueryDir("graft_q83_ssjoin_")
       val out = s"$dir/out"; val ck = s"$dir/ck"
       val ev = Tables.events(s, d)
-        .filter(col("user_id") % 5 === 0)
+        .filter(col("user_id") % 2 === 0)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       val in = sharedInputDir(
         s"graft_q83_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
@@ -1425,7 +1425,7 @@ object CoreQueries {
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id
          WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
-           AND a.user_id % 5 = 0 AND b.user_id % 5 = 0
+           AND a.user_id % 2 = 0 AND b.user_id % 2 = 0
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
          ORDER BY a.user_id, signup_id, purchase_id""",
     "q80_hot_token_audit" ->
