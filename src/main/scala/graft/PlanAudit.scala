@@ -13,7 +13,10 @@ object PlanAudit {
     "q35_merge_similarity" -> "dateless branch: rare rows × broadcast, by construction tiny",
     "q20_interval_join" -> "dateless branch of mergeSimilarity (same as q35)",
     "q44_ivf_ann" -> "16-row broadcast centroid frame; corpus×16 is the IVF assignment fan-out",
-    "q48_tfidf" -> "one-row broadcast of the corpus-size scalar (N for idf)")
+    "q48_tfidf" -> "one-row broadcast of the corpus-size scalar (N for idf)",
+    "q66_gap_fill" -> "one-row broadcast of the (min,max) date span for the spine",
+    "q74_kmeans_iter" -> "16-row broadcast centroid frame (same fan-out as q44)",
+    "q76_ann_recall" -> "brute-force exact side of the recall eval (bounded query set, q25's design)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

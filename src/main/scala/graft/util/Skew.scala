@@ -28,6 +28,9 @@ object Skew {
     * This replaces an earlier whole-side replication scheme: replicating
     * the full right side `salts`x multiplies the entire shuffle to fix
     * skew on a few keys, which does not survive a 100x scale-up.
+    *
+    * Reserves the working column names `__salt`/`__hot`/`__cnt`; input
+    * frames must not carry them.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, hotThreshold: Long = 1000000L): DataFrame = {
