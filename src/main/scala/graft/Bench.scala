@@ -50,8 +50,14 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // queries persist() intermediates (consolidation matched-ids,
         // similarity best-pairs); drop them so blocks don't accumulate
-        // across the 77-query session and each repeat starts cold
+        // across the session and each repeat starts cold. The explicit
+        // gc is UNTIMED and lets the ContextCleaner actually release
+        // the dead broadcasts/shuffles of prior runs — without it they
+        // pile up until a GC lands inside some later query's timing
+        // (observed: a 1.1s query measuring 12s mid-session, all three
+        // runs, on identical code)
         spark.catalog.clearCache()
+        System.gc()
         dt
       }.sorted
       name -> times

@@ -22,6 +22,29 @@ class PropertySpec extends SparkSpec {
   private def sample(n: Int): Seq[String] =
     Gen.listOfN(n, texts).sample.getOrElse(Seq.fill(n)("fallback"))
 
+  test("saltedJoin == plain join on random skewed frames, any threshold") {
+    val gen = for {
+      nLeft <- Gen.choose(0, 300)
+      nRight <- Gen.choose(0, 30)
+      hotFrac <- Gen.choose(0, 9)
+      thr <- Gen.oneOf(1L, 5L, 50L, 1000000L)
+    } yield (nLeft, nRight, hotFrac, thr)
+    (1 to 5).flatMap(_ => gen.sample).foreach { case (nl, nr, hf, thr) =>
+      val left = (1 to nl)
+        .map(i => (if (i % 10 <= hf) 7L else (i % 23).toLong, i))
+        .toDF("k", "v")
+      val right = (0 until nr).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+      val plain = left.join(right, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+      val salted = graft.util.Skew
+        .saltedJoin(left, right, Seq("k"), salts = 4, hotThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+      assert(salted == plain, s"nl=$nl nr=$nr hf=$hf thr=$thr")
+    }
+  }
+
   test("normBasic is idempotent and produces trimmed lowercase") {
     val in = sample(300)
     val out = in.toDF("s")
