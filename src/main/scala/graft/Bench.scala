@@ -65,24 +65,28 @@ object Bench {
     // lower median: for even run counts report the faster middle
     // sample (times(n/2) would be the max of 2 runs — an upward bias)
     def med(ts: Seq[Double]): Double = ts((ts.length - 1) / 2)
-    // 3-decimal rounding keeps the whole line bounded (~2.4KB at 77
-    // queries): the driver captures only a bounded tail of the run
-    // output, and with full-precision doubles the head of this line
-    // fell outside the window, so the metric was never parsed
-    // (BENCH_r0{1,2,3}.json all show "parsed": null). Re-check this
-    // budget when the registry grows.
+    // The driver captures only the LAST 2000 chars of run output
+    // (measured from BENCH_r05.json: window 2000, the 77-full-name
+    // metric line was 1920 — 7 chars of headroom; r0{1,2,3} all show
+    // "parsed": null from exactly this overflow). Full names no longer
+    // fit at 83 queries, so per-query keys are the qNN prefix (unique
+    // by construction, and the driver's own contract example uses the
+    // short form): ~11 chars/entry keeps the line near 1.3KB with room
+    // to grow. 3-decimal rounding as before.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(med(ts)) }
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
       .mkString("{", ",", "}")
     // Sum the ROUNDED values so the printed total equals the sum of the
     // printed per-query times exactly (consumer-side consistency).
     val total = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
-    // [min,max] across runs for the 10 slowest queries only (full spread
-    // for 79 queries would blow the driver's bounded tail capture):
-    // lets a reader separate host variance from real drift per query.
+    // [min,max] across runs for the 10 slowest queries only (bounded so
+    // the tail window holds): lets a reader separate host variance from
+    // real drift per query.
     val spreadTop = results.sortBy(r => -med(r._2)).take(10)
-      .map { case (k, ts) => "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]" }
+      .map { case (k, ts) =>
+        "\"" + short(k) + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread_top":$spreadTop,"sf":"$sfDir"}""")
     spark.stop()

@@ -10,6 +10,10 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench's broadcast threshold: a 10-64MB build side
+      // broadcasts there but not under the 10MB default — a plan
+      // difference that would make a bench-only slowdown unreproducible
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false").getOrCreate()
     // WARN, not ERROR: surfacing plan-level warnings (e.g. WindowExec
     // "No Partition Defined") is part of what this tool is for

@@ -82,14 +82,23 @@ object CoreQueries {
     * of `key` this session; later invocations reuse the files (the
     * bench invokes each query several times, and q78's stream INPUT is
     * a deterministic function of the sf dir — rewriting it per run
-    * benches the parquet writer, not the stream). Registered for the
-    * shared shutdown cleanup but exempt from eager per-run deletion.
+    * benches the parquet writer, not the stream). The path is
+    * per-process, so concurrent JVMs (a TimeOne session next to a
+    * bench) never clobber or shutdown-delete each other's input, and
+    * the key is registered only AFTER a successful write — a failed
+    * first write is retried on the next invocation instead of
+    * poisoning the whole session with partial files. Registered for
+    * the shared shutdown cleanup but exempt from eager per-run
+    * deletion.
     */
   private def sharedInputDir(key: String)(write: String => Unit): String = {
     tempDirHook
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), key)
-    if (tempDirs.putIfAbsent(key, p) == null) write(p.toString)
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${key}_p${ProcessHandle.current().pid()}")
+    if (!tempDirs.containsKey(key)) {
+      write(p.toString)
+      tempDirs.put(key, p): Unit
+    }
     p.toString
   }
 
@@ -433,22 +442,27 @@ object CoreQueries {
 
     // ---- skew-salted join (util.Skew): row-identical to the plain
     //      join — only the shuffle distribution changes, which is the
-    //      point: the oracle proves salting is semantics-preserving ----
+    //      point: the oracle proves salting is semantics-preserving.
+    //      The join key is l_returnflag — 3 values over the whole
+    //      lineitem table, i.e. maximal genuine skew — so the hot set
+    //      is bounded by the DOMAIN cardinality (<= 3 rows broadcast at
+    //      any corpus size), unlike a per-row key where a low threshold
+    //      would make the "hot" set scale with the data. hotThreshold
+    //      = 1000 marks all three flags hot at every test sf, so the
+    //      salted slice carries the whole join and the oracle pins it ----
     "q50_salted_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey").as("okey"),
-        col("o_orderstatus"))
-      // hotThreshold=4: orders with >=4 lineitems take the salted path,
-      // the rest the plain path — both slices of the join are exercised
-      // and oracle-checked.
-      graft.util.Skew.saltedJoin(li, ord, Seq("okey"), salts = 8,
-        hotThreshold = 4L)
-        .groupBy(col("o_orderstatus"))
+      val flags = Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+        .toDF("l_returnflag", "flag_label")
+      graft.util.Skew.saltedJoin(li, flags, Seq("l_returnflag"), salts = 8,
+        hotThreshold = 1000L)
+        .groupBy(col("flag_label"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
             .cast("double").as("revenue"))
-        .orderBy(col("o_orderstatus"))
+        .orderBy(col("flag_label"))
     }),
 
     // ---- tumbling window aggregation via the native window() operator
@@ -1265,10 +1279,12 @@ object CoreQueries {
          COUNT(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q50_salted_join" ->
-      """SELECT o_orderstatus, COUNT(*) AS n_items,
+      """SELECT flag_label, COUNT(*) AS n_items,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+         FROM lineitem
+         JOIN (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+           f(l_returnflag, flag_label) USING (l_returnflag)
+         GROUP BY flag_label ORDER BY flag_label""",
     "q51_tumbling_window" ->
       """SELECT strftime(make_timestamp(
            CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)),

@@ -279,12 +279,6 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
-    // ---- ANN quality evaluation: recall@3 of the LSH bucket path
-    //      (q36) against the exact brute-force ranking (q25) — the
-    //      measurement a 100 TB similarity pipeline runs on a sampled
-    //      query set before trusting the approximate path. Exact and
-    //      approximate sides share tie-breaking (round(sim,6) desc,
-    //      id asc), so the comparison is deterministic ----
     // ---- int8 embedding quantization: symmetric per-vector scale,
     //      codes = round(x*127/scale). 4x storage shrink before ANN;
     //      per-row builtins only — no shuffle, scan-speed at 100 TB ----
@@ -314,6 +308,12 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("chunk_start"))
     }),
 
+    // ---- ANN quality evaluation: recall@3 of the LSH bucket path
+    //      (q36) against the exact brute-force ranking (q25) — the
+    //      measurement a 100 TB similarity pipeline runs on a sampled
+    //      query set before trusting the approximate path. Exact and
+    //      approximate sides share tie-breaking (round(sim,6) desc,
+    //      id asc), so the comparison is deterministic ----
     "q76_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 50)
@@ -738,11 +738,14 @@ object ExtQueries {
          FROM d ORDER BY doc_id, epoch""",
     "q81_embed_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,
-           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale0
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))), 0.0) END AS scale0
          FROM embeddings)
          SELECT vec_id, round(scale0, 6) AS scale,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS INTEGER)) AS qvec
+           CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS INTEGER))
+                ELSE list_transform(embedding, x -> 0) END AS qvec
          FROM s ORDER BY vec_id""",
     "q82_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text,

@@ -14,6 +14,13 @@ import org.apache.spark.sql.DataFrame
   * `--conf spark.graft.checkpointDir=<reliable path>` switches every
   * truncation point to a RELIABLE `checkpoint()` whose blocks live in
   * the shared store and survive executor loss.
+  *
+  * OPERATIONAL NOTE: Spark does not delete reliable checkpoint files
+  * at job end (and `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * only collects them on RDD GC). Point the dir at a TTL'd/lifecycle
+  * -managed path (the standard object-store pattern) or enable that
+  * cleaner conf — otherwise each CC run leaves O(rounds) label-frame
+  * copies behind and the shared store fills over weeks of runs.
   */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"

@@ -29,7 +29,10 @@ class PropertySpec extends SparkSpec {
       hotFrac <- Gen.choose(0, 9)
       thr <- Gen.oneOf(1L, 5L, 50L, 1000000L)
     } yield (nLeft, nRight, hotFrac, thr)
-    (1 to 5).flatMap(_ => gen.sample).foreach { case (nl, nr, hf, thr) =>
+    // getOrElse fallback: a failed Gen.sample must still yield a case,
+    // or the loop could silently check nothing
+    (1 to 5).map(i => gen.sample.getOrElse((100 * i, 10, 5, 50L)))
+      .foreach { case (nl, nr, hf, thr) =>
       val left = (1 to nl)
         .map(i => (if (i % 10 <= hf) 7L else (i % 23).toLong, i))
         .toDF("k", "v")
