@@ -360,6 +360,38 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- decontamination at held-set scale: same semantics as q59,
+    //      but the held set is summarized into a FIXED-SIZE Bloom
+    //      sketch (bloom_filter_agg) broadcast to the scan, which
+    //      drops ~all clean grams before the exact left-semi confirm
+    //      join kills the sketch's false positives — results stay
+    //      EXACT (same oracle shape as q59) while the broadcast no
+    //      longer scales with the held split. This is the "degrade
+    //      path" q59's docstring promises, implemented ----
+    "q84_decontaminate_bloom" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+      // consumed twice (sketch + confirm join): level is the deploy
+      // -time util.Persist switch, as everywhere in the dedup family
+      val heldOut = graft.util.Persist(
+        grams.filter(col("hb") === "0").select(col("gh")).distinct())
+      // might_contain requires a CONSTANT sketch (Spark's own runtime
+      // filters inject it as a subquery result); one bounded driver
+      // action fetches the single ~numBits/8-byte row and inlines it
+      // as a binary literal shipped with the tasks
+      val bf = heldOut
+        .agg(graft.ext.Bloom.sketchAgg(col("gh"), 100000L, 800000L).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      grams.filter(col("hb") =!= "0")
+        .filter(graft.ext.Bloom.mightContain(lit(bf), col("gh")))
+        .join(heldOut, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-duplicated text fraction (RefinedWeb-style): share of
     //      each doc's distinct 8-grams that occur in ≥2 docs. The only
     //      corpus-wide shuffle is keyed by the 16-hex gram hash; the
@@ -881,6 +913,21 @@ object ExtQueries {
            FROM documents) t
          WHERE rn <= 20 ORDER BY lang, rn""",
     "q59_decontaminate" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         held AS (SELECT DISTINCT gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         train AS (SELECT doc_id, gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+         FROM train JOIN held USING (gh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q84_decontaminate_bloom" -> s"""
          WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
          gp AS (SELECT doc_id, words,
              unnest(generate_series(1, len(words) - 7)) AS i

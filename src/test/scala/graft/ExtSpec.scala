@@ -288,6 +288,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Bloom sketch: no false negatives; confirm join restores exactness") {
+    import graft.ext.Bloom
+    val held = (1 to 200 by 2).map(_.toString).toDF("k")
+    val probe = (1 to 400).map(_.toString).toDF("k")
+    val bf = held.agg(Bloom.sketchAgg(col("k"), 1000L, 8000L).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pre = probe.filter(Bloom.mightContain(lit(bf), col("k")))
+    val preSet = pre.collect().map(_.getString(0)).toSet
+    val members = (1 to 200 by 2).map(_.toString).toSet
+    // a Bloom filter may admit non-members but NEVER drops a member
+    members.foreach(k => assert(preSet(k), s"false negative for $k"))
+    // the semi confirm kills whatever false positives the sketch let through
+    val confirmed = pre.join(held, Seq("k"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    assert(confirmed == members)
+  }
+
   test("tfidfTopTerms: rare term outranks common term") {
     val docs = Seq(
       (1L, "apple banana banana"),
