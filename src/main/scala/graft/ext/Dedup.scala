@@ -184,6 +184,15 @@ object Dedup {
       graft.etl.expressions.SimHash16(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** 64-bit fused SimHash — the production fingerprint width for
+    * hamming-banded near-dup (4x16-bit bands -> 65536 buckets/band).
+    * See [[graft.etl.expressions.SimHash64]].
+    */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.SimHash64(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** SimHash over precomputed md5 digests. Callers should project the
     * digest array in its own select: higher-order functions are
     * excluded from Spark's subexpression elimination, so inlining

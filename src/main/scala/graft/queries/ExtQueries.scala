@@ -60,6 +60,34 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ---- SimHash near-dup candidates via multi-index (pigeonhole
+    //      banding) over the 64-BIT fingerprint: two fingerprints
+    //      whose differing bits are confined to one 16-bit band agree
+    //      on >= 3 of 4 bands, so the capped (band, chunk) bucket
+    //      join — minhashCandidates reused verbatim, cap included —
+    //      finds every hamming<=1 pair (and any single-band
+    //      divergence) without an all-pairs pass; exact
+    //      bit_count(xor) rescoring keeps hamming <= 3. 65536 buckets
+    //      per band keeps bucket sizes small at corpus scale (the
+    //      16-bit variant's 16 buckets/band went quadratic at sf0.1) ----
+    "q85_simhash_neardup" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      val sig = sh.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "minhash")))
+      Dedup.minhashCandidates(sig)
+        .filter(col("n_bands") >= 3)
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .withColumn("hamming",
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q25_knn_cosine" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -635,6 +663,22 @@ object ExtQueries {
        > len(toks) THEN ${1L << j} ELSE 0 END""".replaceAll("\n\\s*", " ")
   }.mkString(" + ")
 
+  /** 64-term SimHash64 oracle: bit j votes on bit (j mod 4) of hex
+    * nibble (j div 4) of md5(token), mirroring
+    * [[graft.etl.expressions.SimHash64]]. Bit 63's weight is written
+    * as (-max - 1): the bare literal would not parse as a BIGINT, and
+    * DuckDB promotes the sum to HUGEINT otherwise; the final CAST back
+    * to BIGINT is exact either way but this keeps it int64-native.
+    */
+  private val simhash64Terms: String = (0 until 64).map { j =>
+    val n = j / 4
+    val k = j % 4
+    val w = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    s"""CASE WHEN 2 * len(list_filter(toks, t ->
+       (((strpos('0123456789abcdef', substr(md5(t), ${n + 1}, 1)) - 1) >> $k) & 1) = 1))
+       > len(toks) THEN $w ELSE 0 END""".replaceAll("\n\\s*", " ")
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
     "q21_dedup_exact" ->
       """SELECT md5(lower(substr(text, 1, 40))) AS content_hash,
@@ -650,6 +694,19 @@ object ExtQueries {
          WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents)
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
+    "q85_simhash_neardup" -> s"""
+         WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM t),
+         n AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM s),
+         nb AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM n),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
+           FROM nb a JOIN nb b ON a.band = b.band AND a.nib = b.nib
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT a_id, b_id, CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(ash, bsh)) <= 3
+         ORDER BY a_id, b_id""",
     "q24_ngram_dedup" -> (s"""
          WITH $bandedSigSql,
          cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id

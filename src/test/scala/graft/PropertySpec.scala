@@ -197,6 +197,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 property: equals a pure-Scala reference on unicode input") {
+    // independent reference: bit j votes on bit (j%4) of md5 hex
+    // nibble (j/4), majority rule, \s+ tokens of the lowercased text
+    def ref(text: String): Long = {
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+      val toks = lowered.split("\\s+").filter(_.nonEmpty)
+      var out = 0L
+      for (j <- 0 until 64) {
+        val votes = toks.count { t =>
+          val nibble = Integer.parseInt(md5hex(t).charAt(j / 4).toString, 16)
+          ((nibble >> (j % 4)) & 1) == 1
+        }
+        if (2 * votes > toks.length) out |= (1L << j)
+      }
+      out
+    }
+    val in = Gen.listOfN(150, uniTexts).sample.getOrElse(Seq.fill(150)("a b c"))
+    for (t <- in) {
+      val got = graft.etl.expressions.SimHash64
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(got == ref(t), s"text='$t'")
+    }
+  }
+
   test("fused expressions == composed forms through the codegen runtime (batched)") {
     // one DataFrame job over 300 generated strings — exercises doGenCode,
     // not just the static compute() the other property tests call
