@@ -14,7 +14,8 @@ object PlanDump {
     val p = df.queryExecution.executedPlan.toString
     println("EXCHANGES=" + "Exchange".r.findAllIn(p).length)
     println("SCANS=" + "FileScan".r.findAllIn(p).length)
-    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("FileScan") || l.contains("Join") || l.contains("Window")).mkString("\n"))
+    println("CACHEREADS=" + "InMemoryTableScan".r.findAllIn(p).length)
+    println(p.linesIterator.filter(l => l.contains("Exchange") || l.contains("FileScan") || l.contains("Join") || l.contains("Window") || l.contains("InMemoryTableScan")).mkString("\n"))
     spark.stop()
   }
 }

@@ -211,27 +211,42 @@ object Similarity {
     * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
     * reproducible across engines (same discipline as [[bruteForceTopK]]).
     */
+  /** The deterministic coarse-centroid table (nCells rows — bounded by
+    * the cell count, not the corpus, so the broadcast is always safe).
+    */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      nCells: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    broadcast(
+      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
+        .toDF("cell", "cvec"))
+  }
+
+  /** Assign each vector to its `keep` best coarse cells (argmax rounded
+    * dot, cell-id tie-break) — the bounded broadcast-NLJ every IVF path
+    * shares. NULL/empty vectors are dropped before assignment.
+    */
+  private def assignCells(df: DataFrame, id: String, vec: String,
+      cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+    df.select(col(id), col(vec))
+      .filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .crossJoin(cents)
+      .withColumn("cdot", dot(col(vec), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .select(col(id), col(vec), col("cell"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val dim = probeDim(corpus, vecCol)
-    val cents = broadcast(
-      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
-        .toDF("cell", "cvec"))
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
-      df.select(col(id), col(vec))
-        .filter(col(vec).isNotNull && size(col(vec)) > 0)
-        .crossJoin(cents)
-        .withColumn("cdot", dot(col(vec), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .select(col(id), col(vec), col("cell"))
-    }
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      assignCells(df, id, vec, cents, keep)
 
     val c = assign(corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", 1)
@@ -248,5 +263,79 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Semantic (embedding-space) dedup: assign every vector to its best
+    * coarse IVF cell, then mark as dropped any id whose cell contains a
+    * LOWER id with cosine >= `tau` — the pairwise search is confined to
+    * cells, so the shuffle is an equi-join keyed by cell and the pair
+    * work is O(sum cell_size^2), never corpus-quadratic. Output is the
+    * drop list with evidence: for each dropped id, the single best
+    * (highest rounded sim, lowest id) surviving witness.
+    *
+    * This is the clustering-bounded semantic-dedup shape (cluster with
+    * k-means-style cells, deduplicate within clusters): at corpus scale
+    * `nCells` grows with the corpus (cells ~ n / target_cell_size — the
+    * centroid table stays a safe broadcast at any realistic cell count)
+    * and `cellCap` is the same safety valve as the MinHash hot-bucket
+    * cap: a degenerate cell (embedding collapse, zero vectors) would
+    * otherwise emit O(n^2) pairs. Over-cap cells are dropped from pair
+    * generation — audit with [[hotCells]]; `cellCap <= 0` disables.
+    * A vector missed because its true near-dup sits across a cell
+    * boundary is the standard recall trade (same as IVF nProbe=1).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      "id", "vec", cents, 1)
+    val capped =
+      if (cellCap > 0) {
+        // same discipline as Dedup.minhashCandidates: enforce the cap
+        // via a windowed count on the SAME key the pair join shuffles
+        // on (shares the exchange; WindowExec spills, so the degenerate
+        // cell streams through instead of OOMing a reducer)
+        val wC = Window.partitionBy(col("cell"))
+        assigned.withColumn("cs", count(lit(1)).over(wC))
+          .filter(col("cs") <= cellCap)
+          .drop("cs")
+      } else assigned
+    // both pair sides replay the scan->assign->cap pipeline; persist it
+    // once (level is the util.Persist deploy-time switch)
+    val c = graft.util.Persist(capped.withColumn("nrm", norm(col("vec"))))
+    val a = c.select(col("cell"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = c.select(col("cell"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    val w = Window.partitionBy(col("dropped_id"))
+      .orderBy(round(col("sim"), 6).desc, col("kept_id").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= tau)
+      .select(col("cell"), col("b_id").as("dropped_id"),
+        col("a_id").as("kept_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dropped_id"), col("kept_id"),
+        round(col("sim"), 6).as("sim"), col("cell"))
+  }
+
+  /** Observability twin of the [[semanticDedup]] cell cap: the cells
+    * the cap would drop, with sizes (one keyed shuffle, no pair work).
+    */
+  def hotCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      "id", "vec", cents, 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > cellCap)
   }
 }

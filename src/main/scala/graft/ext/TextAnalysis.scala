@@ -131,6 +131,52 @@ object TextAnalysis {
   def contentFingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
+  /** Character-bigram language-model quality score — the
+    * perplexity-filter shape of web-corpus curation (score each
+    * document by how well a corpus-trained LM predicts it; outliers =
+    * gibberish, boilerplate, wrong language), with the n-gram model
+    * trained on the corpus itself in the same job.
+    *
+    * Per document: mean ln P(c2 | c1) over its character bigrams, with
+    * add-one smoothing — P = (count(c1 c2) + 1) / (count(c1 ·) + V),
+    * V = distinct successor characters corpus-wide.
+    *
+    * Shuffle shape at scale: the bigram explode is per-row work that
+    * pipelines into the scan; training is ONE map-side-combinable
+    * groupBy keyed by (c1, c2) whose result is CHARSET-squared-bounded
+    * — independent of corpus size, so broadcasting the model (and the
+    * context totals and V) back for scoring is always safe; scoring is
+    * then a second scan pass whose only shuffle is the per-doc mean,
+    * keyed by doc id. Two corpus scans total, no corpus-sized join.
+    */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bg = df
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
+      .select(col("doc_id"),
+        explode(when(length(col("txt")) >= 2,
+          transform(sequence(lit(1), length(col("txt")) - 1),
+            i => col("txt").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col("doc_id"),
+        substring(col("bg"), 1, 1).as("c1"), substring(col("bg"), 2, 1).as("c2"))
+    // persist the model: ctx and vsize both derive from it, and without
+    // the cache each would replay the full corpus scan+explode (4 scans
+    // instead of 2). The frame is charset^2-bounded — safe to cache at
+    // any corpus size, so this is a plain cache, not a Persist switch.
+    val model = bg.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("cnt")).cache()
+    val ctx = model.groupBy(col("c1")).agg(sum(col("cnt")).as("tot"))
+    val vsize = model.agg(countDistinct(col("c2")).as("vsize"))
+    bg.join(broadcast(model), Seq("c1", "c2"))
+      .join(broadcast(ctx), Seq("c1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("lp",
+        log((col("cnt") + lit(1.0)) /
+          (col("tot").cast("double") + col("vsize").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("lp")), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document by
     * tf × ln(N/df) (rounded to 6 decimals BEFORE ranking so the order
     * is reproducible across engines; ties break on the term).

@@ -88,6 +88,26 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ---- semantic dedup: IVF-cell-bounded pairwise cosine, drop list
+    //      with best-witness evidence (cluster-then-dedup-within-
+    //      cluster — pair work never corpus-quadratic). Full DuckDB
+    //      oracle: centroids inlined, cell cap mirrored ----
+    "q86_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", tau = 0.4, nCells = 16)
+        .orderBy(col("dropped_id"))
+    }),
+
+    // ---- char-bigram LM quality score: corpus-trained add-one-
+    //      smoothed model, per-doc mean log-likelihood (the perplexity
+    //      filter of web curation). Model is charset^2-bounded ->
+    //      broadcast; only corpus shuffles are the model groupBy and
+    //      the per-doc mean ----
+    "q87_bigram_lm" -> ((s, d) => {
+      TA.bigramLmScore(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q25_knn_cosine" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -707,6 +727,42 @@ object ExtQueries {
          SELECT a_id, b_id, CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ash, bsh)) <= 3
          ORDER BY a_id, b_id""",
+    "q86_semantic_dedup" -> s"""
+         WITH cents(cell, cvec) AS (VALUES $ivfCentroids),
+         a0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         asg AS (SELECT id, vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM a0, cents),
+         cl AS (SELECT id, vec, cell FROM asg WHERE rn = 1),
+         sz AS (SELECT cell, COUNT(*) AS cs FROM cl GROUP BY 1),
+         c AS (SELECT cl.id, cl.vec, cl.cell,
+             sqrt(list_inner_product(cl.vec, cl.vec)) AS nrm
+           FROM cl JOIN sz ON cl.cell = sz.cell WHERE sz.cs <= 10000),
+         pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
+             list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
+           FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id),
+         ev AS (SELECT cell, dropped_id, kept_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY dropped_id
+               ORDER BY round(sim, 6) DESC, kept_id) AS rn
+           FROM pairs WHERE sim >= 0.4)
+         SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
+         FROM ev WHERE rn = 1 ORDER BY dropped_id""",
+    "q87_bigram_lm" -> """
+         WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+         bg AS (SELECT doc_id, substr(txt, i, 1) AS c1, substr(txt, i + 1, 1) AS c2
+           FROM t, LATERAL unnest(generate_series(1, len(txt) - 1)) AS u(i)
+           WHERE len(txt) >= 2),
+         model AS (SELECT c1, c2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT c1, sum(cnt) AS tot FROM model GROUP BY 1),
+         v AS (SELECT count(DISTINCT c2) AS vsize FROM model),
+         scored AS (SELECT b.doc_id, ln((m.cnt + 1.0) / (x.tot + v.vsize)) AS lp
+           FROM bg b JOIN model m ON b.c1 = m.c1 AND b.c2 = m.c2
+           JOIN ctx x ON b.c1 = x.c1 CROSS JOIN v)
+         SELECT doc_id, round(avg(lp), 6) AS lm_score,
+           count(*) AS n_bigrams
+         FROM scored GROUP BY 1 ORDER BY doc_id""",
     "q24_ngram_dedup" -> (s"""
          WITH $bandedSigSql,
          cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id

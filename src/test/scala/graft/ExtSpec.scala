@@ -183,6 +183,72 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("semanticDedup: near-identical pair drops the higher id with the lower as witness") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 10
+      (30L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.95, nCells = 4)
+      .collect()
+    // 10 and 20 are near-identical -> same argmax cell, sim ~ 1; the
+    // HIGHER id is the dropped one, evidenced by the lower survivor
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 10L)))
+    assert(out.head.getDouble(2) > 0.99)
+  }
+
+  test("semanticDedup: cell cap drops degenerate cells; hotCells audits them") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.999f, 0.01f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // both land in one cell of size 2 > cap=1 -> no pair generation
+    val capped = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      tau = 0.5, nCells = 4, cellCap = 1)
+    assert(capped.count() == 0)
+    val hot = Similarity.hotCells(vecs, "vec_id", "embedding",
+      nCells = 4, cellCap = 1).collect()
+    assert(hot.length == 1 && hot.head.getLong(1) == 2L)
+  }
+
+  test("semanticDedup on real embeddings: every drop is a genuine in-threshold pair") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", tau = 0.4)
+      .collect()
+    assert(out.nonEmpty)
+    val byId = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (r <- out) {
+      val (dropped, kept) = (r.getLong(0), r.getLong(1))
+      assert(kept < dropped)
+      assert(cos(byId(dropped), byId(kept)) >= 0.4 - 1e-9)
+    }
+  }
+
+  test("bigramLmScore: exact add-one-smoothed mean log-likelihood on a tiny corpus") {
+    val docs = Seq((1L, "ababab"), (2L, "zzzz")).toDF("doc_id", "text")
+    val out = TA.bigramLmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // model: ab:3 ba:2 zz:3; ctx a:3 b:2 z:3; V = |{a,b,z}| = 3
+    val lpAb = math.log(4.0 / 6.0); val lpBa = math.log(3.0 / 5.0)
+    val lpZz = math.log(4.0 / 6.0)
+    assert(out(1L)._2 == 5L && out(2L)._2 == 3L)
+    assert(math.abs(out(1L)._1 - (3 * lpAb + 2 * lpBa) / 5.0) < 1e-6)
+    assert(math.abs(out(2L)._1 - lpZz) < 1e-6)
+  }
+
+  test("bigramLmScore: repetitive text outscores unique-char text; short text excluded") {
+    val docs = Seq((1L, "the cat sat on the mat the cat"),
+      (2L, "qxzvjkwpfy bmgdl"), (3L, "a")).toDF("doc_id", "text")
+    val out = TA.bigramLmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L))
+    assert(!out.contains(3L)) // single char: no bigrams, no row
+  }
+
   test("domain mixing: quota-ed sources downsampled, unquoted kept whole") {
     val bySrc = graft.queries.ExtQueries.queries("q73_domain_mix")(spark, sf0001)
       .groupBy("source").count().collect()
