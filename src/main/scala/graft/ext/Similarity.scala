@@ -52,10 +52,12 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec"))))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0))
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.crossJoin(c)
@@ -117,11 +119,13 @@ object Similarity {
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
       .filter(col("q_vec").isNotNull && size(col("q_vec")) > 0)
       .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
     val c = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"),
       lshSignature(col(vecCol), nPlanes, dim).as("sig"))
       .filter(col("n_vec").isNotNull && size(col("n_vec")) > 0)
       .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("sig"))
@@ -251,9 +255,11 @@ object Similarity {
     val c = assign(corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", 1)
       .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
     val q = assign(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", nProbe)
       .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("cell"))
@@ -271,7 +277,13 @@ object Similarity {
     * cells, so the shuffle is an equi-join keyed by cell and the pair
     * work is O(sum cell_size^2), never corpus-quadratic. Output is the
     * drop list with evidence: for each dropped id, the single best
-    * (highest rounded sim, lowest id) surviving witness.
+    * (highest rounded sim, lowest id) lower-id witness. NOTE the
+    * witness is the best LOWER-ID pair partner, not a guaranteed
+    * transitive survivor — in a chain 1~2~3 the witness of 3 may be 2,
+    * itself dropped against 1. Consumers needing a canonical survivor
+    * per near-dup group should run [[graft.ext.Dedup.connectedComponents]]
+    * over the (kept_id, dropped_id) pairs, exactly as the MinHash
+    * family does (q45): min id per component is the survivor.
     *
     * This is the clustering-bounded semantic-dedup shape (cluster with
     * k-means-style cells, deduplicate within clusters): at corpus scale
@@ -303,8 +315,13 @@ object Similarity {
           .drop("cs")
       } else assigned
     // both pair sides replay the scan->assign->cap pipeline; persist it
-    // once (level is the util.Persist deploy-time switch)
-    val c = graft.util.Persist(capped.withColumn("nrm", norm(col("vec"))))
+    // once (level is the util.Persist deploy-time switch). Zero-norm
+    // vectors are dropped AFTER the cap count (cosine is undefined on
+    // them; 0/0 = NaN, and Spark sorts NaN above every number, so a
+    // NaN pair would both pass `sim >= tau` and displace the real
+    // best witness in the rn=1 window).
+    val c = graft.util.Persist(capped.withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0))
     val a = c.select(col("cell"), col("id").as("a_id"),
       col("vec").as("a_vec"), col("nrm").as("a_nrm"))
     val b = c.select(col("cell"), col("id").as("b_id"),

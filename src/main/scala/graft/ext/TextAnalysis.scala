@@ -163,6 +163,9 @@ object TextAnalysis {
     // the cache each would replay the full corpus scan+explode (4 scans
     // instead of 2). The frame is charset^2-bounded — safe to cache at
     // any corpus size, so this is a plain cache, not a Persist switch.
+    // Deliberately never unpersisted (the repo-wide intermediate-cache
+    // convention): the pinned footprint is bounded per call, and an
+    // eager unpersist before the caller's action would defeat the reuse.
     val model = bg.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("cnt")).cache()
     val ctx = model.groupBy(col("c1")).agg(sum(col("cnt")).as("tot"))
     val vsize = model.agg(countDistinct(col("c2")).as("vsize"))

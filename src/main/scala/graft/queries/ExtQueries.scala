@@ -13,6 +13,17 @@ import graft.util.Tables
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The q59/q84 decontamination gram projection: per-doc distinct
+    * word-8-gram md5 prefixes plus the md5-head-byte split bucket.
+    * Shared so the twin paths (exact broadcast join vs Bloom prefilter)
+    * cannot silently desynchronize on the split rule or gram width.
+    */
+  private def splitGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
     "q21_dedup_exact" -> ((s, d) => {
@@ -392,10 +403,7 @@ object ExtQueries {
       // distinct in gh-space == the oracle's DISTINCT (doc_id, gh).
       // No persist: the held/train split filters push to the scan, and
       // the two branches together cost one full pass
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+      val grams = splitGrams(s, d)
       val heldOut = grams.filter(col("hb") === "0").select(col("gh")).distinct()
       grams.filter(col("hb") =!= "0")
         .join(broadcast(heldOut), Seq("gh"))
@@ -417,10 +425,7 @@ object ExtQueries {
     //      longer scales with the held split. This is the "degrade
     //      path" q59's docstring promises, implemented ----
     "q84_decontaminate_bloom" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-          explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+      val grams = splitGrams(s, d)
       // consumed twice (sketch + confirm join): level is the deploy
       // -time util.Persist switch, as everywhere in the dedup family
       val heldOut = graft.util.Persist(
@@ -718,7 +723,11 @@ object ExtQueries {
          WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
          s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM t),
          n AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM s),
-         nb AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM n),
+         nb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM n),
+         nbs AS (SELECT band, nib, COUNT(*) AS bs FROM nb0 GROUP BY 1, 2),
+         nb AS (SELECT nb0.doc_id, nb0.sh, nb0.band, nb0.nib FROM nb0
+           JOIN nbs ON nb0.band = nbs.band AND nb0.nib = nbs.nib
+           WHERE nbs.bs <= 10000),
          cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              any_value(a.sh) AS ash, any_value(b.sh) AS bsh
            FROM nb a JOIN nb b ON a.band = b.band AND a.nib = b.nib
@@ -739,7 +748,8 @@ object ExtQueries {
          sz AS (SELECT cell, COUNT(*) AS cs FROM cl GROUP BY 1),
          c AS (SELECT cl.id, cl.vec, cl.cell,
              sqrt(list_inner_product(cl.vec, cl.vec)) AS nrm
-           FROM cl JOIN sz ON cl.cell = sz.cell WHERE sz.cs <= 10000),
+           FROM cl JOIN sz ON cl.cell = sz.cell
+           WHERE sz.cs <= 10000 AND list_inner_product(cl.vec, cl.vec) > 0),
          pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
              list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
            FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id),

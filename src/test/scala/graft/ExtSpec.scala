@@ -210,6 +210,29 @@ class ExtSpec extends SparkSpec {
     assert(hot.length == 1 && hot.head.getLong(1) == 2L)
   }
 
+  test("zero-norm vectors never enter a rank path (NaN sorts above every sim)") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero-norm: cosine undefined
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.999f, 0.01f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // without the norm>0 filter the 1-2 pair is 0/0=NaN, which passes
+    // sim >= tau AND outranks the genuine witness in every window
+    val sd = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      tau = 0.9, nCells = 4).collect()
+    assert(sd.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 3L)))
+    assert(sd.forall(!_.getDouble(2).isNaN))
+    for (out <- Seq(
+        Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3),
+        Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3, nPlanes = 2),
+        Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", 3, nCells = 2))) {
+      val rows = out.collect()
+      assert(rows.forall(r => !r.getDouble(3).isNaN))
+      assert(rows.forall(r => r.getLong(0) != 1L && r.getLong(0) != 2L
+        && r.getLong(2) != 1L && r.getLong(2) != 2L))
+    }
+  }
+
   test("semanticDedup on real embeddings: every drop is a genuine in-threshold pair") {
     val emb = graft.util.Tables.embeddings(spark, sf0001)
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding", tau = 0.4)

@@ -234,11 +234,18 @@ class PropertySpec extends SparkSpec {
           TA.wordNGrams(TA.normWords(col("text")), 3),
           g => substring(md5(g), 1, 16))).as("composed_g"),
         Dedup.simhash16(col("text")).as("fused_s"),
-        Dedup.simhash(TA.wsTokens(lower(col("text")))).as("composed_s"))
+        Dedup.simhash(TA.wsTokens(lower(col("text")))).as("composed_s"),
+        Dedup.simhash64(col("text")).as("fused_s64"))
       .collect()
     rows.foreach { r =>
+      val t = in(r.getLong(0).toInt) // row order after collect is not input order
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"grams diverge at id=${r.getLong(0)}")
       assert(r.getLong(3) == r.getLong(4), s"simhash diverges at id=${r.getLong(0)}")
+      // SimHash64 has no composed twin (64 HOF terms would be absurd);
+      // pin its doGenCode output to the static compute() instead
+      assert(r.getLong(5) == graft.etl.expressions.SimHash64
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+        s"simhash64 codegen diverges at id=${r.getLong(0)}")
     }
   }
 
