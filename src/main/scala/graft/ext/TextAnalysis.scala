@@ -115,6 +115,17 @@ object TextAnalysis {
       graft.etl.expressions.WordGramHashes(
         org.apache.spark.sql.GraftBridge.expression(text), n, prefixChars))
 
+  /** Char bigrams of the lowercased text — the single-pass codegen'd
+    * form of `transform(sequence(1, length(lower(t)) - 1),
+    * i => lower(t).substr(i, 2))`, which is quadratic per row (every
+    * substr re-seeks code-point offsets from byte 0).
+    * See [[graft.etl.expressions.CharBigrams]].
+    */
+  def charBigrams(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.CharBigrams(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
     * character stream — an order-sensitive document fingerprint, unlike
     * the md5 content hash. Pure builtins: aggregate over the char array.
@@ -151,12 +162,8 @@ object TextAnalysis {
     */
   def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bg = df
-      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("txt"))
-      .select(col("doc_id"),
-        explode(when(length(col("txt")) >= 2,
-          transform(sequence(lit(1), length(col("txt")) - 1),
-            i => col("txt").substr(i, lit(2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col(idCol).as("doc_id"),
+        explode(charBigrams(col(textCol))).as("bg"))
       .select(col("doc_id"),
         substring(col("bg"), 1, 1).as("c1"), substring(col("bg"), 2, 1).as("c2"))
     // persist the model: ctx and vsize both derive from it, and without

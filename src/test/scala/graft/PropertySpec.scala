@@ -235,7 +235,12 @@ class PropertySpec extends SparkSpec {
           g => substring(md5(g), 1, 16))).as("composed_g"),
         Dedup.simhash16(col("text")).as("fused_s"),
         Dedup.simhash(TA.wsTokens(lower(col("text")))).as("composed_s"),
-        Dedup.simhash64(col("text")).as("fused_s64"))
+        Dedup.simhash64(col("text")).as("fused_s64"),
+        TA.charBigrams(col("text")).as("fused_b"),
+        when(length(lower(col("text"))) >= 2,
+          transform(sequence(lit(1), length(lower(col("text"))) - 1),
+            i => lower(col("text")).substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")).as("composed_b"))
       .collect()
     rows.foreach { r =>
       val t = in(r.getLong(0).toInt) // row order after collect is not input order
@@ -246,6 +251,8 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(5) == graft.etl.expressions.SimHash64
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)),
         s"simhash64 codegen diverges at id=${r.getLong(0)}")
+      assert(r.getSeq[String](6) == r.getSeq[String](7),
+        s"char bigrams diverge at id=${r.getLong(0)}")
     }
   }
 
