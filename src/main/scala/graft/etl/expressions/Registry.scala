@@ -28,7 +28,9 @@ object Registry {
     "ngram_jaccard" -> (es => NGramJaccard(es(0), es(1), intArg(es(2), "ngram_jaccard"))),
     "word_gram_hashes" -> (es => WordGramHashes(es(0),
       intArg(es(1), "word_gram_hashes"), intArg(es(2), "word_gram_hashes"))),
-    "simhash16" -> (es => SimHash16(es.head)))
+    "simhash16" -> (es => SimHash16(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "char_bigrams" -> (es => CharBigrams(es.head)))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>

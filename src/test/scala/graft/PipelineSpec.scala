@@ -30,6 +30,11 @@ class PipelineSpec extends SparkSpec {
                 simhash16('some tokens here') AS s""").collect()(0)
     assert(r3.getInt(0) == 3)
     assert(r3.getLong(1) != 0L)
+    val r4 = spark.sql(
+      """SELECT simhash64('some tokens here') AS s64,
+                char_bigrams('AbC') AS b""").collect()(0)
+    assert(r4.getLong(0) != 0L)
+    assert(r4.getSeq[String](1) == Seq("ab", "bc"))
   }
 
   test("E1 pipeline: sources → consolidate → three sinks") {
