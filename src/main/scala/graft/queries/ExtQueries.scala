@@ -119,6 +119,27 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-doc OOV rate against the corpus top-k vocabulary (q63's
+    //      vocab consumed): tokenizer-coverage analysis before a vocab
+    //      is frozen. The vocab is k-BOUNDED (TakeOrderedAndProject) so
+    //      its broadcast never scales with the corpus; scoring is one
+    //      scan whose only shuffle is the per-doc count, map-side
+    //      combined. Same two-branch single-pass-each posture as q59 ----
+    "q88_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.wsTokens(lower(col("text")))).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(20)
+        .select(col("term"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q25_knn_cosine" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -773,6 +794,16 @@ object ExtQueries {
          SELECT doc_id, round(avg(lp), 6) AS lm_score,
            count(*) AS n_bigrams
          FROM scored GROUP BY 1 ORDER BY doc_id""",
+    "q88_oov_rate" -> s"""
+         WITH t AS (SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents),
+         f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY 1),
+         v AS (SELECT term FROM f ORDER BY freq DESC, term LIMIT 20)
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS oov_rate
+         FROM t LEFT JOIN v ON t.term = v.term
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q24_ngram_dedup" -> (s"""
          WITH $bandedSigSql,
          cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id

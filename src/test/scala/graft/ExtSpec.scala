@@ -272,6 +272,20 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(3L)) // single char: no bigrams, no row
   }
 
+  test("q88 OOV rate: counts consistent, rate exact, tail terms actually OOV") {
+    val out = graft.queries.ExtQueries.queries("q88_oov_rate")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-6)
+    }
+    // the corpus has more distinct terms than the top-20 vocab, so some
+    // doc must carry out-of-vocabulary tokens
+    assert(out.exists(_.getLong(2) > 0))
+  }
+
   test("domain mixing: quota-ed sources downsampled, unquoted kept whole") {
     val bySrc = graft.queries.ExtQueries.queries("q73_domain_mix")(spark, sf0001)
       .groupBy("source").count().collect()
