@@ -93,4 +93,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("q86 semantic dedup: pair join keyed by cell, never cartesian") {
+    val p = plan("q86_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only NLJ allowed is the bounded 16-row centroid assignment;
+    // the pair join itself must be an equi-join on the cell id
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q87/q88: bounded model and vocab tables broadcast back to the scan") {
+    // the charset^2 bigram model (and its ctx/vsize derivatives) and
+    // the top-k vocab must broadcast — a shuffled scoring join would
+    // re-shuffle the corpus-sized token/bigram frame
+    for (q <- Seq("q87_bigram_lm", "q88_oov_rate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
