@@ -109,6 +109,19 @@ object ExtQueries {
         .orderBy(col("dropped_id"))
     }),
 
+    // ---- canonical semantic clusters: connected components over the
+    //      q86 drop pairs (what the semanticDedup docstring points
+    //      consumers at for a guaranteed survivor per near-dup group —
+    //      min id per component, same discipline as q45) ----
+    "q89_semantic_clusters" -> ((s, d) => {
+      val pairs = Similarity.semanticDedup(Tables.embeddings(s, d),
+          "vec_id", "embedding", tau = 0.4, nCells = 16)
+        .select(col("kept_id").as("a_id"), col("dropped_id").as("b_id"))
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- char-bigram LM quality score: corpus-trained add-one-
     //      smoothed model, per-doc mean log-likelihood (the perplexity
     //      filter of web curation). Model is charset^2-bounded ->
@@ -709,6 +722,31 @@ object ExtQueries {
        > len(toks) THEN ${1L << j} ELSE 0 END""".replaceAll("\n\\s*", " ")
   }.mkString(" + ")
 
+  /** The q86/q89 shared oracle CTE chain: IVF-cell assignment (inlined
+    * centroids), cell-size cap, zero-norm filter, within-cell pairs,
+    * best-witness window (`ev`, filter `rn = 1` to get the drop list).
+    */
+  private val semanticPairCtes: String = s"""cents(cell, cvec) AS (VALUES $ivfCentroids),
+         a0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         asg AS (SELECT id, vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM a0, cents),
+         cl AS (SELECT id, vec, cell FROM asg WHERE rn = 1),
+         sz AS (SELECT cell, COUNT(*) AS cs FROM cl GROUP BY 1),
+         c AS (SELECT cl.id, cl.vec, cl.cell,
+             sqrt(list_inner_product(cl.vec, cl.vec)) AS nrm
+           FROM cl JOIN sz ON cl.cell = sz.cell
+           WHERE sz.cs <= 10000 AND list_inner_product(cl.vec, cl.vec) > 0),
+         pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
+             list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
+           FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id),
+         ev AS (SELECT cell, dropped_id, kept_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY dropped_id
+               ORDER BY round(sim, 6) DESC, kept_id) AS rn
+           FROM pairs WHERE sim >= 0.4)"""
+
   /** 64-term SimHash64 oracle: bit j votes on bit (j mod 4) of hex
     * nibble (j div 4) of md5(token), mirroring
     * [[graft.etl.expressions.SimHash64]]. Bit 63's weight is written
@@ -758,28 +796,19 @@ object ExtQueries {
          FROM cand WHERE bit_count(xor(ash, bsh)) <= 3
          ORDER BY a_id, b_id""",
     "q86_semantic_dedup" -> s"""
-         WITH cents(cell, cvec) AS (VALUES $ivfCentroids),
-         a0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) > 0),
-         asg AS (SELECT id, vec, cell,
-             ROW_NUMBER() OVER (PARTITION BY id
-               ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
-           FROM a0, cents),
-         cl AS (SELECT id, vec, cell FROM asg WHERE rn = 1),
-         sz AS (SELECT cell, COUNT(*) AS cs FROM cl GROUP BY 1),
-         c AS (SELECT cl.id, cl.vec, cl.cell,
-             sqrt(list_inner_product(cl.vec, cl.vec)) AS nrm
-           FROM cl JOIN sz ON cl.cell = sz.cell
-           WHERE sz.cs <= 10000 AND list_inner_product(cl.vec, cl.vec) > 0),
-         pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
-             list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
-           FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id),
-         ev AS (SELECT cell, dropped_id, kept_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY dropped_id
-               ORDER BY round(sim, 6) DESC, kept_id) AS rn
-           FROM pairs WHERE sim >= 0.4)
+         WITH $semanticPairCtes
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
          FROM ev WHERE rn = 1 ORDER BY dropped_id""",
+    "q89_semantic_clusters" -> s"""
+         WITH RECURSIVE $semanticPairCtes,
+         sel AS (SELECT kept_id, dropped_id FROM ev WHERE rn = 1),
+         edges AS (SELECT kept_id AS s, dropped_id AS t FROM sel
+           UNION SELECT dropped_id AS s, kept_id AS t FROM sel),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s)
+         SELECT id AS vec_id, MIN(comp) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "q87_bigram_lm" -> """
          WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
          bg AS (SELECT doc_id, substr(txt, i, 1) AS c1, substr(txt, i + 1, 1) AS c2

@@ -272,6 +272,22 @@ class ExtSpec extends SparkSpec {
     assert(!out.contains(3L)) // single char: no bigrams, no row
   }
 
+  test("semantic clusters: chains collapse to one component, min id is canonical") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.998f, 0.02f, 0.0f, 0.0f)), // 1~2~3 chain
+      (7L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (8L, Array(0.0f, 0.01f, 0.999f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.95, nCells = 4)
+      .select(col("kept_id").as("a_id"), col("dropped_id").as("b_id"))
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(7L) == 7L && comp(8L) == 7L)
+  }
+
   test("q88 OOV rate: counts consistent, rate exact, tail terms actually OOV") {
     val out = graft.queries.ExtQueries.queries("q88_oov_rate")(spark, sf0001)
       .collect()
