@@ -24,6 +24,18 @@ object ExtQueries {
         substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
         explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
 
+  /** The corpus vocabulary rule shared by q63 (vocab construction) and
+    * q88 (OOV scoring): whitespace tokens of lowercased text, top `k`
+    * by (freq desc, term asc) — a TakeOrderedAndProject, so the result
+    * is k-bounded however large the corpus. One definition so the two
+    * consumers cannot desynchronize on tokenization or tie-break.
+    */
+  private def corpusVocab(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TA.wsTokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(k)
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
     "q21_dedup_exact" -> ((s, d) => {
@@ -132,17 +144,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- per-doc OOV rate against the corpus top-k vocabulary (q63's
-    //      vocab consumed): tokenizer-coverage analysis before a vocab
-    //      is frozen. The vocab is k-BOUNDED (TakeOrderedAndProject) so
-    //      its broadcast never scales with the corpus; scoring is one
-    //      scan whose only shuffle is the per-doc count, map-side
-    //      combined. Same two-branch single-pass-each posture as q59 ----
+    // ---- per-doc OOV rate against the corpus top-k vocabulary
+    //      (corpusVocab — q63's vocab rule at k=20, shared definition):
+    //      tokenizer-coverage analysis before a vocab is frozen. The
+    //      vocab is k-BOUNDED (TakeOrderedAndProject) so its broadcast
+    //      never scales with the corpus; scoring is one scan whose only
+    //      shuffle is the per-doc count, map-side combined ----
     "q88_oov_rate" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(TA.wsTokens(lower(col("text")))).as("term"))
-      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("term")).limit(20)
+      val vocab = corpusVocab(s, d, k = 20)
         .select(col("term"), lit(true).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("term"), "left")
         .groupBy(col("doc_id"))
@@ -611,10 +622,7 @@ object ExtQueries {
     //      window that assigns ids only ever sees the bounded k rows ----
     "q63_vocab" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val top = Tables.documents(s, d)
-        .select(explode(TA.wsTokens(lower(col("text")))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("term")).limit(1000)
+      val top = corpusVocab(s, d, k = 1000)
       // Single-partition window on the bounded 1000-row frame is the
       // intended plan, but an explicit partition spec keeps WindowExec
       // from WARNing "No Partition Defined" into the bench tail the
@@ -721,6 +729,15 @@ object ExtQueries {
        list_contains(['1','3','5','7','9','b','d','f'], substr(md5(t), ${j + 1}, 1))))
        > len(toks) THEN ${1L << j} ELSE 0 END""".replaceAll("\n\\s*", " ")
   }.mkString(" + ")
+
+  /** Oracle mirror of the Spark rank paths' usable-vector contract
+    * (NULL/empty/zero-norm vectors never enter a similarity join —
+    * 0/0 cosine is NaN and NaN sorts above every number).
+    */
+  private val usableVec: String =
+    """embedding IS NOT NULL AND len(embedding) > 0
+       AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"""
+      .replaceAll("\n\\s*", " ")
 
   /** The q86/q89 shared oracle CTE chain: IVF-cell assignment (inlined
     * centroids), cell-size cap, zero-norm filter, within-cell pairs,
@@ -851,9 +868,10 @@ object ExtQueries {
          SELECT a_id, b_id, round(jac, 6) AS jac FROM pairs
          WHERE jac >= 0.5 ORDER BY a_id, b_id"""),
     "q25_knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-           FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < 5 AND $usableVec),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec
+           FROM embeddings WHERE $usableVec),
          s AS (SELECT q_id, n_id,
            list_inner_product(q_vec, n_vec) /
              (sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(n_vec, n_vec))) AS sim
@@ -934,7 +952,8 @@ object ExtQueries {
          WHERE bucket < coalesce(pct, 100) ORDER BY doc_id""",
     "q74_kmeans_iter" -> s"""
          WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
          a AS (SELECT vec_id, vec, cell FROM (
            SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
              ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
@@ -972,7 +991,8 @@ object ExtQueries {
          FROM c ORDER BY doc_id, chunk_start""",
     "q76_ann_recall" -> s"""
          WITH planes(bit, pvec) AS (VALUES $lshPlanes),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
          q AS (SELECT * FROM e WHERE vec_id < 50),
          bf AS (SELECT q_id, n_id FROM (
            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -999,7 +1019,8 @@ object ExtQueries {
          GROUP BY bf.q_id ORDER BY bf.q_id""",
     "q36_embed_neardup" -> s"""
          WITH planes(bit, pvec) AS (VALUES $lshPlanes),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
          sg AS (SELECT vec_id, CAST(SUM(CASE WHEN
              list_inner_product(vec, pvec) >= 0 THEN bit ELSE 0 END) AS BIGINT) AS sig
            FROM e, planes GROUP BY vec_id),
@@ -1015,13 +1036,14 @@ object ExtQueries {
          WHERE rank <= 3 AND round(sim, 6) >= 0.2 ORDER BY q_id, rank""",
     "q44_ivf_ann" -> s"""
          WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
-         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings
+           WHERE $usableVec),
          ca AS (SELECT n_id, n_vec, cell FROM (
            SELECT n_id, n_vec, cell, ROW_NUMBER() OVER (PARTITION BY n_id
              ORDER BY round(list_inner_product(n_vec, cvec), 6) DESC, cell) AS rn
            FROM c, cent) t WHERE rn = 1),
          qq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings
-           WHERE vec_id < 50),
+           WHERE vec_id < 50 AND $usableVec),
          qa AS (SELECT q_id, q_vec, cell FROM (
            SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
              ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
