@@ -256,6 +256,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup property: equals a brute-force within-cell reference") {
+    // deterministic pseudo-random 8-dim vectors (md5-derived, like the
+    // engine's own plane/centroid constants)
+    def hv(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16).toDouble / 16777216.0 - 0.5
+    }
+    val dim = 8; val nCells = 4; val tau = 0.15
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => hv(s"v-$i-$j").toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+
+    // reference: argmax-cell assignment (rounded dot, cell-asc ties),
+    // all within-cell lower-id pairs with raw sim >= tau, best witness
+    // by (rounded sim desc, kept asc)
+    val cents = (0 until nCells).map(cl =>
+      Array.tabulate(dim)(j => graft.ext.Similarity.centroidVal(cl, j)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val assigned = vecs.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val cell = cents.zipWithIndex
+        .maxBy { case (c, ci) =>
+          (BigDecimal(dot(vd, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP), -ci) }._2
+      (id, vd, cell)
+    }
+    val expected = assigned.groupBy(_._3).values.flatMap { cell =>
+      val pairs = for {
+        a <- cell; b <- cell if a._1 < b._1
+        sim = dot(a._2, b._2) / (math.sqrt(dot(a._2, a._2)) * math.sqrt(dot(b._2, b._2)))
+        if sim >= tau
+      } yield (b._1, a._1, sim) // (dropped, kept, sim)
+      pairs.groupBy(_._1).map { case (_, ps) =>
+        ps.maxBy(p =>
+          (BigDecimal(p._3).setScale(6, BigDecimal.RoundingMode.HALF_UP), -p._2))
+      }
+    }.map(p => (p._1, p._2)).toSet
+
+    val got = graft.ext.Similarity
+      .semanticDedup(df, "vec_id", "embedding", tau = tau, nCells = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.nonEmpty) // tau chosen so the reference finds pairs
+  }
+
   test("MinhashBands property: equals a pure-Scala reference on unicode input") {
     def ref(text: String, k: Int): Seq[Option[String]] = {
       // code-point shingles, like substringSQL
