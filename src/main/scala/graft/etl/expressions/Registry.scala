@@ -30,7 +30,9 @@ object Registry {
       intArg(es(1), "word_gram_hashes"), intArg(es(2), "word_gram_hashes"))),
     "simhash16" -> (es => SimHash16(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
-    "char_bigrams" -> (es => CharBigrams(es.head)))
+    "char_bigrams" -> (es => CharBigrams(es.head)),
+    "cdc_chunks" -> (es => CdcChunks(es(0),
+      intArg(es(1), "cdc_chunks"), intArg(es(2), "cdc_chunks"))))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>

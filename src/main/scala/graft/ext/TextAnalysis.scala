@@ -126,6 +126,18 @@ object TextAnalysis {
       graft.etl.expressions.CharBigrams(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Content-defined chunks: split where the polynomial hash of the
+    * trailing `w`-char window is 0 mod `mask` (rsync/LBFS boundary
+    * rule) — variable-length chunks whose boundaries survive
+    * insertions, the dedup-friendly complement to fixed sliding
+    * windows. Single-pass codegen'd expression; see
+    * [[graft.etl.expressions.CdcChunks]].
+    */
+  def cdcChunks(text: Column, w: Int = 8, mask: Int = 64): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.CdcChunks(
+        org.apache.spark.sql.GraftBridge.expression(text), w, mask))
+
   /** Rolling polynomial fingerprint (base 31 mod 1e9+7) over the
     * character stream — an order-sensitive document fingerprint, unlike
     * the md5 content hash. Pure builtins: aggregate over the char array.

@@ -121,6 +121,23 @@ object ExtQueries {
         .orderBy(col("dropped_id"))
     }),
 
+    // ---- content-defined chunking: variable-length chunks cut where
+    //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
+    //      rule) — boundaries survive insertions, unlike q82's fixed
+    //      windows, so downstream chunk-level dedup keys stay stable
+    //      when a doc is edited. Pure per-row work (fused expression +
+    //      posexplode) that pipelines into the scan: no shuffle at all
+    //      before the output sort ----
+    "q90_cdc_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TA.cdcChunks(col("text"), w = 8, mask = 64))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- canonical semantic clusters: connected components over the
     //      q86 drop pairs (what the semanticDedup docstring points
     //      consumers at for a guaranteed survivor per near-dup group —
@@ -764,6 +781,15 @@ object ExtQueries {
                ORDER BY round(sim, 6) DESC, kept_id) AS rn
            FROM pairs WHERE sim >= 0.4)"""
 
+  /** The q90 window-hash terms: plain polynomial sum over the trailing
+    * 8 chars, every term BIGINT (31^7 * max code point ~ 3e16 — exact
+    * in int64, NOT in a double, so the powers are inlined as integer
+    * literals rather than `31 ** k`).
+    */
+  private val cdcHashTerms: String = (1 to 8).map { k =>
+    s"ascii(substr(txt, i - 8 + $k, 1))::BIGINT * ${math.pow(31, 8 - k).toLong}"
+  }.mkString(" + ")
+
   /** 64-term SimHash64 oracle: bit j votes on bit (j mod 4) of hex
     * nibble (j div 4) of md5(token), mirroring
     * [[graft.etl.expressions.SimHash64]]. Bit 63's weight is written
@@ -816,6 +842,24 @@ object ExtQueries {
          WITH $semanticPairCtes
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
          FROM ev WHERE rn = 1 ORDER BY dropped_id""",
+    "q90_cdc_chunks" -> s"""
+         WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
+         pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i
+           FROM t WHERE len(txt) >= 8),
+         h AS (SELECT doc_id, i, $cdcHashTerms AS hv FROM pos),
+         cuts AS (SELECT doc_id, list(i ORDER BY i) AS cs FROM h
+           WHERE hv % 64 = 0 GROUP BY doc_id),
+         tc AS (SELECT t.doc_id, t.txt, COALESCE(c.cs, []) AS cs
+           FROM t LEFT JOIN cuts c USING (doc_id)),
+         parts AS (SELECT doc_id, txt,
+             list_prepend(1, list_transform(cs, x -> x + 1)) AS starts,
+             list_append(cs, len(txt)) AS ends FROM tc),
+         ch AS (SELECT doc_id, unnest(generate_series(1, len(starts))) AS j,
+             starts, ends, txt FROM parts)
+         SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+           substr(txt, starts[j], ends[j] - starts[j] + 1) AS chunk
+         FROM ch WHERE starts[j] <= ends[j]
+         ORDER BY doc_id, chunk_idx""",
     "q89_semantic_clusters" -> s"""
          WITH RECURSIVE $semanticPairCtes,
          sel AS (SELECT kept_id, dropped_id FROM ev WHERE rn = 1),

@@ -32,9 +32,11 @@ class PipelineSpec extends SparkSpec {
     assert(r3.getLong(1) != 0L)
     val r4 = spark.sql(
       """SELECT simhash64('some tokens here') AS s64,
-                char_bigrams('AbC') AS b""").collect()(0)
+                char_bigrams('AbC') AS b,
+                cdc_chunks('short', 8, 64) AS c""").collect()(0)
     assert(r4.getLong(0) != 0L)
     assert(r4.getSeq[String](1) == Seq("ab", "bc"))
+    assert(r4.getSeq[String](2) == Seq("short")) // below window: one chunk
   }
 
   test("E1 pipeline: sources → consolidate → three sinks") {

@@ -236,6 +236,7 @@ class PropertySpec extends SparkSpec {
         Dedup.simhash16(col("text")).as("fused_s"),
         Dedup.simhash(TA.wsTokens(lower(col("text")))).as("composed_s"),
         Dedup.simhash64(col("text")).as("fused_s64"),
+        TA.cdcChunks(col("text")).as("fused_c"),
         TA.charBigrams(col("text")).as("fused_b"),
         when(length(lower(col("text"))) >= 2,
           transform(sequence(lit(1), length(lower(col("text"))) - 1),
@@ -251,7 +252,13 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(5) == graft.etl.expressions.SimHash64
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)),
         s"simhash64 codegen diverges at id=${r.getLong(0)}")
-      assert(r.getSeq[String](6) == r.getSeq[String](7),
+      // CdcChunks and SimHash64 have no composed twins; pin their
+      // doGenCode output to the static compute() instead
+      assert(r.getSeq[String](6).mkString == graft.etl.expressions.CdcChunks
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 8, 64)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).mkString,
+        s"cdc chunks codegen diverges at id=${r.getLong(0)}")
+      assert(r.getSeq[String](7) == r.getSeq[String](8),
         s"char bigrams diverge at id=${r.getLong(0)}")
     }
   }
@@ -301,6 +308,34 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"got=$got expected=$expected")
     assert(got.nonEmpty) // tau chosen so the reference finds pairs
+  }
+
+  test("CdcChunks property: lossless reconstruction and insertion-stable boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def chunks(t: String): Seq[String] = {
+      val a = graft.etl.expressions.CdcChunks
+        .compute(UTF8String.fromString(t), 8, 64)
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    val in = Gen.listOfN(80, uniTexts).sample.getOrElse(Seq.fill(80)("a b c"))
+    for (t <- in) {
+      val cs = chunks(t)
+      // lossless: chunks concatenate back to the input
+      assert(cs.mkString == t, s"reconstruction failed for '$t'")
+      assert(cs.forall(_.nonEmpty))
+      // insertion stability: a boundary depends only on its trailing
+      // 8-char window, so every cut strictly inside the shared suffix
+      // survives a head insertion — the chunk streams re-align and all
+      // chunks after the first shared cut are identical
+      val shifted = chunks("xy" + t)
+      val common = cs.reverse.zip(shifted.reverse).takeWhile { case (a, b) => a == b }
+      if (cs.length > 3) // enough cuts to have one clear of the head window
+        assert(common.nonEmpty || cs.length <= 1,
+          s"no shared suffix chunks for '$t': $cs vs $shifted")
+    }
+    // empty input: no chunks
+    assert(chunks("").isEmpty)
   }
 
   test("MinhashBands property: equals a pure-Scala reference on unicode input") {
