@@ -121,6 +121,33 @@ object ExtQueries {
         .orderBy(col("dropped_id"))
     }),
 
+    // ---- incremental dedup: a NEW batch (md5-split 20% "delta")
+    //      deduped against the EXISTING corpus ("base") — the shape
+    //      production ingest runs daily. One banded-signature pass over
+    //      base+delta together (same capped bucket machinery as q22),
+    //      then keep only cross-side pairs: delta docs with a base
+    //      near-dup are the ones ingest drops. At 100 TB the base-side
+    //      signatures would come precomputed from the last run's
+    //      output rather than recomputed — the join shape is identical ----
+    "q91_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("side",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2"), lit("delta")).otherwise(lit("base")))
+      val sig = Dedup.bandedSignatures(docs, "text", "doc_id", k = 8)
+      val sides = docs.select(col("doc_id"), col("side"))
+      Dedup.minhashCandidates(sig)
+        .filter(col("n_bands") >= 2)
+        .join(sides.select(col("doc_id").as("a_id"), col("side").as("a_side")), Seq("a_id"))
+        .join(sides.select(col("doc_id").as("b_id"), col("side").as("b_side")), Seq("b_id"))
+        .filter(col("a_side") =!= col("b_side"))
+        .select(
+          when(col("a_side") === "delta", col("a_id")).otherwise(col("b_id")).as("delta_id"),
+          when(col("a_side") === "delta", col("b_id")).otherwise(col("a_id")).as("base_id"),
+          col("n_bands"))
+        .orderBy(col("delta_id"), col("base_id"))
+    }),
+
     // ---- content-defined chunking: variable-length chunks cut where
     //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
     //      rule) — boundaries survive insertions, unlike q82's fixed
@@ -842,6 +869,22 @@ object ExtQueries {
          WITH $semanticPairCtes
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
          FROM ev WHERE rn = 1 ORDER BY dropped_id""",
+    "q91_incremental_dedup" -> s"""
+         WITH $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2')
+               THEN 'delta' ELSE 'base' END AS side FROM documents)
+         SELECT CASE WHEN sa.side = 'delta' THEN c.a_id ELSE c.b_id END AS delta_id,
+           CASE WHEN sa.side = 'delta' THEN c.b_id ELSE c.a_id END AS base_id,
+           n_bands
+         FROM cand c JOIN sd sa ON c.a_id = sa.doc_id
+           JOIN sd sb ON c.b_id = sb.doc_id
+         WHERE sa.side <> sb.side
+         ORDER BY delta_id, base_id""",
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i

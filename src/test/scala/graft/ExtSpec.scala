@@ -288,6 +288,25 @@ class ExtSpec extends SparkSpec {
     assert(comp(7L) == 7L && comp(8L) == 7L)
   }
 
+  test("q91 incremental dedup: cross-side pairs only, subset of the full candidate set") {
+    import org.apache.spark.sql.functions.md5
+    val out = graft.queries.ExtQueries.queries("q91_incremental_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    def side(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      if ("012".contains(f"${h(0) & 0xff}%02x".charAt(0))) "delta" else "base"
+    }
+    for ((d, b) <- out) {
+      assert(side(d) == "delta" && side(b) == "base", s"($d,$b)")
+    }
+    // every incremental pair is also a pair of the full q22 candidate run
+    val full = graft.queries.ExtQueries.queries("q22_minhash_candidates")(spark, sf0001)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(p => full.contains(Set(p._1, p._2))))
+  }
+
   test("q88 OOV rate: counts consistent, rate exact, tail terms actually OOV") {
     val out = graft.queries.ExtQueries.queries("q88_oov_rate")(spark, sf0001)
       .collect()
