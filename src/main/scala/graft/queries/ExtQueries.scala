@@ -148,6 +148,70 @@ object ExtQueries {
         .orderBy(col("delta_id"), col("base_id"))
     }),
 
+    // ---- C4-style cross-document span dedup WITH reassembly: cut each
+    //      doc into tumbling 8-token spans, keep only the globally
+    //      first occurrence of every span (min (doc_id, span_idx)),
+    //      and rebuild the cleaned text from the survivors — the
+    //      operator that actually EDITS the corpus, where q60/q62 only
+    //      measure repetition. Spans compare case-folded (the rebuilt
+    //      text is the folded form). Two keyed shuffles: the dedup
+    //      window on a 16-hex md5 span prefix (bounded key width
+    //      however long the span text), then the rebuild on doc_id —
+    //      no all-pairs path anywhere ----
+    "q92_span_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+      val spans = toks.filter(col("n_spans") >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+            i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+            .as(Seq("span_idx", "span")))
+      val kept = spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(substring(md5(col("span")), 1, 16))
+            .orderBy(col("doc_id"), col("span_idx"))))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x.getField("span"))).as("clean_text"))
+      toks.select(col("doc_id"), col("n_spans"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE merge step: adjacent character-pair frequencies over
+    //      the corpus vocabulary, weighted by word frequency — the
+    //      inner loop of tokenizer training. The pair explosion runs
+    //      on the DISTINCT word table (vocab-sized), not the corpus:
+    //      the word-freq group-by (map-side combined) is the only
+    //      corpus-wide shuffle, which is exactly how a 100 TB BPE
+    //      trainer keeps each merge iteration cheap. Top-20 via the
+    //      same TakeOrderedAndProject + bounded-window shape as q63 ----
+    "q93_bpe_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(explode(TA.wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("word")) >= 2)
+      val pairs = words.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      pairs.groupBy(col("pair")).agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("pair")).limit(20)
+        .withColumn("merge_rank",
+          row_number().over(Window.partitionBy(substring(col("pair"), 0, 0))
+            .orderBy(col("pair_freq").desc, col("pair"))).cast("long"))
+        .select(col("merge_rank"), col("pair"), col("pair_freq"))
+        .orderBy(col("merge_rank"))
+    }),
+
     // ---- content-defined chunking: variable-length chunks cut where
     //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
     //      rule) — boundaries survive insertions, unlike q82's fixed
@@ -885,6 +949,38 @@ object ExtQueries {
            JOIN sd sb ON c.b_id = sb.doc_id
          WHERE sa.side <> sb.side
          ORDER BY delta_id, base_id""",
+    "q92_span_dedup" -> s"""
+         WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         n AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM t),
+         sp AS (SELECT doc_id, i AS span_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM n WHERE n_spans >= 1)),
+         k AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
+             PARTITION BY substr(md5(span), 1, 16)
+             ORDER BY doc_id, span_idx) AS rn FROM sp),
+         r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT n.doc_id, n.n_spans, COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+         FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""",
+    "q93_bpe_merge" -> s"""
+         WITH w AS (SELECT unnest(${duckToks("text")}) AS word FROM documents),
+         f AS (SELECT word, COUNT(*) AS freq FROM w
+           WHERE len(word) >= 2 GROUP BY 1),
+         p AS (SELECT substr(word, i, 2) AS pair, freq
+           FROM (SELECT word, freq,
+               unnest(generate_series(1, len(word) - 1)) AS i FROM f)),
+         a AS (SELECT pair, SUM(freq) AS pair_freq FROM p GROUP BY 1),
+         r AS (SELECT pair, pair_freq,
+             ROW_NUMBER() OVER (ORDER BY pair_freq DESC, pair) AS merge_rank
+           FROM a)
+         SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair,
+           CAST(pair_freq AS BIGINT) AS pair_freq
+         FROM r WHERE merge_rank <= 20 ORDER BY merge_rank""",
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i

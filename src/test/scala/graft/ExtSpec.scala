@@ -307,6 +307,41 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(p => full.contains(Set(p._1, p._2))))
   }
 
+  test("q92 span dedup == sequential first-occurrence reference") {
+    val docs = graft.util.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // reference: walk docs in (doc_id, span_idx) order, keep a span's
+    // first occurrence only, rebuild the cleaned text
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val spans = toks.grouped(8).map(_.mkString(" ")).toSeq
+      val kept = spans.filter(sp => seen.add(sp))
+      (id, spans.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = graft.queries.ExtQueries.queries("q92_span_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // the corpus-wide invariant: every distinct span survives exactly once
+    assert(expected.map(_._3).sum == seen.size.toLong)
+  }
+
+  test("q93 BPE merge step == brute-force pair counts") {
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (r <- graft.util.Tables.documents(spark, sf0001).select("text").collect();
+         w <- r.getString(0).toLowerCase.trim.split("\\s+") if w.length >= 2;
+         i <- 0 until w.length - 1)
+      freq(w.substring(i, i + 2)) += 1L
+    // brute force counts corpus occurrences directly; the query counts
+    // (word freq) x (pairs per distinct word) — same total by design
+    val expected = freq.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+      .zipWithIndex.map { case ((p, f), i) => (i + 1L, p, f) }
+    val got = graft.queries.ExtQueries.queries("q93_bpe_merge")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q88 OOV rate: counts consistent, rate exact, tail terms actually OOV") {
     val out = graft.queries.ExtQueries.queries("q88_oov_rate")(spark, sf0001)
       .collect()
