@@ -102,6 +102,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q92 span dedup: no cartesian; dedup and rebuild are keyed exchanges") {
+    val p = plan("q92_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the span-hash window and the doc_id rebuild each hash-partition
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("q93 bpe merge: top-20 via TakeOrdered, not a global sort") {
+    val p = plan("q93_bpe_merge")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q87/q88: bounded model and vocab tables broadcast back to the scan") {
     // the charset^2 bigram model (and its ctx/vsize derivatives) and
     // the top-k vocab must broadcast — a shuffled scoring join would
