@@ -167,6 +167,82 @@ object Similarity {
       when(scale > 0, round(x * lit(127.0) / scale).cast("int"))
         .otherwise(lit(0)))
 
+  /** Exact integer dot product of two int-code array columns, in LONG
+    * arithmetic — no floating point until the final normalization, so
+    * the value is bit-identical on any engine. |code_i| <= 127 bounds
+    * each product at 16 129; overflow would need a ~5.7e14-dimensional
+    * vector.
+    */
+  private def dotInt(x: Column, y: Column): Column =
+    aggregate(zip_with(x.cast("array<long>"), y.cast("array<long>"),
+      (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+
+  /** IVF ANN over int8-quantized codes — the consumer of
+    * [[int8Scale]]/[[quantizeInt8]] (q81's storage shrink becomes a
+    * search path). Both sides are quantized; candidate scoring is a
+    * pure INTEGER dot product over the codes (the SIMD-int8 kernel a
+    * 100 TB deployment runs against 4x-smaller shards), normalized by
+    * the per-side integer code norms — code-space cosine is scale-free
+    * because the positive per-vector scales cancel. The reconstructed
+    * fp dot product (`dot_rec` = ip * a_scale/127 * b_scale/127) is
+    * also emitted to exercise the stored-scale rescale path.
+    *
+    * Cell assignment runs in code space too (argmax rounded
+    * code·centroid, cell-asc tie-break): at scale the index holds ONLY
+    * codes + scales — fp32 vectors are gone after quantization — and
+    * within one vector the positive scale cannot change its argmax
+    * cell. Same bounded-broadcast NLJ + keyed cell equi-join shape as
+    * [[ivfTopK]]; recall loss vs fp32 is measured by the recall query
+    * (q97), exactly as q76 gates the LSH path.
+    */
+  def quantizedIvfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+
+    // (id, code, scale, cnorm): per-row quantization, no shuffle.
+    // scale0 = 0 yields an all-zero code -> cnorm 0 -> dropped (cosine
+    // undefined), mirroring the zero-norm discipline of the fp paths.
+    def quantize(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && size(col("v")) > 0)
+        .withColumn("scale0", int8Scale(col("v")))
+        .select(col(id), quantizeInt8(col("v"), col("scale0")).as("code"),
+          col("scale0").as("scale"))
+        .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
+        .filter(col("cnorm") > 0)
+
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+      df.crossJoin(cents)
+        .withColumn("cdot", dot(col("code").cast("array<double>"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .drop("cdot", "rn", "cvec")
+    }
+
+    val c = assign(quantize(corpus, "n_id"), "n_id", 1)
+      .select(col("cell"), col("n_id"), col("code").as("n_code"),
+        col("scale").as("n_scale"), col("cnorm").as("n_norm"))
+    val q = assign(quantize(queries, "q_id"), "q_id", nProbe)
+      .select(col("cell"), col("q_id"), col("code").as("q_code"),
+        col("scale").as("q_scale"), col("cnorm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("ip", dotInt(col("q_code"), col("n_code")))
+      .withColumn("sim", col("ip").cast("double") / (col("q_norm") * col("n_norm")))
+      .withColumn("dot_rec",
+        col("ip").cast("double") * col("q_scale") * col("n_scale") / lit(127.0 * 127.0))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("sim"), 6).as("sim"), round(col("dot_rec"), 6).as("dot_rec"))
+  }
+
   /** One Lloyd (k-means) refinement iteration over the deterministic
     * coarse centroids — the "training" step that adapts the static IVF
     * cells ([[ivfTopK]]) to the data. Assignment is the same bounded

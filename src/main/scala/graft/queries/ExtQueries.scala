@@ -500,8 +500,47 @@ object ExtQueries {
           Similarity.int8Scale(col("embedding")).as("scale0"))
         .select(col("vec_id"),
           round(col("scale0"), 6).as("scale"),
-          Similarity.quantizeInt8(col("embedding"), col("scale0")).as("qvec"))
+          // list-typed columns crash the driver's pandas sort_values
+          // (unhashable ndarray) — compare the codes as a CSV string
+          // (q31 discipline); consumers wanting the array use
+          // Similarity.quantizeInt8 directly (q94 does)
+          array_join(transform(
+            Similarity.quantizeInt8(col("embedding"), col("scale0")),
+            _.cast("string")), ",").as("qvec"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- quantized ANN: the consumer of q81's int8 codes. IVF probe
+    //      where candidate scoring is an exact INTEGER dot product over
+    //      the codes (code-space cosine — per-vector scales cancel),
+    //      plus the reconstructed fp dot via the stored scales. Same
+    //      bounded-broadcast centroid NLJ + keyed cell equi-join as
+    //      q44; at 100 TB the index holds only codes+scales (4x
+    //      smaller shards) and this is the query path ----
+    "q94_quantized_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      Similarity.quantizedIvfTopK(q, emb, "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- quantized-ANN quality gate: recall@3 of the int8 IVF path
+    //      (q94) against the exact fp32 brute-force ranking — the
+    //      measurement that says how much the 4x storage shrink costs
+    //      in retrieval quality (q76 discipline, quantized path) ----
+    "q97_quantized_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.quantizedIvfTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("n_hits"),
+          round(count(col("a_n")) / lit(3.0), 6).as("recall_at_3"))
+        .orderBy(col("q_id"))
     }),
 
     // ---- sliding-window document chunking (size 500, stride 400 →
@@ -847,6 +886,48 @@ object ExtQueries {
        AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"""
       .replaceAll("\n\\s*", " ")
 
+  /** The q94/q97 shared oracle CTE chain: per-vector int8 quantization,
+    * integer code norms, code-space IVF cell assignment (corpus keep-1
+    * in `ca`, query-side keep-4 probe in `qa`), within-cell integer-dot
+    * scoring, and the rank window (`rk`, filter `rank <= 3`). Mirrors
+    * [[graft.ext.Similarity.quantizedIvfTopK]] exactly: the dot
+    * products are sums of exact small integers, so double arithmetic
+    * here equals the Spark side's LONG fold bit-for-bit.
+    */
+  private val quantizedCtes: String = s"""cent(cell, cvec) AS (VALUES $ivfCentroids),
+         s AS (SELECT vec_id, embedding,
+             coalesce(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale0
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         qz AS (SELECT vec_id,
+             CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code,
+             scale0 AS scale FROM s),
+         cd AS (SELECT vec_id, code, scale,
+             list_transform(code, x -> CAST(x AS DOUBLE)) AS dcode FROM qz),
+         nn AS (SELECT vec_id, dcode, scale,
+             sqrt(list_inner_product(dcode, dcode)) AS cnorm FROM cd
+           WHERE list_inner_product(dcode, dcode) > 0),
+         ca AS (SELECT vec_id, dcode, scale, cnorm, cell FROM (
+             SELECT vec_id, dcode, scale, cnorm, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
+             FROM nn, cent) t WHERE rn = 1),
+         qa AS (SELECT vec_id, dcode, scale, cnorm, cell FROM (
+             SELECT vec_id, dcode, scale, cnorm, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
+             FROM nn, cent WHERE vec_id < 50) t WHERE rn <= 4),
+         pr AS (SELECT qa.vec_id AS q_id, ca.vec_id AS n_id,
+             list_inner_product(qa.dcode, ca.dcode) / (qa.cnorm * ca.cnorm) AS sim,
+             list_inner_product(qa.dcode, ca.dcode) * qa.scale * ca.scale / 16129.0 AS dot_rec
+           FROM qa JOIN ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id),
+         rk AS (SELECT q_id, n_id, sim, dot_rec,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM pr)"""
+
   /** The q86/q89 shared oracle CTE chain: IVF-cell assignment (inlined
     * centroids), cell-size cap, zero-norm filter, within-cell pairs,
     * best-witness window (`ev`, filter `rn = 1` to get the drop list).
@@ -1160,10 +1241,34 @@ object ExtQueries {
                        x -> abs(CAST(x AS DOUBLE)))), 0.0) END AS scale0
          FROM embeddings)
          SELECT vec_id, round(scale0, 6) AS scale,
-           CASE WHEN scale0 > 0 THEN list_transform(embedding,
-                  x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS INTEGER))
-                ELSE list_transform(embedding, x -> 0) END AS qvec
+           array_to_string(list_transform(
+             CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS INTEGER))
+                  ELSE list_transform(embedding, x -> 0) END,
+             v -> CAST(v AS VARCHAR)), ',') AS qvec
          FROM s ORDER BY vec_id""",
+    "q94_quantized_ann" -> s"""
+         WITH $quantizedCtes
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id,
+           round(sim, 6) AS sim, round(dot_rec, 6) AS dot_rec
+         FROM rk WHERE rank <= 3 ORDER BY q_id, rank""",
+    "q97_quantized_recall" -> s"""
+         WITH $quantizedCtes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         q AS (SELECT * FROM e WHERE vec_id < 50),
+         bf AS (SELECT q_id, n_id FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               round(list_inner_product(a.vec, b.vec) /
+                 (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))), 6) DESC,
+               b.vec_id) AS rank
+           FROM q a JOIN e b ON a.vec_id <> b.vec_id) t WHERE rank <= 3),
+         ap AS (SELECT q_id, n_id FROM rk WHERE rank <= 3)
+         SELECT bf.q_id, COUNT(ap.n_id) AS n_hits,
+           round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
+         FROM bf LEFT JOIN ap ON bf.q_id = ap.q_id AND bf.n_id = ap.n_id
+         GROUP BY bf.q_id ORDER BY bf.q_id""",
     "q82_chunk_docs" ->
       """WITH c AS (SELECT doc_id, text,
            unnest(range(0, greatest(len(text), 1), 400)) AS chunk_start

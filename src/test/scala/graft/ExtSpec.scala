@@ -168,6 +168,35 @@ class ExtSpec extends SparkSpec {
     assert(full == bruteTop5)
   }
 
+  test("quantizedIvfTopK: codes are scale-invariant; exact-ratio dup ranks first at sim 1") {
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.2f, 0.0f, 0.0f)), // 2x vec 0 -> identical int8 codes
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.3f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedIvfTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2,
+      nCells = 4, nProbe = 4).orderBy(col("rank")).collect()
+    assert(out.head.getAs[Long]("n_id") == 1L)
+    assert(out.head.getAs[Double]("sim") == 1.0)
+    // the reconstructed dot carries the two different scales: vec 1 has
+    // 2x the scale of vec 0, so dot_rec ~ 2 * |v0|^2
+    val dotRec = out.head.getAs[Double]("dot_rec")
+    assert(math.abs(dotRec - 2 * (0.5 * 0.5 + 0.1 * 0.1)) < 0.01)
+  }
+
+  test("quantizedIvfTopK hits are genuine fp32 neighbors on real embeddings") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 50)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qa = Similarity.quantizedIvfTopK(q, emb, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(qa.nonEmpty)
+    // int8 quantization perturbs sims by <1%, so quantized hits should
+    // still overwhelmingly be genuine fp32 neighbor candidates
+    assert(qa.count(brute.contains) >= qa.length / 2)
+  }
+
   test("kmeansIteration: long-form means partition the corpus per position") {
     val emb = graft.util.Tables.embeddings(spark, sf0001)
     val n = emb.count()
