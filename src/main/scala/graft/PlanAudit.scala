@@ -16,7 +16,12 @@ object PlanAudit {
     "q48_tfidf" -> "one-row broadcast of the corpus-size scalar (N for idf)",
     "q66_gap_fill" -> "one-row broadcast of the (min,max) date span for the spine",
     "q74_kmeans_iter" -> "16-row broadcast centroid frame (same fan-out as q44)",
-    "q76_ann_recall" -> "brute-force exact side of the recall eval (bounded query set, q25's design)")
+    "q76_ann_recall" -> "brute-force exact side of the recall eval (bounded query set, q25's design)",
+    "q86_semantic_dedup" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
+    "q87_bigram_lm" -> "one-row broadcast of the vocab-size scalar (add-one smoothing, q48's pattern)",
+    "q89_semantic_clusters" -> "q86's bounded centroid-assignment BNLJ feeding the CC pairs",
+    "q94_quantized_ann" -> "16-row broadcast centroid frame over int8 codes (q44's fan-out)",
+    "q97_quantized_recall" -> "brute-force exact side (q25) + q94's bounded centroid assignment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

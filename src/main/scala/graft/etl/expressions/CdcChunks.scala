@@ -70,7 +70,11 @@ object CdcChunks {
 
 case class CdcChunks(child: Expression, w: Int, mask: Int)
     extends UnaryExpression {
-  require(w > 0, "window must be positive")
+  // w <= 9 keeps every intermediate below int64 (cp < 0x110000,
+  // 31^8 ~ 8.5e11, w * cp * 31^(w-1) ~ 8e18 > Long.MaxValue at w = 10):
+  // beyond that the window hash would wrap negative and silently diverge
+  // from the DuckDB-reproducible definition the docstring promises
+  require(w > 0 && w <= 9, s"window must be in [1, 9], got $w")
   require(mask > 0, "mask must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -71,7 +71,7 @@ object CoreQueries {
     Option(f.listFiles).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
-  private def tempQueryDir(prefix: String): String = {
+  private[queries] def tempQueryDir(prefix: String): String = {
     tempDirHook
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Option(tempDirs.put(prefix, dir)).foreach(prev => rmTree(prev.toFile))
@@ -91,7 +91,7 @@ object CoreQueries {
     * the shared shutdown cleanup but exempt from eager per-run
     * deletion.
     */
-  private def sharedInputDir(key: String)(write: String => Unit): String = {
+  private[queries] def sharedInputDir(key: String)(write: String => Unit): String = {
     tempDirHook
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"${key}_p${ProcessHandle.current().pid()}")

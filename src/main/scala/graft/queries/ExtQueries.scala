@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis => TA}
@@ -148,6 +148,43 @@ object ExtQueries {
         .orderBy(col("delta_id"), col("base_id"))
     }),
 
+    // ---- incremental dedup against PERSISTED signatures — q91's
+    //      100 TB promise made real. The base corpus' banded signatures
+    //      are materialized once as a parquet table ("the last run's
+    //      output", CoreQueries.sharedInputDir session-store) and the
+    //      incremental pass READS THEM BACK: the minhash pipeline runs
+    //      only over the new batch, the base side is a scan of
+    //      (doc_id, band, minhash) ~1% the corpus width. Candidate join
+    //      shape is identical to q91 (same capped bucket machinery);
+    //      sides are derived per-row from the same md5 split that
+    //      framed the batch — in production the delta id set is the
+    //      batch being ingested, so no corpus-side join is needed
+    //      either way. Oracle: same SQL as q91 — the persisted path
+    //      must be value-identical to the recompute path ----
+    "q95_incremental_persisted" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val docs = Tables.documents(s, d)
+      val sigDir = CoreQueries.sharedInputDir(
+        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
+          "text", "doc_id", k = 8).write.parquet(p)
+      }
+      val baseSig = s.read.parquet(sigDir)
+      val deltaSig = Dedup.bandedSignatures(docs.filter(isDelta(col("doc_id"))),
+        "text", "doc_id", k = 8)
+      Dedup.minhashCandidates(baseSig.unionByName(deltaSig))
+        .filter(col("n_bands") >= 2)
+        .withColumn("a_delta", isDelta(col("a_id")))
+        .withColumn("b_delta", isDelta(col("b_id")))
+        .filter(col("a_delta") =!= col("b_delta"))
+        .select(
+          when(col("a_delta"), col("a_id")).otherwise(col("b_id")).as("delta_id"),
+          when(col("a_delta"), col("b_id")).otherwise(col("a_id")).as("base_id"),
+          col("n_bands"))
+        .orderBy(col("delta_id"), col("base_id"))
+    }),
+
     // ---- C4-style cross-document span dedup WITH reassembly: cut each
     //      doc into tumbling 8-token spans, keep only the globally
     //      first occurrence of every span (min (doc_id, span_idx)),
@@ -210,6 +247,54 @@ object ExtQueries {
             .orderBy(col("pair_freq").desc, col("pair"))).cast("long"))
         .select(col("merge_rank"), col("pair"), col("pair_freq"))
         .orderBy(col("merge_rank"))
+    }),
+
+    // ---- iterated BPE training: 5 driver-bounded merge rounds
+    //      composing q93's single step into the trainer loop. Words are
+    //      \u0001\u0001-delimited symbol strings, so each round's merge
+    //      application is ONE codegen'd replace() per word (greedy
+    //      left-to-right, exactly BPE's merge rule) and the pair stats
+    //      are an explode over the split symbols. The corpus-wide
+    //      shuffle happens ONCE (the word-freq group-by, persisted);
+    //      each round then shuffles only the vocab-bounded pair table
+    //      and takes its argmax via TakeOrdered — per-merge cost is
+    //      corpus-independent, which is what makes a 100 TB BPE trainer
+    //      feasible. The per-round limit(1).collect() is a bounded
+    //      driver action (one row), same discipline as q45's per-round
+    //      convergence count ----
+    "q96_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val S = "\u0001"; val SS = S + S
+      val words0 = graft.util.Persist(Tables.documents(s, d)
+        .select(explode(TA.wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("word")) >= 2)
+        .select(concat(lit(SS), regexp_replace(col("word"), "(.)", "$1" + SS)).as("rep"),
+          col("freq")))
+      var words: DataFrame = words0
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (it <- 1 to 5) {
+        val top = words
+          .select(col("freq"),
+            filter(split(col("rep"), SS), x => x =!= lit("")).as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("pair_freq"))
+          .orderBy(col("pair_freq").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((it.toLong, a, b, f))
+          words = words.withColumn("rep",
+            replace(col("rep"), lit(S + a + SS + b + S), lit(S + a + b + S)))
+        }
+      }
+      merges.toSeq.toDF("merge_iter", "left_sym", "right_sym", "pair_freq")
+        .orderBy(col("merge_iter"))
     }),
 
     // ---- content-defined chunking: variable-length chunks cut where
@@ -886,6 +971,63 @@ object ExtQueries {
        AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"""
       .replaceAll("\n\\s*", " ")
 
+  /** Shared q91/q95 oracle: banded-signature candidates (>=2 bands),
+    * cross-side (md5-split delta-vs-base) pairs only. q95 differs from
+    * q91 only in WHERE the base-side signatures come from (a persisted
+    * parquet signature table vs recompute), which must not change the
+    * values — one SQL pins both.
+    */
+  private lazy val incrementalDedupSql: String = s"""
+         WITH $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2')
+               THEN 'delta' ELSE 'base' END AS side FROM documents)
+         SELECT CASE WHEN sa.side = 'delta' THEN c.a_id ELSE c.b_id END AS delta_id,
+           CASE WHEN sa.side = 'delta' THEN c.b_id ELSE c.a_id END AS base_id,
+           n_bands
+         FROM cand c JOIN sd sa ON c.a_id = sa.doc_id
+           JOIN sd sb ON c.b_id = sb.doc_id
+         WHERE sa.side <> sb.side
+         ORDER BY delta_id, base_id"""
+
+  /** q96 oracle: the 5-round BPE trainer unrolled into a CTE chain
+    * (w0 -> p1/t1/w1 -> ... -> t5), generated programmatically — the
+    * "scripted oracle" discipline (cf. simhashTerms). Each round: pair
+    * stats over the symbol-split reps, argmax via ORDER BY/LIMIT 1,
+    * merge applied with the same single replace() as the Spark side
+    * (left join keeps w_i intact if a round produces no pair).
+    */
+  private lazy val bpeTrainSql: String = {
+    val S = "\u0001"; val SS = S + S
+    val rounds = (1 to 5).map { i =>
+      s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, freq
+           FROM (SELECT list_filter(string_split(rep, '$SS'), x -> x <> '') AS syms,
+                   freq FROM w${i - 1}),
+             LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(j)
+           WHERE len(syms) >= 2),
+         t$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+           FROM p$i GROUP BY 1, 2 ORDER BY pair_freq DESC, a, b LIMIT 1),
+         w$i AS (SELECT CASE WHEN t$i.a IS NULL THEN rep
+               ELSE replace(rep, '$S' || t$i.a || '$SS' || t$i.b || '$S',
+                            '$S' || t$i.a || t$i.b || '$S') END AS rep, freq
+           FROM w${i - 1} LEFT JOIN t$i ON TRUE)"""
+    }.mkString(",\n         ")
+    val unions = (1 to 5).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_iter, a AS left_sym, b AS right_sym, pair_freq FROM t$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT '$SS' || regexp_replace(word, '(.)', '\\1$SS', 'g') AS rep,
+           CAST(freq AS BIGINT) AS freq FROM (
+             SELECT word, COUNT(*) AS freq
+             FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents) t
+             WHERE len(word) >= 2 GROUP BY 1) f),
+         $rounds
+         SELECT * FROM ($unions) ORDER BY merge_iter"""
+  }
+
   /** The q94/q97 shared oracle CTE chain: per-vector int8 quantization,
     * integer code norms, code-space IVF cell assignment (corpus keep-1
     * in `ca`, query-side keep-4 probe in `qa`), within-cell integer-dot
@@ -1014,22 +1156,10 @@ object ExtQueries {
          WITH $semanticPairCtes
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
          FROM ev WHERE rn = 1 ORDER BY dropped_id""",
-    "q91_incremental_dedup" -> s"""
-         WITH $bandedSigSql,
-         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
-           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         sd AS (SELECT doc_id,
-             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2')
-               THEN 'delta' ELSE 'base' END AS side FROM documents)
-         SELECT CASE WHEN sa.side = 'delta' THEN c.a_id ELSE c.b_id END AS delta_id,
-           CASE WHEN sa.side = 'delta' THEN c.b_id ELSE c.a_id END AS base_id,
-           n_bands
-         FROM cand c JOIN sd sa ON c.a_id = sa.doc_id
-           JOIN sd sb ON c.b_id = sb.doc_id
-         WHERE sa.side <> sb.side
-         ORDER BY delta_id, base_id""",
+    "q91_incremental_dedup" -> incrementalDedupSql,
+    // the persisted-signature path (q95) must be value-identical to the
+    // recompute path (q91): one oracle pins both
+    "q95_incremental_persisted" -> incrementalDedupSql,
     "q92_span_dedup" -> s"""
          WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
          n AS (SELECT doc_id, toks,
@@ -1062,6 +1192,7 @@ object ExtQueries {
          SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pair,
            CAST(pair_freq AS BIGINT) AS pair_freq
          FROM r WHERE merge_rank <= 20 ORDER BY merge_rank""",
+    "q96_bpe_train" -> bpeTrainSql,
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i

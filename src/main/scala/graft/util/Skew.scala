@@ -35,6 +35,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, hotThreshold: Long = 1000000L): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
+    // the broadcast-safety argument is |left| / hotThreshold rows: a
+    // tiny threshold makes the "bounded" hot set approach all distinct
+    // left keys, turning the safety broadcast into a corpus-sized one.
+    // 1 is permitted (useful in tests) but production callers should
+    // size it so |left| / hotThreshold stays a safe broadcast.
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
     val hot = hotKeySet(left, keys, hotThreshold)
     saltLeft(left, hot, keys, salts)
       .join(saltRight(right, hot, keys, salts), keys :+ "__salt")

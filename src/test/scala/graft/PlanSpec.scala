@@ -116,6 +116,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q95 persisted incremental dedup: base side scans the signature table, not documents") {
+    // the whole point of q95: the base corpus is NOT re-minhashed — the
+    // only documents.parquet scan is the delta batch; the base side is
+    // a scan of the persisted (doc_id, band, minhash) table
+    val df = SparkEntry.queries("q95_incremental_persisted")(spark, sf0001)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("documents\\.parquet".r.findAllIn(finalPlan).length == 1, finalPlan)
+    assert("graft_q95_sig_".r.findAllIn(finalPlan).nonEmpty, finalPlan)
+  }
+
   test("q87/q88: bounded model and vocab tables broadcast back to the scan") {
     // the charset^2 bigram model (and its ctx/vsize derivatives) and
     // the top-k vocab must broadcast — a shuffled scoring join would

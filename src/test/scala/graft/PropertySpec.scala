@@ -253,10 +253,13 @@ class PropertySpec extends SparkSpec {
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t)),
         s"simhash64 codegen diverges at id=${r.getLong(0)}")
       // CdcChunks and SimHash64 have no composed twins; pin their
-      // doGenCode output to the static compute() instead
-      assert(r.getSeq[String](6).mkString == graft.etl.expressions.CdcChunks
+      // doGenCode output to the static compute() instead. Compare the
+      // chunk SEQUENCES element-wise — a concatenated compare is
+      // vacuous for boundary placement (every partition of the text
+      // concatenates back to the same string)
+      assert(r.getSeq[String](6) == graft.etl.expressions.CdcChunks
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 8, 64)
-        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).mkString,
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq,
         s"cdc chunks codegen diverges at id=${r.getLong(0)}")
       assert(r.getSeq[String](7) == r.getSeq[String](8),
         s"char bigrams diverge at id=${r.getLong(0)}")
