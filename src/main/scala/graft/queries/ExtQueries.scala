@@ -297,6 +297,106 @@ object ExtQueries {
         .orderBy(col("merge_iter"))
     }),
 
+    // ---- CCNet-style boilerplate removal: drop any tumbling 8-token
+    //      span that appears in MORE THAN ONE distinct doc of the same
+    //      source (nav bars, footers, license blurbs repeat within a
+    //      crawl domain — CCNet's "paragraph occurs more than once"
+    //      rule), then reassemble. Complements q92: q92 keeps the
+    //      globally FIRST occurrence of a duplicated span; this drops
+    //      ALL occurrences of a frequent span — the CCNet/ refinedweb
+    //      shape for template text. Span stats and the stats join
+    //      share the (source, span-key) exchange; the rebuild is the
+    //      q92 groupBy — every shuffle keyed, nothing corpus-quadratic ----
+    "q98_boilerplate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TA.wsTokens(lower(col("text"))).as("toks"))
+        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+      val spans = toks.filter(col("n_spans") >= 1)
+        .select(col("doc_id"), col("source"),
+          posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+            i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+            .as(Seq("span_idx", "span")))
+        .withColumn("key", substring(md5(col("span")), 1, 16))
+      val stats = spans.groupBy(col("source"), col("key"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val rebuilt = spans.join(stats, Seq("source", "key"))
+        .filter(col("n_docs") < 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x.getField("span"))).as("clean_text"))
+      toks.select(col("doc_id"), col("n_spans"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- CCNet perplexity bucketing: head/middle/tail terciles of the
+    //      corpus-trained bigram-LM score (q87's model), per language.
+    //      Deliberately NOT ntile-over-the-corpus: the cut points come
+    //      from the cumulative distribution of the (lang, score)
+    //      GROUPED table — the per-lang window runs over distinct
+    //      scores, not rows, so the sort that would single-thread a
+    //      100 TB corpus under partitionBy(lang) never sees corpus
+    //      cardinality (the distributed-quantile-by-value-counts
+    //      shape). Equal scores land in the same bucket by
+    //      construction — a property row-ntile can't give a filter ----
+    "q99_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TA.bigramLmScore(docs, "text", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_score"))
+      val wLang = Window.partitionBy(col("lang"))
+      val cuts = scored.groupBy(col("lang"), col("lm_score"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+          wLang.orderBy(col("lm_score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_lang", sum(col("cnt")).over(wLang))
+      scored.join(cuts.select(col("lang"), col("lm_score"),
+          col("cum_before"), col("n_lang")), Seq("lang", "lm_score"))
+        .select(col("doc_id"), col("lang"), col("lm_score"),
+          when(col("cum_before") * 3 < col("n_lang"), "head")
+            .when(col("cum_before") * 3 < col("n_lang") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher-style composite quality rules: the fixed per-doc
+    //      threshold battery (word count, mean word length, stopword
+    //      presence, duplicate-word fraction) a crawl pipeline applies
+    //      before any model-based scoring. Rules as 0/1 longs plus the
+    //      conjunction; thresholds adapted to this corpus' word-soup
+    //      profile. Pure per-row expressions — the whole battery
+    //      pipelines into the scan, zero shuffles before the sort ----
+    "q100_gopher_rules" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+            .as("mean_word_len"),
+          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("stopword_ratio"),
+          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+            / size(col("ltoks")).cast("double"), 6).as("dup_frac"))
+        .withColumn("r_nwords",
+          (col("n_words") >= 50 && col("n_words") <= 100000).cast("long"))
+        .withColumn("r_wordlen",
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("long"))
+        .withColumn("r_stop", (col("stopword_ratio") >= 0.02).cast("long"))
+        .withColumn("r_dup", (col("dup_frac") <= 0.9).cast("long"))
+        .withColumn("keep", (col("r_nwords") === 1 && col("r_wordlen") === 1 &&
+          col("r_stop") === 1 && col("r_dup") === 1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- content-defined chunking: variable-length chunks cut where
     //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
     //      rule) — boundaries survive insertions, unlike q82's fixed
@@ -1193,6 +1293,72 @@ object ExtQueries {
            CAST(pair_freq AS BIGINT) AS pair_freq
          FROM r WHERE merge_rank <= 20 ORDER BY merge_rank""",
     "q96_bpe_train" -> bpeTrainSql,
+    "q98_boilerplate" -> s"""
+         WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS toks FROM documents),
+         n AS (SELECT doc_id, source, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM t),
+         sp AS (SELECT doc_id, source, i AS span_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+           FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM n WHERE n_spans >= 1)),
+         sk AS (SELECT doc_id, source, span_idx, span,
+             substr(md5(span), 1, 16) AS key FROM sp),
+         st AS (SELECT source, key, COUNT(DISTINCT doc_id) AS n_docs
+           FROM sk GROUP BY 1, 2),
+         r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+           FROM sk JOIN st USING (source, key) WHERE st.n_docs < 2
+           GROUP BY doc_id)
+         SELECT n.doc_id, n.n_spans, COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+         FROM n LEFT JOIN r USING (doc_id) ORDER BY n.doc_id""",
+    "q99_ccnet_buckets" -> """
+         WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+         bg AS (SELECT doc_id, substr(txt, i, 1) AS c1, substr(txt, i + 1, 1) AS c2
+           FROM t, LATERAL unnest(generate_series(1, len(txt) - 1)) AS u(i)
+           WHERE len(txt) >= 2),
+         model AS (SELECT c1, c2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         ctx AS (SELECT c1, sum(cnt) AS tot FROM model GROUP BY 1),
+         v AS (SELECT count(DISTINCT c2) AS vsize FROM model),
+         scored AS (SELECT b.doc_id, round(avg(ln((m.cnt + 1.0) / (x.tot + v.vsize))), 6) AS lm_score
+           FROM bg b JOIN model m ON b.c1 = m.c1 AND b.c2 = m.c2
+           JOIN ctx x ON b.c1 = x.c1 CROSS JOIN v GROUP BY b.doc_id),
+         sl AS (SELECT s.doc_id, d.lang, s.lm_score
+           FROM scored s JOIN documents d USING (doc_id)),
+         grp AS (SELECT lang, lm_score, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
+         cuts AS (SELECT lang, lm_score,
+             COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+           FROM grp)
+         SELECT sl.doc_id, sl.lang, sl.lm_score,
+           CASE WHEN c.cum_before * 3 < c.n_lang THEN 'head'
+                WHEN c.cum_before * 3 < c.n_lang * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM sl JOIN cuts c ON sl.lang = c.lang AND sl.lm_score = c.lm_score
+         ORDER BY sl.doc_id""",
+    "q100_gopher_rules" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks,
+             ${duckToks("lower(text)")} AS ltoks FROM documents),
+         m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+             round(CAST(len(list_filter(ltoks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS stopword_ratio,
+             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS dup_frac
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, stopword_ratio, dup_frac,
+           CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_nwords,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT) AS r_wordlen,
+           CAST(stopword_ratio >= 0.02 AS BIGINT) AS r_stop,
+           CAST(dup_frac <= 0.9 AS BIGINT) AS r_dup,
+           CAST(n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND stopword_ratio >= 0.02 AND dup_frac <= 0.9 AS BIGINT) AS keep
+         FROM m ORDER BY doc_id""",
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i
