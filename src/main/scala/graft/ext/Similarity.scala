@@ -93,6 +93,32 @@ object Similarity {
   /** Component i of IVF coarse centroid `cell` (deterministic). */
   def centroidVal(cell: Int, i: Int): Double = hashVal(s"centroid-$cell-$i")
 
+  /** Entry (p, i) of the random ±1 sign-projection matrix
+    * (deterministic; public so the oracle SQL can inline the same
+    * constants, like [[planeVal]]).
+    */
+  def signVal(p: Int, i: Int): Double = if (hashVal(s"signproj-$p-$i") >= 0) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss sign projection: `outDim` components, each
+    * the ±1-weighted sum of the input scaled by 1/sqrt(dim) (Achlioptas
+    * 2003's database-friendly projection — expected pairwise distances
+    * are preserved, no Gaussian sampling needed). Components are
+    * returned in MICRO-units (×1e6, rounded, long) so the CSV-string
+    * rendering the driver's compare needs (q31/q81 discipline) never
+    * hits cross-engine double formatting. The matrix rows are
+    * constant-folded literal arrays: pure per-row work, scan-speed at
+    * any corpus size.
+    */
+  def signProjectMicro(vec: Column, outDim: Int, dim: Int): Column = {
+    val v = vec.cast("array<double>")
+    val scale = math.sqrt(dim.toDouble)
+    array((0 until outDim).map { p =>
+      val row = array((0 until dim).map(i => lit(signVal(p, i))): _*)
+      round(aggregate(zip_with(v, row, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) / scale * 1e6).cast("long")
+    }: _*)
+  }
+
   /** Sign-LSH bucket signature (nPlanes bits) for a `dim`-dimensional
     * vector column; planes are constant-folded literal arrays.
     */

@@ -397,6 +397,71 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-doc contamination FRACTION: q59/q84 answer "does this
+    //      doc share any 8-gram with the held-out set"; eval-overlap
+    //      reporting needs HOW MUCH — the fraction of each train doc's
+    //      distinct grams that appear in the held-out set. Same
+    //      broadcast-held-set shape as q59 (16-byte keys, bounded by
+    //      construction), one keyed per-doc aggregate; the left join
+    //      keeps uncontaminated docs in the denominator ----
+    "q101_contamination_frac" -> ((s, d) => {
+      val grams = splitGrams(s, d)
+      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+        .withColumn("hit", lit(true))
+      grams.filter(col("hb") =!= "0")
+        .join(broadcast(held), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contam_frac",
+          round(col("n_contaminated").cast("double")
+            / col("n_grams").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LSH candidate PRECISION eval: the dedup-side twin of q76's
+    //      recall eval. Per band-agreement count, what fraction of the
+    //      capped MinHash candidate pairs survive exact 3-gram Jaccard
+    //      >= 0.5 rescoring — the measurement that says whether the
+    //      banding parameters over- or under-generate before a 100 TB
+    //      dedup run commits to them. Reuses q22's capped candidate
+    //      machinery and q24's fused rescore; the final aggregate is
+    //      band-count-bounded (<= 4 rows) ----
+    "q102_lsh_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(
+        Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
+      val pre = docs.select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+      cand
+        .join(pre.select(col("doc_id").as("a_id"), col("pre").as("a_pre")), Seq("a_id"))
+        .join(pre.select(col("doc_id").as("b_id"), col("pre").as("b_pre")), Seq("b_id"))
+        .withColumn("hit",
+          (Dedup.ngramJaccard(col("a_pre"), col("b_pre"), 3) >= 0.5).cast("long"))
+        .groupBy(col("n_bands"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_verified"))
+        .withColumn("lsh_precision",
+          round(col("n_verified").cast("double") / col("n_pairs").cast("double"), 6))
+        .orderBy(col("n_bands"))
+    }),
+
+    // ---- random sign projection (Johnson–Lindenstrauss): 64-dim
+    //      embeddings down to 8 dims with a constant ±1 matrix — the
+    //      cheap dimensionality reduction a 100 TB pipeline runs before
+    //      clustering or coarse ANN when even fp32x64 is too wide.
+    //      Matrix rows are constant-folded literals, work is pure
+    //      per-row scan-stage arithmetic, zero shuffles before the
+    //      sort; components in micro-units so the CSV rendering is
+    //      integer-exact cross-engine ----
+    "q103_random_projection" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"),
+          array_join(transform(
+            Similarity.signProjectMicro(col("embedding"), 8, 64),
+            _.cast("string")), ",").as("proj_micro"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- content-defined chunking: variable-length chunks cut where
     //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
     //      rule) — boundaries survive insertions, unlike q82's fixed
@@ -1055,6 +1120,17 @@ object ExtQueries {
       s"(${1L << p}, [$vals]::DOUBLE[])"
     }.mkString(", ")
 
+  /** Sign-projection matrix VALUES rows for the q103 oracle — the
+    * exact ±1 constants the Spark side folds into its plan
+    * ([[graft.ext.Similarity.signVal]]; 8 output dims over 64-dim
+    * embeddings).
+    */
+  private val signProjRows: String =
+    (0 until 8).map { p =>
+      val vals = (0 until 64).map(i => graft.ext.Similarity.signVal(p, i)).mkString(", ")
+      s"($p, [$vals]::DOUBLE[])"
+    }.mkString(", ")
+
   /** 16-term SimHash oracle is generated programmatically. */
   private val simhashTerms: String = (0 until 16).map { j =>
     s"""CASE WHEN 2 * len(list_filter(toks, t ->
@@ -1359,6 +1435,55 @@ object ExtQueries {
              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
              AND stopword_ratio >= 0.02 AND dup_frac <= 0.9 AS BIGINT) AS keep
          FROM m ORDER BY doc_id""",
+    "q101_contamination_frac" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         held AS (SELECT DISTINCT gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         train AS (SELECT doc_id, gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN h.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(CAST(SUM(CASE WHEN h.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contam_frac
+         FROM train t LEFT JOIN held h USING (gh)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q102_lsh_precision" -> (s"""
+         WITH $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bands
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),""" + """
+         gpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM gpos GROUP BY 1),
+         pairs AS (SELECT c.n_bands,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+           CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jac
+           FROM cand c JOIN g ga ON c.a_id = ga.doc_id JOIN g gb ON c.b_id = gb.doc_id)
+         SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           round(CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS lsh_precision
+         FROM pairs GROUP BY n_bands ORDER BY n_bands"""),
+    "q103_random_projection" -> s"""
+         WITH pl(p, pv) AS (VALUES $signProjRows),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         c AS (SELECT vec_id, p,
+             CAST(round(list_inner_product(v, pv) / sqrt(64.0) * 1000000) AS BIGINT) AS comp
+           FROM e CROSS JOIN pl)
+         SELECT vec_id, string_agg(CAST(comp AS VARCHAR), ',' ORDER BY p) AS proj_micro
+         FROM c GROUP BY vec_id ORDER BY vec_id""",
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i
