@@ -330,19 +330,20 @@ object Similarity {
 
   /** Assign each vector to its `keep` best coarse cells (argmax rounded
     * dot, cell-id tie-break) — the bounded broadcast-NLJ every IVF path
-    * shares. NULL/empty vectors are dropped before assignment.
+    * shares. NULL/empty vectors are dropped before assignment. `extra`
+    * columns (e.g. a training label) ride along untouched.
     */
   private def assignCells(df: DataFrame, id: String, vec: String,
-      cents: DataFrame, keep: Int): DataFrame = {
+      cents: DataFrame, keep: Int, extra: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(id))
       .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
-    df.select(col(id), col(vec))
+    df.select((Seq(id, vec) ++ extra).map(col): _*)
       .filter(col(vec).isNotNull && size(col(vec)) > 0)
       .crossJoin(cents)
       .withColumn("cdot", dot(col(vec), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
-      .select(col(id), col(vec), col("cell"))
+      .select((Seq(id, vec) ++ extra :+ "cell").map(col): _*)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
@@ -371,6 +372,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    * query's — the near-miss examples a retrieval/embedding trainer
+    * pairs with its positives. Same bounded centroid broadcast-NLJ +
+    * keyed cell equi-join as [[ivfTopK]] (labels ride through cell
+    * assignment via `assignCells`' pass-through, no extra join); the
+    * mismatch filter applies BEFORE ranking, so same-label neighbors
+    * never crowd negatives out of the top-k.
+    */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+
+    val c = assignCells(corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"),
+      col(labelCol).as("n_label")), "n_id", "n_vec", cents, 1, Seq("n_label"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+    val q = assignCells(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      col(labelCol).as("q_label")), "q_id", "q_vec", cents, nProbe, Seq("q_label"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+        col("n_label"), round(col("sim"), 6).as("sim"))
   }
 
   /** Semantic (embedding-space) dedup: assign every vector to its best

@@ -921,6 +921,48 @@ object CoreQueries {
         .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
     }),
 
+    // ---- §2.10 streaming exact dedup under the gate: the documents
+    //      table replayed as a 4-file stream through dedupStream
+    //      (dropDuplicatesWithinWatermark) and the K2 append sink.
+    //      WHICH row survives per content key depends on arrival order
+    //      inside a microbatch (not deterministic), so the gated
+    //      surface is the distinct content-hash SET — exactly the
+    //      dedup property: one emission per distinct content, dups in
+    //      later batches dropped by cross-batch state. The replay
+    //      watermark spans the synthetic ts range so no state expires
+    //      mid-replay (q83's discipline); bounded-state expiry is
+    //      spec'd separately (StreamingSpec) ----
+    "q106_stream_dedup" -> ((s, d) => {
+      val dir = tempQueryDir("graft_q106_sdedup_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      // q21's normalized content key — the planted duplicates differ in
+      // raw text, so keying on it makes the stream actually drop rows
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, 40)).as("norm_key"),
+          expr("timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')")
+            .as("ts"))
+      val in = sharedInputDir(
+        s"graft_q106_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        docs.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val deduped = graft.streaming.Streaming.dedupStream(
+        graft.streaming.Streaming.eventsStream(s, in, docs.schema),
+        "norm_key", "ts", watermark = "3650 days")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.Streaming
+          .snapshotSink(deduped, out, ck, append = true).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // no distinct() here: a double emission must FAIL the row-count
+      // compare against the oracle's DISTINCT — that is the dedup gate
+      s.read.parquet(out)
+        .select(col("content_hash"))
+        .orderBy(col("content_hash"))
+    }),
+
     // ---- K5 debug artifacts under the gate (shotgun.py:261-268,
     //      465-474): write the forensics bundle for an ordered frame,
     //      then read the bounded JSON sample back. counts.txt/plan.txt
@@ -1437,6 +1479,9 @@ object CoreQueries {
     "q79_debug_artifacts" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 10""",
+    "q106_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(substr(text, 1, 40))) AS content_hash
+         FROM documents ORDER BY content_hash""",
     "q83_stream_interval_join" ->
       """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id
          FROM events a JOIN events b ON a.user_id = b.user_id

@@ -462,6 +462,37 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- hard-negative mining: per query vector, the top-3 nearest
+    //      corpus vectors with a DIFFERENT label — the near-miss pairs
+    //      a contrastive trainer needs. IVF path (bounded centroid
+    //      broadcast + keyed cell join); the label rides through cell
+    //      assignment, and the mismatch filter applies before ranking ----
+    "q104_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesIvf(
+          emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- label-balanced resampling: integer upsampling epochs per
+    //      label, ceil(n_max / n_label), so every class contributes
+    //      roughly equally to a training epoch (the classification twin
+    //      of q77's domain upsampling). The per-label count table is
+    //      label-cardinality-bounded and broadcast; the explode is
+    //      scan-pipelined — zero corpus-wide shuffles before the sort ----
+    "q105_label_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val epochs = broadcast(counts
+        .crossJoin(counts.agg(max(col("n")).as("n_max")))
+        .select(col("label"),
+          ceil(col("n_max").cast("double") / col("n").cast("double")).as("n_epochs")))
+      emb.join(epochs, Seq("label"))
+        .select(col("vec_id"), col("label"),
+          explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+        .orderBy(col("vec_id"), col("epoch"))
+    }),
+
     // ---- content-defined chunking: variable-length chunks cut where
     //      the trailing-window polynomial hash is 0 mod 64 (rsync/LBFS
     //      rule) — boundaries survive insertions, unlike q82's fixed
@@ -1484,6 +1515,42 @@ object ExtQueries {
            FROM e CROSS JOIN pl)
          SELECT vec_id, string_agg(CAST(comp AS VARCHAR), ',' ORDER BY p) AS proj_micro
          FROM c GROUP BY vec_id ORDER BY vec_id""",
+    "q104_hard_negatives" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         c AS (SELECT vec_id AS n_id, label AS n_label,
+             embedding::DOUBLE[] AS n_vec FROM embeddings WHERE $usableVec),
+         ca AS (SELECT n_id, n_label, n_vec, cell FROM (
+           SELECT n_id, n_label, n_vec, cell, ROW_NUMBER() OVER (PARTITION BY n_id
+             ORDER BY round(list_inner_product(n_vec, cvec), 6) DESC, cell) AS rn
+           FROM c, cent) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, label AS q_label,
+             embedding::DOUBLE[] AS q_vec FROM embeddings
+           WHERE vec_id < 50 AND $usableVec),
+         qa AS (SELECT q_id, q_label, q_vec, cell FROM (
+           SELECT q_id, q_label, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         s AS (SELECT q_id, q_label, n_id, n_label,
+             list_inner_product(q_vec, n_vec) /
+               (sqrt(list_inner_product(q_vec, q_vec)) * sqrt(list_inner_product(n_vec, n_vec))) AS sim
+           FROM qa JOIN ca USING (cell)
+           WHERE q_id <> n_id AND q_label <> n_label),
+         r AS (SELECT q_id, q_label, n_id, n_label, sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM s)
+         SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, n_id, n_label,
+           round(sim, 6) AS sim FROM r
+         WHERE rank <= 3 ORDER BY q_id, rank""",
+    "q105_label_balance" -> """
+         WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+         m AS (SELECT MAX(n) AS n_max FROM c),
+         e AS (SELECT label,
+             CAST(ceil(CAST(n_max AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS n_epochs
+           FROM c CROSS JOIN m)
+         SELECT vec_id, emb.label,
+           unnest(generate_series(1, e.n_epochs)) AS epoch
+         FROM embeddings emb JOIN e ON emb.label = e.label
+         ORDER BY vec_id, epoch""",
     "q90_cdc_chunks" -> s"""
          WITH t AS (SELECT doc_id, text AS txt FROM documents WHERE len(text) > 0),
          pos AS (SELECT doc_id, txt, unnest(generate_series(8, len(txt))) AS i
