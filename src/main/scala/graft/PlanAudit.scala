@@ -21,7 +21,10 @@ object PlanAudit {
     "q87_bigram_lm" -> "one-row broadcast of the vocab-size scalar (add-one smoothing, q48's pattern)",
     "q89_semantic_clusters" -> "q86's bounded centroid-assignment BNLJ feeding the CC pairs",
     "q94_quantized_ann" -> "16-row broadcast centroid frame over int8 codes (q44's fan-out)",
-    "q97_quantized_recall" -> "brute-force exact side (q25) + q94's bounded centroid assignment")
+    "q97_quantized_recall" -> "brute-force exact side (q25) + q94's bounded centroid assignment",
+    "q99_ccnet_buckets" -> "one-row broadcast of the vocab-size scalar inside bigramLmScore (q87's pattern)",
+    "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
+    "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

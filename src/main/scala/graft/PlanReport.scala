@@ -37,7 +37,14 @@ object PlanReport {
     "q92_span_dedup" -> "cross-doc span dedup: dedup window keyed on the 16-hex span-hash prefix, rebuild keyed on doc_id",
     "q93_bpe_merge" -> "BPE merge step: pair stats on the DISTINCT word table; the word-freq groupBy is the only corpus shuffle; TakeOrdered top-k",
     "q94_quantized_ann" -> "int8 IVF probe: bounded centroid BNLJ over codes, candidates hash-keyed by cell, integer-dot rescore",
-    "q95_incremental_persisted" -> "persisted-signature incremental dedup: base side scans the signature table (ONE documents scan — the delta batch), candidates keyed by (band, minhash)")
+    "q95_incremental_persisted" -> "persisted-signature incremental dedup: base side scans the signature table (ONE documents scan — the delta batch), candidates keyed by (band, minhash)",
+    "q98_boilerplate" -> "boilerplate removal: span stats groupBy and the stats join share the (source, span-key) exchange; rebuild keyed by doc_id",
+    "q99_ccnet_buckets" -> "perplexity terciles: per-lang window runs over the (lang, score) GROUPED table, never a corpus-sized per-lang sort",
+    "q101_contamination_frac" -> "contamination fraction: bounded broadcast held set, one keyed per-doc aggregate",
+    "q102_lsh_precision" -> "LSH precision eval: capped band-bucket candidates, fused Jaccard rescore, band-count-bounded final aggregate",
+    "q103_random_projection" -> "JL sign projection: constant-folded matrix rows, pure scan-stage arithmetic, zero shuffles before the output sort",
+    "q104_hard_negatives" -> "hard negatives: bounded 16-row centroid BNLJ with labels riding through, keyed cell join, mismatch filter before ranking",
+    "q105_label_balance" -> "label balancing: label-cardinality-bounded broadcast epoch table, scan-pipelined explode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -128,6 +128,28 @@ class PlanSpec extends SparkSpec {
     assert("graft_q95_sig_".r.findAllIn(finalPlan).nonEmpty, finalPlan)
   }
 
+  test("q103 sign projection: no joins, the only exchange is the output sort") {
+    // the scan-speed claim: constant-folded matrix rows mean pure
+    // per-row arithmetic — a join or a second shuffle would mean the
+    // projection stopped being scan-pipelined
+    val df = SparkEntry.queries("q103_random_projection")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    assert("ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size <= 1, p)
+  }
+
+  test("q105 label balance: epoch table broadcast, corpus side never shuffle-joined") {
+    val df = SparkEntry.queries("q105_label_balance")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q87/q88: bounded model and vocab tables broadcast back to the scan") {
     // the charset^2 bigram model (and its ctx/vsize derivatives) and
     // the top-k vocab must broadcast — a shuffled scoring join would
