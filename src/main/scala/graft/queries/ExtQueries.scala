@@ -1087,6 +1087,126 @@ object ExtQueries {
         .withColumn("event_datetime_local",
           date_format(col("event_datetime_local"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .orderBy(col("canonical_event_key"), col("event_datetime_local"))
+    }),
+
+    // ---- corpus snapshot diff: content-hash full-outer join between
+    //      two deterministic snapshot views of the corpus (old drops
+    //      id%7==0, new drops id%5==0 and edits id%11==0) — the
+    //      versioning op a recurring-crawl pipeline runs per refresh to
+    //      bill added/removed/changed docs. One keyed exchange per side
+    //      on doc_id feeding a sort-merge full-outer join — both sides
+    //      are corpus-scale, so the SMJ on the id IS the right plan at
+    //      100 TB (nothing to broadcast, nothing driver-sized) ----
+    "q107_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("old_hash"))
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("new_hash"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_hash").isNull, lit("added"))
+            .when(col("new_hash").isNull, lit("removed"))
+            .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          col("old_hash"), col("new_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- logistic quality classifier: the q27 feature vector scored
+    //      by a fixed-weight logistic model (the fasttext-style learned
+    //      quality gate of web curation, with the weights frozen as
+    //      plan constants). Pure per-row scan-stage arithmetic — the
+    //      model "inference" adds zero shuffles to the feature scan.
+    //      keep compares the ROUNDED score so both engines decide the
+    //      boundary identically ----
+    "q108_quality_classifier" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n_words"),
+          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+          TA.punctRatio(col("text")).as("punct"),
+          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
+      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+        lit(0.4) * abs(col("mwl") - lit(5.0)) +
+        lit(0.15) * log(lit(1.0) + col("n_words"))
+      f.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+        .withColumn("keep", (col("quality_score") >= 0.5).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality-priority survivor per near-dup cluster: q45's
+    //      MinHash connected components, but the survivor is the
+    //      LONGEST member (n_chars desc, doc_id asc tiebreak) instead
+    //      of min-id — the curation policy that keeps the fullest copy
+    //      of a boilerplate family. Struct-max argmax keeps the
+    //      per-cluster reduction map-side combinable (A4's pattern) ----
+    "q109_cluster_survivor" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = graft.util.Persist(Dedup.minhashCandidates(
+          Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
+        .filter(col("n_bands") >= 2)
+        .select(col("a_id"), col("b_id")))
+      Dedup.connectedComponents(cand, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+        .select(col("cluster_id"),
+          (-col("best.neg_id")).as("survivor_id"),
+          col("best.n_chars").as("survivor_chars"),
+          col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // ---- source coverage: per-source doc/char share plus the
+    //      head-90% membership flag (which sources a curator must
+    //      audit to cover 90% of the corpus). The only corpus-wide
+    //      work is the source group-by; the share window runs over the
+    //      source-cardinality-bounded aggregate, so the single
+    //      unpartitioned window is fine at any corpus size ----
+    "q110_source_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val w = Window.orderBy(col("n_docs").desc, col("source"))
+      stats
+        .withColumn("total", sum(col("n_docs")).over(
+          Window.partitionBy(substring(col("source"), 0, 0))))
+        .withColumn("cum", sum(col("n_docs")).over(w))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("n_docs").cast("double") / col("total"), 6).as("share"),
+          round(col("cum").cast("double") / col("total"), 6).as("cum_share"),
+          when(round((col("cum") - col("n_docs")).cast("double") / col("total"), 6)
+            < 0.9, 1).otherwise(0).as("in_head90"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- per-doc n-gram novelty: fraction of a doc's distinct 8-char
+    //      shingles whose first owner (min doc_id over the corpus) is
+    //      this doc — the marginal-contribution metric dedup-aware
+    //      curation ranks new batches by. Same CharShingles projection
+    //      the MinHash path uses; two keyed shuffles (shingle for the
+    //      first-owner window, doc_id for the aggregate), no joins, no
+    //      broadcast, nothing driver-sized at any corpus scale ----
+    "q111_ngram_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(Dedup.charShingles(col("text"), 8)).as("g"))
+        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          round(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+            .cast("double") / count(lit(1)), 6).as("novel_frac"))
+        .orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -2035,5 +2155,83 @@ object ExtQueries {
          SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, width, height, n_frames,
            array_to_string(list_transform(generate_series(0, n_frames - 1),
              i -> i * (n_bytes // n_frames)), ',') AS frame_offsets
-         FROM d ORDER BY doc_id""")
+         FROM d ORDER BY doc_id""",
+    "q107_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents
+           WHERE doc_id % 7 <> 0),
+         nw AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash AS old_hash, n.new_hash AS new_hash
+         FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q108_quality_classifier" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop
+           FROM t),
+         z AS (SELECT doc_id, 0.5 + 4.0 * stop - 6.0 * punct
+             - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words) AS zz FROM f),
+         sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z)
+         SELECT doc_id, quality_score,
+           CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
+         FROM sc ORDER BY doc_id""",
+    "q109_cluster_survivor" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         cl AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+           FROM cl JOIN documents d USING (doc_id)),
+         r AS (SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM j)
+         SELECT cluster_id, doc_id AS survivor_id,
+           CAST(n_chars AS BIGINT) AS survivor_chars, n_members
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
+    "q110_source_coverage" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+           FROM documents GROUP BY 1),
+         c AS (SELECT source, n_docs, n_chars,
+             SUM(n_docs) OVER () AS total,
+             SUM(n_docs) OVER (ORDER BY n_docs DESC, source) AS cum
+           FROM s)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_share,
+           CASE WHEN round(CAST(cum - n_docs AS DOUBLE) / total, 6) < 0.9
+             THEN 1 ELSE 0 END AS in_head90
+         FROM c ORDER BY source""",
+    "q111_ngram_novelty" ->
+      """WITH pos AS (SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
+         sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS g FROM pos),
+         m AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(CAST(SUM(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novel_frac
+         FROM sh s JOIN m ON s.g = m.g
+         GROUP BY 1 ORDER BY 1""")
 }
