@@ -44,7 +44,11 @@ object PlanReport {
     "q102_lsh_precision" -> "LSH precision eval: capped band-bucket candidates, fused Jaccard rescore, band-count-bounded final aggregate",
     "q103_random_projection" -> "JL sign projection: constant-folded matrix rows, pure scan-stage arithmetic, zero shuffles before the output sort",
     "q104_hard_negatives" -> "hard negatives: bounded 16-row centroid BNLJ with labels riding through, keyed cell join, mismatch filter before ranking",
-    "q105_label_balance" -> "label balancing: label-cardinality-bounded broadcast epoch table, scan-pipelined explode")
+    "q105_label_balance" -> "label balancing: label-cardinality-bounded broadcast epoch table, scan-pipelined explode",
+    "q107_snapshot_diff" -> "snapshot diff: both sides corpus-scale, so the full-outer join is a doc_id-keyed sort-merge — one exchange per side, no broadcast",
+    "q109_cluster_survivor" -> "longest-member survivor: struct-max argmax is a map-side-combinable HashAggregate, no per-cluster window sort",
+    "q110_source_coverage" -> "source coverage: corpus work is one source-keyed groupBy; the single-partition windows run over the source-cardinality-bounded aggregate",
+    "q111_ngram_novelty" -> "n-gram novelty: two keyed exchanges only (shingle for the first-owner window, doc_id for the aggregate) — no joins, no broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -150,6 +150,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q107 snapshot diff: doc_id-keyed sort-merge full-outer, nothing broadcast") {
+    // both snapshot sides are corpus-scale by construction, so a
+    // broadcast on either would be a scale bug; SMJ on the id is THE plan
+    val p = executedPlan("q107_snapshot_diff").split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("q109 cluster survivor: argmax is a hash aggregate, not a per-cluster window sort") {
+    val p = executedPlan("q109_cluster_survivor").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the longest-member pick must be the map-side-combinable max(struct)
+    assert(p.contains("max(struct("), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("q111 ngram novelty: no joins; shingle + doc_id keyed exchanges only") {
+    val p = executedPlan("q111_ngram_novelty").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(g"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("q87/q88: bounded model and vocab tables broadcast back to the scan") {
     // the charset^2 bigram model (and its ctx/vsize derivatives) and
     // the top-k vocab must broadcast — a shuffled scoring join would
