@@ -25,23 +25,61 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` is written with `timestamp[ns]` physical type,
-    * which Spark's schema INFERENCE rejects outright
-    * (PARQUET_TYPE_ILLEGAL) unless the session-global legacy conf
-    * `spark.sql.legacy.parquet.nanosAsLong` is flipped. Supplying the
-    * read schema explicitly sidesteps inference: the INT64 nanos column
-    * arrives as a raw long with NO session state touched, so an
-    * embedding caller's other parquet reads are unaffected (the earlier
-    * conf-setting loader leaked long-typed nanos reads session-wide).
-    * The column set below is pinned by TESTDATA.md; a drifted file
-    * surfaces as all-null columns, caught by every events-table oracle.
+  /** `events.parquet` has shipped with BOTH `timestamp[ns]` and
+    * `timestamp[us]` physical types across driver data regenerations,
+    * so the loader adapts per file instead of pinning one encoding:
+    *
+    *   - micros (`timestamp[us]`): plain schema inference yields a
+    *     proper TimestampType column — pass through untouched.
+    *   - nanos (`timestamp[ns]`): inference rejects the file outright
+    *     (PARQUET_TYPE_ILLEGAL) unless the session-global legacy conf
+    *     `spark.sql.legacy.parquet.nanosAsLong` is flipped. Supplying
+    *     the read schema explicitly sidesteps inference: the INT64
+    *     nanos column arrives as a raw long with NO session state
+    *     touched (a conf-setting loader would leak long-typed nanos
+    *     reads session-wide), then converts with integer `div` — not
+    *     `/`, because double division loses precision at 1.7e18 ns
+    *     and shifts timestamps by hundreds of nanoseconds.
+    *
+    * The inference `try` is a one-time driver-side footer read, not a
+    * per-row cost. A silently long-typed `ts` (no logical annotation)
+    * is treated as nanos — the only long encoding this dataset has
+    * ever used. Column set pinned by TESTDATA.md; a drifted file
+    * surfaces in every events-table oracle.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$d/events.parquet")
-      // integer `div`, not `/`: double division loses precision at
-      // 1.7e18 ns and shifts timestamps by hundreds of nanoseconds
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val inferred =
+      try Some(s.read.parquet(path))
+      catch { case e if isNanosRejection(e) => None }
+    inferred match {
+      case Some(df)
+          if df.schema("ts").dataType ==
+            org.apache.spark.sql.types.TimestampType => df
+      case Some(df)
+          if df.schema("ts").dataType ==
+            org.apache.spark.sql.types.TimestampNTZType =>
+        // no-tz micros (pandas/pyarrow default) infers as NTZ; the
+        // session runs UTC, so the cast is a type change, not a shift
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        s.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
+  /** Only swallow the specific unsupported-timestamp inference failure
+    * (`Illegal Parquet type` / `PARQUET_TYPE_ILLEGAL`); a missing file
+    * or genuine schema corruption must keep propagating.
+    */
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val msg = Option(e.getMessage).getOrElse("")
+    msg.contains("Illegal Parquet type") ||
+      msg.contains("PARQUET_TYPE_ILLEGAL") ||
+      msg.contains("TIMESTAMP(NANOS")
+  }
 }
