@@ -1,14 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: sweep every registered query's physical plan for
-  * scale anti-patterns (cartesian products, unkeyed nested-loop joins).
-  * Intentional exceptions are listed with their justification.
+/** Registry-wide physical-plan sweep for scale anti-patterns
+  * (cartesian products, unkeyed nested-loop joins). Intentional
+  * exceptions are listed with their justification.
+  *
+  * The sweep itself is a pure function so BOTH entry points share one
+  * rule set: [[main]] for ad-hoc dev runs with per-query output, and
+  * `PlanAuditSpec` (in `sbt test`) as the always-on gate — a new
+  * unkeyed BNLJ or cartesian now fails CI instead of waiting for
+  * someone to remember to run the dev main (VERDICT r7 #4).
   */
 object PlanAudit {
   // queries where a BroadcastNestedLoopJoin is the DESIGNED plan:
   // a bounded broadcast side makes the nested loop a streaming scan
-  private val allowedBnlj = Map(
+  private[graft] val allowedBnlj = Map(
     "q25_knn_cosine" -> "query side is a bounded broadcast (brute-force baseline)",
     "q35_merge_similarity" -> "dateless branch: rare rows × broadcast, by construction tiny",
     "q20_interval_join" -> "dateless branch of mergeSimilarity (same as q35)",
@@ -26,6 +32,32 @@ object PlanAudit {
     "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
     "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)")
 
+  /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
+    * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /
+    * `ERROR`.
+    */
+  private[graft] def sweep(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+        SparkEntry.queries): Seq[(String, String, String)] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        // plan construction only — no execution; sf0.001 keeps any
+        // plan-time input materialization (sharedInputDir) trivial
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin")
+        if (cart) (name, "CARTESIAN", "")
+        else if (bnlj && !allowedBnlj.contains(name)) (name, "UNEXPECTED-BNLJ", "")
+        else if (bnlj) (name, "bnlj-allowed", allowedBnlj(name))
+        else (name, "ok", "")
+      } catch { case scala.util.control.NonFatal(e) =>
+        (name, "ERROR", String.valueOf(e.getMessage).take(100))
+      }
+    }
+
+  private[graft] def failures(rs: Seq[(String, String, String)]): Seq[(String, String, String)] =
+    rs.filterNot(r => r._2 == "ok" || r._2 == "bnlj-allowed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -33,22 +65,13 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var bad = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val cart = p.contains("CartesianProduct")
-        val bnlj = p.contains("BroadcastNestedLoopJoin")
-        if (cart) { bad += 1; println(s"AUDIT $name: CARTESIAN") }
-        else if (bnlj && !allowedBnlj.contains(name)) {
-          bad += 1; println(s"AUDIT $name: UNEXPECTED-BNLJ")
-        } else if (bnlj) println(s"AUDIT $name: bnlj-allowed (${allowedBnlj(name)})")
-        else println(s"AUDIT $name: ok")
-      } catch { case e: Throwable =>
-        bad += 1; println(s"AUDIT $name: ERROR ${e.getMessage.take(100)}")
-      }
+    val rs = sweep(spark, sfDir)
+    rs.foreach {
+      case (name, "ok", _) => println(s"AUDIT $name: ok")
+      case (name, "bnlj-allowed", why) => println(s"AUDIT $name: bnlj-allowed ($why)")
+      case (name, verdict, detail) => println(s"AUDIT $name: $verdict $detail")
     }
-    println(s"AUDIT_BAD=$bad")
+    println(s"AUDIT_BAD=${failures(rs).size}")
     spark.stop()
   }
 }

@@ -51,18 +51,20 @@ object Tables {
     val path = s"$d/events.parquet"
     val inferred =
       try Some(s.read.parquet(path))
-      catch { case e if isNanosRejection(e) => None }
+      catch {
+        case scala.util.control.NonFatal(e) if isNanosRejection(e) => None
+      }
     inferred match {
       case Some(df)
           if df.schema("ts").dataType ==
-            org.apache.spark.sql.types.TimestampType => df
+            org.apache.spark.sql.types.TimestampType => pinColumns(df)
       case Some(df)
           if df.schema("ts").dataType ==
             org.apache.spark.sql.types.TimestampNTZType =>
         // no-tz micros (pandas/pyarrow default) infers as NTZ; the
         // session runs UTC, so the cast is a type change, not a shift
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        pinColumns(df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType)))
       case _ =>
         s.read
           .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
@@ -72,14 +74,29 @@ object Tables {
     }
   }
 
+  /** Both inference paths converge here so micros and nanos enforce
+    * the same TESTDATA.md contract: the pinned 6-column set in pinned
+    * order. A regenerated file with extra/renamed columns fails fast
+    * at load (unresolved column) instead of drifting silently until an
+    * oracle diff; extra columns are pruned at the scan (column
+    * pruning), so pinning costs nothing.
+    */
+  private def pinColumns(df: DataFrame): DataFrame =
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
   /** Only swallow the specific unsupported-timestamp inference failure
     * (`Illegal Parquet type` / `PARQUET_TYPE_ILLEGAL`); a missing file
-    * or genuine schema corruption must keep propagating.
+    * or genuine schema corruption must keep propagating. The message
+    * test walks the full cause chain — Spark may wrap the
+    * AnalysisException (e.g. executor-side inference under
+    * mergeSchema), and a top-level-only check would miss the wrapped
+    * rejection and fail a legitimate nanos regeneration.
     */
-  private def isNanosRejection(e: Throwable): Boolean = {
-    val msg = Option(e.getMessage).getOrElse("")
-    msg.contains("Illegal Parquet type") ||
-      msg.contains("PARQUET_TYPE_ILLEGAL") ||
-      msg.contains("TIMESTAMP(NANOS")
-  }
+  private def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists { t =>
+      val msg = Option(t.getMessage).getOrElse("")
+      msg.contains("Illegal Parquet type") ||
+        msg.contains("PARQUET_TYPE_ILLEGAL") ||
+        msg.contains("TIMESTAMP(NANOS")
+    }
 }
