@@ -30,7 +30,8 @@ object PlanAudit {
     "q97_quantized_recall" -> "brute-force exact side (q25) + q94's bounded centroid assignment",
     "q99_ccnet_buckets" -> "one-row broadcast of the vocab-size scalar inside bigramLmScore (q87's pattern)",
     "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
-    "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)")
+    "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)",
+    "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

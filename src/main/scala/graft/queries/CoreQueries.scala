@@ -102,6 +102,92 @@ object CoreQueries {
     p.toString
   }
 
+  /** One simulated E1 daily run: the q69 raw generators (DICE
+    * GraphQL shape + Shotgun card text, both derived deterministically
+    * from `part`) pushed through the real normalize pipeline, with the
+    * run-to-run knobs a daily scrape exhibits: `shift` advances the
+    * ticket/money counters day-over-day, `extraDice` adds events that
+    * exist only in the later run. q69 gates one run; q112 appends two
+    * runs through the K2 sink and gates the read-back history.
+    * Returned projection excludes wall-clock scrape_ts_utc and
+    * sha1-based event_id_provider (gated separately via q15) — see the
+    * q69 docstring.
+    */
+  private def normalizedRunE1(s: SparkSession, d: String, runId: String,
+      shift: Int, extraDice: Boolean): DataFrame = {
+    val k = col("p_partkey")
+    val p = Tables.part(s, d)
+    // extra day-2 dice events: odd keys hitting % 31 === 5 (all dice
+    // moduli are odd-reachable, so the generator needs no other change)
+    val diceSel = if (extraDice) k % 2 === 0 || k % 31 === 5 else k % 2 === 0
+      // DICE raw: the flattened GraphQL shape (dice.py:112-156) —
+      // nested arrays of structs, string ticket counts, nullable
+      // timezone/status exercising the normalize coalesce chain.
+      val diceRaw = p.filter(diceSel).select(
+        k.as("id"),
+        concat(lit("  Dice Show "), k.cast("string"), lit("  ")).as("name"),
+        concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"), lit("-"),
+          lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T20:30:00Z"))
+          .as("startDatetime"),
+        array(struct(concat(lit("Artist "), (k % 53).cast("string")).as("name")))
+          .as("artists"),
+        array(
+          struct(concat(lit("Venue "), (k % 29).cast("string")).as("name"),
+            lit("Paris").as("city"), lit("FR").as("country"),
+            when(k % 5 === 0, lit(null).cast("string"))
+              .otherwise(lit("Europe/Brussels")).as("timezoneName")),
+          // second venue must be ignored by the first-element pick
+          struct(lit("Wrong").as("name"), lit("X").as("city"),
+            lit("Y").as("country"), lit("Z").as("timezoneName"))).as("venues"),
+        struct(when(k % 11 === 0, lit("n/a"))
+          .otherwise(((k + lit(shift)) % 500).cast("string")).as("totalCount"))
+          .as("tickets"),
+        lit(" EUR ").as("currency"),
+        when(k % 6 === 0, lit("sold out")).otherwise(lit(null).cast("string"))
+          .as("status"))
+      // Shotgun raw: semi-structured card text (shotgun.py:276-460) —
+      // three dt fallbacks (attr / French label / ISO inside the card),
+      // hint-or-parse artist/venue, money+pct stats with an
+      // "aujourd'hui" counter line FL4 must strip.
+      val frMonths = array(Seq("janvier", "févr.", "mars", "avr.", "mai", "juin",
+        "juil.", "août", "sept.", "oct.", "nov.", "déc.").map(lit): _*)
+      val artistPart = concat(lit("Band "), k.cast("string"))
+      val venuePart = concat(lit("Salle "), (k % 19).cast("string"))
+      val sgName = when(k % 7 === 0, lit(""))
+        .otherwise(concat(artistPart, lit(" @ "), venuePart))
+      val isoTxt = concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"),
+        lit("-"), lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T21:00:00"))
+      val frTxt = concat(((k % 27) + 1).cast("string"), lit(" "),
+        element_at(frMonths, ((k % 12) + 1).cast("int")), lit(" 2024 19:30"))
+      // NOTE: only odd-reachable moduli below (frame is k % 2 === 1)
+      val sgRaw = p.filter(k % 2 === 1).select(
+        concat(sgName, lit("\n"),
+          when(k % 9 === 0, lit("COMPLET\n")).otherwise(lit("")),
+          lit("Infos: "), isoTxt, lit("\n")).as("card_text"),
+        when(k % 3 === 0, lit("")).otherwise(sgName).as("name_hint"),
+        when(k % 3 === 0, isoTxt).otherwise(lit("")).as("dt_attr"),
+        when(k % 3 === 1, frTxt).otherwise(lit("")).as("dt_label"),
+        when(k % 5 === 0, concat(lit("Hint "), artistPart)).otherwise(lit(""))
+          .as("artist_hint"),
+        when(k % 11 === 0, lit("Grande  Halle")).otherwise(lit("")).as("venue_hint"),
+        when(k % 13 === 0,
+          concat((k % 30).cast("string"), lit(" aujourd'hui\n"),
+            ((k + lit(shift)) % 400).cast("string"), lit(",50 €\n"),
+            (k % 100).cast("string"), lit(" %")))
+          .otherwise(concat(((k + lit(shift)) % 400).cast("string"),
+            lit(",50 €\n"),
+            (k % 100).cast("string"), lit(" %"))).as("stats_text"),
+        concat(lit("https://sg.example/"), k.cast("string")).as("source_url"))
+      Normalize.diceNormalize(diceRaw, runId)
+        .unionByName(Normalize.shotgunNormalize(sgRaw, runId))
+        .select(col("provider"), col("event_name"), col("city"), col("country"),
+          F.isoZ(col("event_datetime_local")).as("event_dt_iso"),
+          col("timezone"), col("status"), col("tickets_sold_total"),
+          col("gross_total"), col("net_total"), col("currency"),
+          col("sell_through_pct"), col("ingestion_run_id"),
+          col("artist_name"), col("venue_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- A1/A2 aggregation with map-side partials (TPC-H Q1 shape) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -675,74 +761,34 @@ object CoreQueries {
     //      clock) and event_id_provider (sha1-based for shotgun; sha1
     //      is absent in DuckDB 1.0 — slug+surrogate-id composition is
     //      gated separately via q15) ----
-    "q69_normalize_e2e" -> ((s, d) => {
-      val k = col("p_partkey")
-      val p = Tables.part(s, d)
-      // DICE raw: the flattened GraphQL shape (dice.py:112-156) —
-      // nested arrays of structs, string ticket counts, nullable
-      // timezone/status exercising the normalize coalesce chain.
-      val diceRaw = p.filter(k % 2 === 0).select(
-        k.as("id"),
-        concat(lit("  Dice Show "), k.cast("string"), lit("  ")).as("name"),
-        concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"), lit("-"),
-          lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T20:30:00Z"))
-          .as("startDatetime"),
-        array(struct(concat(lit("Artist "), (k % 53).cast("string")).as("name")))
-          .as("artists"),
-        array(
-          struct(concat(lit("Venue "), (k % 29).cast("string")).as("name"),
-            lit("Paris").as("city"), lit("FR").as("country"),
-            when(k % 5 === 0, lit(null).cast("string"))
-              .otherwise(lit("Europe/Brussels")).as("timezoneName")),
-          // second venue must be ignored by the first-element pick
-          struct(lit("Wrong").as("name"), lit("X").as("city"),
-            lit("Y").as("country"), lit("Z").as("timezoneName"))).as("venues"),
-        struct(when(k % 11 === 0, lit("n/a"))
-          .otherwise((k % 500).cast("string")).as("totalCount")).as("tickets"),
-        lit(" EUR ").as("currency"),
-        when(k % 6 === 0, lit("sold out")).otherwise(lit(null).cast("string"))
-          .as("status"))
-      // Shotgun raw: semi-structured card text (shotgun.py:276-460) —
-      // three dt fallbacks (attr / French label / ISO inside the card),
-      // hint-or-parse artist/venue, money+pct stats with an
-      // "aujourd'hui" counter line FL4 must strip.
-      val frMonths = array(Seq("janvier", "févr.", "mars", "avr.", "mai", "juin",
-        "juil.", "août", "sept.", "oct.", "nov.", "déc.").map(lit): _*)
-      val artistPart = concat(lit("Band "), k.cast("string"))
-      val venuePart = concat(lit("Salle "), (k % 19).cast("string"))
-      val sgName = when(k % 7 === 0, lit(""))
-        .otherwise(concat(artistPart, lit(" @ "), venuePart))
-      val isoTxt = concat(lit("2024-"), lpad(((k % 12) + 1).cast("string"), 2, "0"),
-        lit("-"), lpad(((k % 27) + 1).cast("string"), 2, "0"), lit("T21:00:00"))
-      val frTxt = concat(((k % 27) + 1).cast("string"), lit(" "),
-        element_at(frMonths, ((k % 12) + 1).cast("int")), lit(" 2024 19:30"))
-      // NOTE: only odd-reachable moduli below (frame is k % 2 === 1)
-      val sgRaw = p.filter(k % 2 === 1).select(
-        concat(sgName, lit("\n"),
-          when(k % 9 === 0, lit("COMPLET\n")).otherwise(lit("")),
-          lit("Infos: "), isoTxt, lit("\n")).as("card_text"),
-        when(k % 3 === 0, lit("")).otherwise(sgName).as("name_hint"),
-        when(k % 3 === 0, isoTxt).otherwise(lit("")).as("dt_attr"),
-        when(k % 3 === 1, frTxt).otherwise(lit("")).as("dt_label"),
-        when(k % 5 === 0, concat(lit("Hint "), artistPart)).otherwise(lit(""))
-          .as("artist_hint"),
-        when(k % 11 === 0, lit("Grande  Halle")).otherwise(lit("")).as("venue_hint"),
-        when(k % 13 === 0,
-          concat((k % 30).cast("string"), lit(" aujourd'hui\n"),
-            (k % 400).cast("string"), lit(",50 €\n"),
-            (k % 100).cast("string"), lit(" %")))
-          .otherwise(concat((k % 400).cast("string"), lit(",50 €\n"),
-            (k % 100).cast("string"), lit(" %"))).as("stats_text"),
-        concat(lit("https://sg.example/"), k.cast("string")).as("source_url"))
-      Normalize.diceNormalize(diceRaw, "run-q69")
-        .unionByName(Normalize.shotgunNormalize(sgRaw, "run-q69"))
+    "q69_normalize_e2e" -> ((s, d) =>
+      normalizedRunE1(s, d, "run-q69", shift = 0, extraDice = false)
+        .orderBy(col("provider"), col("event_name"))),
+
+    // ---- E2 capstone: the reference's real production loop — daily
+    //      cron re-run + append historization (.github/workflows/
+    //      daily.yml:4-6 cron, storage/google_sheets.py:20-79 append-
+    //      only upsert_rows over NormalizedEvent). Two simulated run
+    //      dates flow through the SAME normalize pipeline q69 gates,
+    //      with day-over-day drift a daily scrape actually sees:
+    //      ticket/money counters advance (shift=17) and new events
+    //      appear (extraDice). Both snapshots append through the K2
+    //      sink partitioned by ingestion_run_id; the compared frame is
+    //      the read-back two-snapshot HISTORY, so the gate covers
+    //      normalize x 2 + append + partitioned read-back in one row ----
+    "q112_daily_history" -> ((s, d) => {
+      val dir = tempQueryDir("graft_q112_hist_")
+      Sinks.appendHistorized(
+        normalizedRunE1(s, d, "run-2024-06-01", shift = 0, extraDice = false), dir)
+      Sinks.appendHistorized(
+        normalizedRunE1(s, d, "run-2024-06-02", shift = 17, extraDice = true), dir)
+      s.read.parquet(dir)
         .select(col("provider"), col("event_name"), col("city"), col("country"),
-          F.isoZ(col("event_datetime_local")).as("event_dt_iso"),
-          col("timezone"), col("status"), col("tickets_sold_total"),
-          col("gross_total"), col("net_total"), col("currency"),
-          col("sell_through_pct"), col("ingestion_run_id"),
+          col("event_dt_iso"), col("timezone"), col("status"),
+          col("tickets_sold_total"), col("gross_total"), col("net_total"),
+          col("currency"), col("sell_through_pct"), col("ingestion_run_id"),
           col("artist_name"), col("venue_name"))
-        .orderBy(col("provider"), col("event_name"))
+        .orderBy(col("ingestion_run_id"), col("provider"), col("event_name"))
     }),
 
     // ---- K2 sink read-back under the gate (VERDICT r4 item 4): write
@@ -988,6 +1034,61 @@ object CoreQueries {
   /** 26-word stopword list rendered for DuckDB lambdas. */
   private val stopList =
     """['the','and','feat','ft','with','x','&','+','-','–','—','le','la','les','l','de','du','des','et','au','aux','chez','a','an','on','in']"""
+
+  /** The q69/q112 oracle template — the DuckDB re-derivation of one
+    * normalizedRunE1 run, with the same knobs: `shift` advances the
+    * ticket/money counters, `extraDice` widens the dice key set to the
+    * day-2 extras. Kept as ONE template so the Spark generator and the
+    * oracle cannot desynchronize between the single-run (q69) and
+    * two-run-history (q112) consumers.
+    */
+  private def e1RunSql(runId: String, shift: Int, extraDice: Boolean): String = {
+    val diceWhere =
+      if (extraDice) "(p_partkey % 2 = 0 OR p_partkey % 31 = 5)"
+      else "p_partkey % 2 = 0"
+    s"""SELECT 'dice' AS provider,
+             'Dice Show ' || CAST(p_partkey AS VARCHAR) AS event_name,
+             'Paris' AS city, 'FR' AS country,
+             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') || 'T20:30:00Z'
+               AS event_dt_iso,
+             CASE WHEN p_partkey % 5 = 0 THEN 'Europe/Paris'
+                  ELSE 'Europe/Brussels' END AS timezone,
+             CASE WHEN p_partkey % 6 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
+             CASE WHEN p_partkey % 11 = 0 THEN NULL
+                  ELSE (p_partkey + $shift) % 500 END AS tickets_sold_total,
+             CAST(NULL AS DOUBLE) AS gross_total,
+             CAST(NULL AS DOUBLE) AS net_total,
+             'EUR' AS currency,
+             CAST(NULL AS DOUBLE) AS sell_through_pct,
+             '$runId' AS ingestion_run_id,
+             'Artist ' || CAST(p_partkey % 53 AS VARCHAR) AS artist_name,
+             'Venue ' || CAST(p_partkey % 29 AS VARCHAR) AS venue_name
+           FROM part WHERE $diceWhere
+           UNION ALL
+           SELECT 'shotgun' AS provider,
+             'Band ' || CAST(p_partkey AS VARCHAR) || ' @ Salle ' ||
+               CAST(p_partkey % 19 AS VARCHAR) AS event_name,
+             CAST(NULL AS VARCHAR) AS city, CAST(NULL AS VARCHAR) AS country,
+             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') ||
+               CASE WHEN p_partkey % 3 = 1 THEN 'T19:30:00Z'
+                    ELSE 'T21:00:00Z' END AS event_dt_iso,
+             'Europe/Paris' AS timezone,
+             CASE WHEN p_partkey % 9 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
+             (p_partkey + $shift) % 400 AS tickets_sold_total,
+             CAST((p_partkey + $shift) % 400 AS DOUBLE) + 0.5 AS gross_total,
+             CAST(NULL AS DOUBLE) AS net_total,
+             'EUR' AS currency,
+             CAST(p_partkey % 100 AS DOUBLE) AS sell_through_pct,
+             '$runId' AS ingestion_run_id,
+             CASE WHEN p_partkey % 5 = 0
+                  THEN 'Hint Band ' || CAST(p_partkey AS VARCHAR)
+                  ELSE 'Band ' || CAST(p_partkey AS VARCHAR) END AS artist_name,
+             CASE WHEN p_partkey % 11 = 0 THEN 'Grande Halle'
+                  ELSE 'Salle ' || CAST(p_partkey % 19 AS VARCHAR) END AS venue_name
+           FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 <> 0"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q65_profile" ->
@@ -1403,53 +1504,18 @@ object CoreQueries {
     // same deterministic raw derivation: datetime strings are rebuilt
     // literally (the engine's parse→render must be the identity on
     // them), FL3 is the %7 exclusion, FL4 means tickets come from the
-    // money line, never the stripped "aujourd'hui" counter.
+    // money line, never the stripped "aujourd'hui" counter. One
+    // parameterized template (e1RunSql) serves q69 (one run) and q112
+    // (two-run history), mirroring normalizedRunE1's knobs exactly.
     "q69_normalize_e2e" ->
-      """WITH dice AS (
-           SELECT 'dice' AS provider,
-             'Dice Show ' || CAST(p_partkey AS VARCHAR) AS event_name,
-             'Paris' AS city, 'FR' AS country,
-             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
-               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') || 'T20:30:00Z'
-               AS event_dt_iso,
-             CASE WHEN p_partkey % 5 = 0 THEN 'Europe/Paris'
-                  ELSE 'Europe/Brussels' END AS timezone,
-             CASE WHEN p_partkey % 6 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
-             CASE WHEN p_partkey % 11 = 0 THEN NULL
-                  ELSE p_partkey % 500 END AS tickets_sold_total,
-             CAST(NULL AS DOUBLE) AS gross_total,
-             CAST(NULL AS DOUBLE) AS net_total,
-             'EUR' AS currency,
-             CAST(NULL AS DOUBLE) AS sell_through_pct,
-             'run-q69' AS ingestion_run_id,
-             'Artist ' || CAST(p_partkey % 53 AS VARCHAR) AS artist_name,
-             'Venue ' || CAST(p_partkey % 29 AS VARCHAR) AS venue_name
-           FROM part WHERE p_partkey % 2 = 0),
-         sg AS (
-           SELECT 'shotgun' AS provider,
-             'Band ' || CAST(p_partkey AS VARCHAR) || ' @ Salle ' ||
-               CAST(p_partkey % 19 AS VARCHAR) AS event_name,
-             CAST(NULL AS VARCHAR) AS city, CAST(NULL AS VARCHAR) AS country,
-             '2024-' || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
-               lpad(CAST(p_partkey % 27 + 1 AS VARCHAR), 2, '0') ||
-               CASE WHEN p_partkey % 3 = 1 THEN 'T19:30:00Z'
-                    ELSE 'T21:00:00Z' END AS event_dt_iso,
-             'Europe/Paris' AS timezone,
-             CASE WHEN p_partkey % 9 = 0 THEN 'sold out' ELSE 'on sale' END AS status,
-             p_partkey % 400 AS tickets_sold_total,
-             CAST(p_partkey % 400 AS DOUBLE) + 0.5 AS gross_total,
-             CAST(NULL AS DOUBLE) AS net_total,
-             'EUR' AS currency,
-             CAST(p_partkey % 100 AS DOUBLE) AS sell_through_pct,
-             'run-q69' AS ingestion_run_id,
-             CASE WHEN p_partkey % 5 = 0
-                  THEN 'Hint Band ' || CAST(p_partkey AS VARCHAR)
-                  ELSE 'Band ' || CAST(p_partkey AS VARCHAR) END AS artist_name,
-             CASE WHEN p_partkey % 11 = 0 THEN 'Grande Halle'
-                  ELSE 'Salle ' || CAST(p_partkey % 19 AS VARCHAR) END AS venue_name
-           FROM part WHERE p_partkey % 2 = 1 AND p_partkey % 7 <> 0)
-         SELECT * FROM (SELECT * FROM dice UNION ALL SELECT * FROM sg) u
+      s"""SELECT * FROM (${e1RunSql("run-q69", 0, extraDice = false)}) u
          ORDER BY provider, event_name""",
+    "q112_daily_history" ->
+      s"""SELECT * FROM (
+           ${e1RunSql("run-2024-06-01", 0, extraDice = false)}
+           UNION ALL
+           ${e1RunSql("run-2024-06-02", 17, extraDice = true)}) u
+         ORDER BY ingestion_run_id, provider, event_name""",
     "q70_sink_readback" ->
       """SELECT event_id, user_id,
          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value,

@@ -1226,6 +1226,93 @@ object ExtQueries {
           round(sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
             .cast("double") / count(lit(1)), 6).as("novel_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup-family equivalence eval (VERDICT r7 #6): the repo has
+    //      four near-dup detector families; this is the meta-eval that
+    //      says which ones AGREE — pairwise Jaccard of their per-doc
+    //      DROP SETS, the number a curation user reads before trusting
+    //      one family's verdict at a given threshold (q76/q97/q102's
+    //      eval discipline applied to dedup itself). Drop rules, each
+    //      the detector's own gated pipeline verbatim: minhash = larger
+    //      member of any >=2-band LSH pair (q22); simhash = larger
+    //      member of any hamming<=3 SimHash64 pair (q85); span = docs
+    //      with a majority of their 8-token spans owned by an earlier
+    //      doc (q92's first-occurrence rule); semantic = q86's
+    //      dropped_id at tau=0.4 (embeddings vec_id is the doc's
+    //      embedding id — same 0..N-1 domain by construction,
+    //      TESTDATA.md). The spine of all 6 detector pairs is a literal
+    //      6-row local frame, so empty drop sets still produce their
+    //      matrix row (keyed broadcast joins — no BNLJ); every
+    //      intersection join is equi-keyed on doc_id. At 100 TB each
+    //      drop set is corpus-bounded and keyed; the matrix itself is
+    //      36 cells max ----
+    "q113_dedup_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val mh = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .filter(col("n_bands") >= 2)
+        .select(col("b_id").as("doc_id")).distinct()
+        .select(lit("minhash").as("det"), col("doc_id"))
+      val shFrame = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      val shSig = shFrame.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "minhash")))
+      val sh = Dedup.minhashCandidates(shSig)
+        .filter(col("n_bands") >= 3)
+        .join(shFrame.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(shFrame.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
+        .select(col("b_id").as("doc_id")).distinct()
+        .select(lit("simhash").as("det"), col("doc_id"))
+      val toks = docs.select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+      val spans = toks.filter(col("n_spans") >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+            i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+            .as(Seq("span_idx", "span")))
+      val keptCount = spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(substring(md5(col("span")), 1, 16))
+            .orderBy(col("doc_id"), col("span_idx"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      val sp = toks.select(col("doc_id"), col("n_spans"))
+        .join(keptCount, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
+        .select(lit("span").as("det"), col("doc_id"))
+      val se = Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", tau = 0.4, nCells = 16)
+        .select(col("dropped_id").as("doc_id")).distinct()
+        .select(lit("semantic").as("det"), col("doc_id"))
+      // consumed 3x (sizes + both intersection sides) — deploy-switch persist
+      val drops = graft.util.Persist(
+        mh.unionByName(sh).unionByName(sp).unionByName(se))
+      val sizes = drops.groupBy(col("det")).agg(count(lit(1)).as("n"))
+      val inter = drops.select(col("det").as("det_a"), col("doc_id"))
+        .join(drops.select(col("det").as("det_b"), col("doc_id")), Seq("doc_id"))
+        .filter(col("det_a") < col("det_b"))
+        .groupBy(col("det_a"), col("det_b")).agg(count(lit(1)).as("n_both"))
+      import s.implicits._
+      val spine = Seq("minhash", "semantic", "simhash", "span")
+        .combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+        .toDF("det_a", "det_b")
+      spine
+        .join(sizes.select(col("det").as("det_a"), col("n").as("n_a")), Seq("det_a"), "left")
+        .join(sizes.select(col("det").as("det_b"), col("n").as("n_b")), Seq("det_b"), "left")
+        .join(inter, Seq("det_a", "det_b"), "left")
+        .select(col("det_a"), col("det_b"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"))
+        .withColumn("uni", col("n_a") + col("n_b") - col("n_both"))
+        .withColumn("jaccard",
+          when(col("uni") > 0,
+            round(col("n_both").cast("double") / col("uni"), 6)))
+        .drop("uni")
+        .orderBy(col("det_a"), col("det_b"))
     }))
 
   private def duckToks(expr: String) =
@@ -2252,5 +2339,71 @@ object ExtQueries {
            round(CAST(SUM(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS novel_frac
          FROM sh s JOIN m ON s.g = m.g
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // q113 composes the four detectors' own oracle fragments (banded
+    // MinHash CTEs, the 64-term SimHash chain, q92's span chain, the
+    // semantic pair CTEs) with collision-free prefixes, so the
+    // agreement matrix is pinned by exactly the same re-derivations
+    // that pin each detector individually.
+    "q113_dedup_agreement" -> s"""
+         WITH $bandedSigSql,
+         mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         xt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         xs AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM xt),
+         xn AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM xs),
+         xnb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM xn),
+         xnbs AS (SELECT band, nib, COUNT(*) AS bs FROM xnb0 GROUP BY 1, 2),
+         xnb AS (SELECT xnb0.doc_id, xnb0.sh, xnb0.band, xnb0.nib FROM xnb0
+           JOIN xnbs ON xnb0.band = xnbs.band AND xnb0.nib = xnbs.nib
+           WHERE xnbs.bs <= 10000),
+         xcand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
+           FROM xnb a JOIN xnb b ON a.band = b.band AND a.nib = b.nib
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         pn AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM xt),
+         psp AS (SELECT doc_id, i AS span_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM pn WHERE n_spans >= 1)),
+         pk AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
+             PARTITION BY substr(md5(span), 1, 16)
+             ORDER BY doc_id, span_idx) AS rn FROM psp),
+         pr AS (SELECT doc_id, COUNT(*) AS n_kept FROM pk WHERE rn = 1
+           GROUP BY doc_id),
+         $semanticPairCtes,
+         drops AS (
+           SELECT DISTINCT 'minhash' AS det, b_id AS doc_id FROM mhp
+           UNION ALL
+           SELECT DISTINCT 'simhash' AS det, b_id AS doc_id FROM xcand
+             WHERE bit_count(xor(ash, bsh)) <= 3
+           UNION ALL
+           SELECT 'span' AS det, pn.doc_id FROM pn LEFT JOIN pr USING (doc_id)
+             WHERE COALESCE(pr.n_kept, 0) * 2 < pn.n_spans
+           UNION ALL
+           SELECT DISTINCT 'semantic' AS det, dropped_id AS doc_id FROM ev
+             WHERE rn = 1),
+         dsizes AS (SELECT det, COUNT(*) AS n FROM drops GROUP BY 1),
+         dspine(det_a, det_b) AS (VALUES
+           ('minhash', 'semantic'), ('minhash', 'simhash'), ('minhash', 'span'),
+           ('semantic', 'simhash'), ('semantic', 'span'), ('simhash', 'span')),
+         dinter AS (SELECT a.det AS det_a, b.det AS det_b, COUNT(*) AS n_both
+           FROM drops a JOIN drops b ON a.doc_id = b.doc_id AND a.det < b.det
+           GROUP BY 1, 2)
+         SELECT dspine.det_a, dspine.det_b,
+           COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           round(CAST(COALESCE(i.n_both, 0) AS DOUBLE) /
+             NULLIF(COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.n_both, 0), 0),
+             6) AS jaccard
+         FROM dspine
+         LEFT JOIN dsizes sa ON dspine.det_a = sa.det
+         LEFT JOIN dsizes sb ON dspine.det_b = sb.det
+         LEFT JOIN dinter i ON dspine.det_a = i.det_a AND dspine.det_b = i.det_b
+         ORDER BY dspine.det_a, dspine.det_b""")
 }

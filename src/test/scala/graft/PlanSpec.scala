@@ -57,14 +57,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q22: documents scanned ONCE (bucket pairing, not a self-join)") {
-    // the former self-join evaluated the whole signature pipeline twice;
-    // the final AQE plan must contain a single documents FileScan
+  test("q22: scans the persisted signature TABLE, not raw documents") {
+    // the dedup family reads the session-persisted corpus signature
+    // table (corpusSignatures — the 100 TB shape: signatures are an
+    // output of the corpus build); q22's own read plan must contain
+    // the signature parquet scan and ZERO documents scans — a
+    // documents scan reappearing means the shingle+minhash pass leaked
+    // back into the consumer (the regression the shared table removed;
+    // its former incarnation, the bucket self-join, scanned it twice)
     val df = SparkEntry.queries("q22_minhash_candidates")(spark, sf0001)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0) // AQE prints initial plan below
-    assert("documents\\.parquet".r.findAllIn(finalPlan).length == 1, finalPlan)
+    assert("documents\\.parquet".r.findAllIn(finalPlan).isEmpty, finalPlan)
+    assert("graft_sig8_".r.findAllIn(finalPlan).nonEmpty, finalPlan)
   }
 
   test("q43 exact greedy: shuffles keyed by day, no cartesian") {
