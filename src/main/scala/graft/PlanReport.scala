@@ -50,7 +50,7 @@ object PlanReport {
     "q110_source_coverage" -> "source coverage: corpus work is one source-keyed groupBy; the single-partition windows run over the source-cardinality-bounded aggregate",
     "q111_ngram_novelty" -> "n-gram novelty: two keyed exchanges only (shingle for the first-owner window, doc_id for the aggregate) — no joins, no broadcast",
     "q112_daily_history" -> "daily-history E2 capstone: two normalize runs append through the K2 sink; the compared plan is a scan of the run-partitioned parquet (normalize work happens in the writes)",
-    "q113_dedup_agreement" -> "dedup-family agreement: four keyed drop-set pipelines unioned once (persisted), self-joined on doc_id; 6-row literal spine keeps empty sets in the matrix — no BNLJ")
+    "q113_dedup_agreement" -> "dedup-family agreement: four keyed drop-set pipelines unioned once (persisted), self-joined on doc_id; 6-row literal spine keeps empty sets in the matrix; only BNLJ is q86's allowlisted 16-row centroid assignment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
