@@ -31,7 +31,9 @@ object PlanAudit {
     "q99_ccnet_buckets" -> "one-row broadcast of the vocab-size scalar inside bigramLmScore (q87's pattern)",
     "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
     "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)",
-    "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)")
+    "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)",
+    "q114_lsh_recall" -> "brute-force exact truth side: bounded ~6% doc sample broadcast against the prefix projection (q25/q76's fenced design)",
+    "q117_source_dedup_report" -> "q86's bounded 16-row centroid-assignment BNLJ via dedupDropSets (same as q113)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

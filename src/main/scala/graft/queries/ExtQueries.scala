@@ -59,6 +59,55 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** The four detector families' per-doc DROP SETS as one
+    * (det, doc_id) frame — each rule is the detector's own gated
+    * pipeline verbatim (see the q113 docstring). Shared by q113
+    * (pairwise agreement) and q117 (per-source curation report);
+    * Persist'd because every consumer reads it several times.
+    */
+  private def dedupDropSets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val mh = Dedup.minhashCandidates(corpusSignatures(s, d))
+      .filter(col("n_bands") >= 2)
+      .select(col("b_id").as("doc_id")).distinct()
+      .select(lit("minhash").as("det"), col("doc_id"))
+    val shFrame = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val shSig = shFrame.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "minhash")))
+    val sh = Dedup.minhashCandidates(shSig)
+      .filter(col("n_bands") >= 3)
+      .join(shFrame.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shFrame.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
+      .select(col("b_id").as("doc_id")).distinct()
+      .select(lit("simhash").as("det"), col("doc_id"))
+    val toks = docs.select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+      .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+    val spans = toks.filter(col("n_spans") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+          i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+          .as(Seq("span_idx", "span")))
+    val keptCount = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(substring(md5(col("span")), 1, 16))
+          .orderBy(col("doc_id"), col("span_idx"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val sp = toks.select(col("doc_id"), col("n_spans"))
+      .join(keptCount, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
+      .select(lit("span").as("det"), col("doc_id"))
+    val se = Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", tau = 0.4, nCells = 16)
+      .select(col("dropped_id").as("doc_id")).distinct()
+      .select(lit("semantic").as("det"), col("doc_id"))
+    graft.util.Persist(mh.unionByName(sh).unionByName(sp).unionByName(se))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
     "q21_dedup_exact" -> ((s, d) => {
@@ -1248,48 +1297,7 @@ object ExtQueries {
     //      drop set is corpus-bounded and keyed; the matrix itself is
     //      36 cells max ----
     "q113_dedup_agreement" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val mh = Dedup.minhashCandidates(corpusSignatures(s, d))
-        .filter(col("n_bands") >= 2)
-        .select(col("b_id").as("doc_id")).distinct()
-        .select(lit("minhash").as("det"), col("doc_id"))
-      val shFrame = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
-      val shSig = shFrame.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("band", "minhash")))
-      val sh = Dedup.minhashCandidates(shSig)
-        .filter(col("n_bands") >= 3)
-        .join(shFrame.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-        .join(shFrame.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-        .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
-        .select(col("b_id").as("doc_id")).distinct()
-        .select(lit("simhash").as("det"), col("doc_id"))
-      val toks = docs.select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
-        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
-      val spans = toks.filter(col("n_spans") >= 1)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
-            i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
-            .as(Seq("span_idx", "span")))
-      val keptCount = spans
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(substring(md5(col("span")), 1, 16))
-            .orderBy(col("doc_id"), col("span_idx"))))
-        .filter(col("rn") === 1)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-      val sp = toks.select(col("doc_id"), col("n_spans"))
-        .join(keptCount, Seq("doc_id"), "left")
-        .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
-        .select(lit("span").as("det"), col("doc_id"))
-      val se = Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
-          "embedding", tau = 0.4, nCells = 16)
-        .select(col("dropped_id").as("doc_id")).distinct()
-        .select(lit("semantic").as("det"), col("doc_id"))
-      // consumed 3x (sizes + both intersection sides) — deploy-switch persist
-      val drops = graft.util.Persist(
-        mh.unionByName(sh).unionByName(sp).unionByName(se))
+      val drops = dedupDropSets(s, d)
       val sizes = drops.groupBy(col("det")).agg(count(lit(1)).as("n"))
       val inter = drops.select(col("det").as("det_a"), col("doc_id"))
         .join(drops.select(col("det").as("det_b"), col("doc_id")), Seq("doc_id"))
@@ -1313,6 +1321,182 @@ object ExtQueries {
             round(col("n_both").cast("double") / col("uni"), 6)))
         .drop("uni")
         .orderBy(col("det_a"), col("det_b"))
+    }),
+
+    // ---- LSH RECALL eval — the missing twin of q102's precision: of
+    //      the pairs that genuinely ARE near-dups (exact 3-gram
+    //      Jaccard >= 0.5 on the 120-char prefix), what fraction does
+    //      the banded-LSH candidate generator find? Ground truth comes
+    //      from a fenced brute-force pass: a bounded doc SAMPLE
+    //      (doc_id % 17 — ~6% of the corpus) broadcast against the full
+    //      prefix projection (q25/q76's fenced-exact-side design; the
+    //      only corpus-scale operand streams, never shuffles).
+    //      Together q102+q114 bracket the banding operating point:
+    //      precision says how much candidate budget is wasted, recall
+    //      says what the shingle->band pipeline misses ----
+    "q114_lsh_recall" -> ((s, d) => {
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+      val sample = pre.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
+      val truth = pre.crossJoin(broadcast(sample))
+        .filter(col("doc_id") =!= col("q_id"))
+        .filter(Dedup.ngramJaccard(col("q_pre"), col("pre"), 3) >= 0.5)
+        .select(col("q_id"), col("doc_id").as("n_id"))
+      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .filter(col("n_bands") >= 2)
+      val candDir = cand.select(col("a_id").as("q_id"), col("b_id").as("n_id"))
+        .unionByName(cand.select(col("b_id").as("q_id"), col("a_id").as("n_id")))
+        .filter(col("q_id") % 17 === 0)
+        .withColumn("hit", lit(1))
+      truth.join(candDir, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_found"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- per-source curation report: each detector family's drop
+    //      count and drop fraction BY SOURCE — the dashboard row a
+    //      curator reads to see which ingest feeds are duplicate-heavy
+    //      before committing a 100 TB dedup pass (and the per-source
+    //      complement of q110's coverage view). Reuses dedupDropSets
+    //      verbatim; the report adds one doc_id-keyed join against the
+    //      (doc_id, source) projection and a source-cardinality-bounded
+    //      aggregate — nothing corpus-quadratic on top of the
+    //      detectors themselves ----
+    "q117_source_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcTotals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      dedupDropSets(s, d)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("det"))
+        .agg(count(lit(1)).as("n_dropped"))
+        .join(srcTotals, Seq("source"))
+        .withColumn("drop_frac",
+          round(col("n_dropped").cast("double") / col("n_docs"), 6))
+        .select(col("source"), col("det"), col("n_dropped"), col("n_docs"),
+          col("drop_frac"))
+        .orderBy(col("source"), col("det"))
+    }),
+
+    // ---- classifier calibration eval: AUC of q108's frozen logistic
+    //      quality score against q100's Gopher rule battery as the
+    //      binary label — does the learned scorer rank rule-passing
+    //      docs above rule-failing ones? Mann-Whitney AUC with exact
+    //      tie handling: average ranks over DISTINCT score groups, so
+    //      the one unpartitioned window runs over a frame bounded by
+    //      the score resolution (sigmoid rounded to 6 decimals -> at
+    //      most ~1e6 distinct values whatever the corpus size — q110's
+    //      bounded-window discipline, not a corpus-sized sort). The
+    //      per-doc feature pass is one scan; everything after is
+    //      resolution-bounded ----
+    "q116_classifier_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n_words"),
+          size(col("toks")).cast("long").as("n_words_l"),
+          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+          TA.punctRatio(col("text")).as("punct"),
+          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"),
+          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+            / size(col("ltoks")).cast("double"), 6).as("dup_frac"))
+      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+        lit(0.4) * abs(col("mwl") - lit(5.0)) +
+        lit(0.15) * log(lit(1.0) + col("n_words"))
+      // label thresholds apply to the ROUNDED features — q100's exact
+      // published battery, so the two gated queries stay in lockstep
+      val scored = f.select(
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (col("n_words_l") >= 50 && col("n_words_l") <= 100000 &&
+          round(col("mwl"), 6) >= 3.0 && round(col("mwl"), 6) <= 10.0 &&
+          round(col("stop"), 6) >= 0.02 &&
+          col("dup_frac") <= 0.9).cast("long").as("label"))
+      val gs = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = gs
+        .withColumn("cumb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("avg_rank",
+          col("cumb").cast("double") + (col("n").cast("double") + 1.0) / 2.0)
+      ranked.agg(
+          sum(col("n_pos")).as("np"),
+          sum(col("n") - col("n_pos")).as("nn"),
+          sum(col("n_pos").cast("double") * col("avg_rank")).as("srp"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") > 0 && col("nn") > 0,
+            round((col("srp") - col("np").cast("double") *
+              (col("np").cast("double") + 1.0) / 2.0) /
+              (col("np").cast("double") * col("nn").cast("double")), 6))
+            .as("auc"))
+    }),
+
+    // ---- STREAMING near-dup ingest — q95's persisted-signature
+    //      discipline composed with the §2.10 streaming stack: the
+    //      delta docs arrive as a file stream (4 micro-batches), and
+    //      each batch's banded signatures equi-join the PERSISTED base
+    //      signature table on (band, minhash) — never a base×base pair
+    //      and never a corpus rescan, which is exactly the nightly
+    //      ingest loop at 100 TB (signatures are an output of the last
+    //      corpus build; the per-batch work is |batch| signatures ×
+    //      keyed lookup). Flagged pairs append through the
+    //      batch_id-partitioned K2 sink; the compared frame is the
+    //      read-back union over batches, gated on the SAME oracle as
+    //      q91/q95 — the streaming path must be value-identical to the
+    //      batch paths. (Divergence note: the bucket cap applies per
+    //      base+batch bucket here vs base+all-delta in q95 — identical
+    //      below the cap, i.e. everywhere outside degenerate
+    //      boilerplate buckets.) ----
+    "q115_stream_neardup" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val docs = Tables.documents(s, d)
+      // the same persisted base-signature table q95 reads (shared key,
+      // so one materialization serves both consumers per session)
+      val sigDir = CoreQueries.sharedInputDir(
+        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
+          "text", "doc_id", k = 8).write.parquet(p)
+      }
+      val baseSig = s.read.parquet(sigDir)
+      val delta = docs.filter(isDelta(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q115_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q115_sdedup_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            Dedup.bandedSignatures(batch.toDF(), "text", "doc_id", k = 8)
+              .select(col("band"), col("minhash"), col("doc_id").as("delta_id"))
+              .join(baseSig.select(col("band"), col("minhash"),
+                col("doc_id").as("base_id")), Seq("band", "minhash"))
+              .groupBy(col("delta_id"), col("base_id"))
+              .agg(count(lit(1)).as("n_bands"))
+              .filter(col("n_bands") >= 2)
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+            ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("delta_id"), col("base_id"), col("n_bands"))
+        .orderBy(col("delta_id"), col("base_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -1553,6 +1737,53 @@ object ExtQueries {
        > len(toks) THEN $w ELSE 0 END""".replaceAll("\n\\s*", " ")
   }.mkString(" + ")
 
+  /** The q113/q117 shared oracle CTE chain: all four detector drop
+    * sets re-derived from the detectors' own fragments, ending in
+    * `drops(det, doc_id)`.
+    */
+  private val dedupDropsCtes: String = s"""$bandedSigSql,
+         mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         xt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         xs AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM xt),
+         xn AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM xs),
+         xnb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM xn),
+         xnbs AS (SELECT band, nib, COUNT(*) AS bs FROM xnb0 GROUP BY 1, 2),
+         xnb AS (SELECT xnb0.doc_id, xnb0.sh, xnb0.band, xnb0.nib FROM xnb0
+           JOIN xnbs ON xnb0.band = xnbs.band AND xnb0.nib = xnbs.nib
+           WHERE xnbs.bs <= 10000),
+         xcand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
+           FROM xnb a JOIN xnb b ON a.band = b.band AND a.nib = b.nib
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         pn AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM xt),
+         psp AS (SELECT doc_id, i AS span_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM pn WHERE n_spans >= 1)),
+         pk AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
+             PARTITION BY substr(md5(span), 1, 16)
+             ORDER BY doc_id, span_idx) AS rn FROM psp),
+         pr AS (SELECT doc_id, COUNT(*) AS n_kept FROM pk WHERE rn = 1
+           GROUP BY doc_id),
+         $semanticPairCtes,
+         drops AS (
+           SELECT DISTINCT 'minhash' AS det, b_id AS doc_id FROM mhp
+           UNION ALL
+           SELECT DISTINCT 'simhash' AS det, b_id AS doc_id FROM xcand
+             WHERE bit_count(xor(ash, bsh)) <= 3
+           UNION ALL
+           SELECT 'span' AS det, pn.doc_id FROM pn LEFT JOIN pr USING (doc_id)
+             WHERE COALESCE(pr.n_kept, 0) * 2 < pn.n_spans
+           UNION ALL
+           SELECT DISTINCT 'semantic' AS det, dropped_id AS doc_id FROM ev
+             WHERE rn = 1)"""
+
   val oracleSql: Map[String, String] = Map(
     "q21_dedup_exact" ->
       """SELECT md5(lower(substr(text, 1, 40))) AS content_hash,
@@ -1590,6 +1821,10 @@ object ExtQueries {
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
          FROM ev WHERE rn = 1 ORDER BY dropped_id""",
     "q91_incremental_dedup" -> incrementalDedupSql,
+    // the STREAMING incremental path must be value-identical to the
+    // batch recompute (q91) and batch persisted (q95) paths: one
+    // oracle pins all three
+    "q115_stream_neardup" -> incrementalDedupSql,
     // the persisted-signature path (q95) must be value-identical to the
     // recompute path (q91): one oracle pins both
     "q95_incremental_persisted" -> incrementalDedupSql,
@@ -2346,48 +2581,7 @@ object ExtQueries {
     // agreement matrix is pinned by exactly the same re-derivations
     // that pin each detector individually.
     "q113_dedup_agreement" -> s"""
-         WITH $bandedSigSql,
-         mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         xt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         xs AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM xt),
-         xn AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM xs),
-         xnb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM xn),
-         xnbs AS (SELECT band, nib, COUNT(*) AS bs FROM xnb0 GROUP BY 1, 2),
-         xnb AS (SELECT xnb0.doc_id, xnb0.sh, xnb0.band, xnb0.nib FROM xnb0
-           JOIN xnbs ON xnb0.band = xnbs.band AND xnb0.nib = xnbs.nib
-           WHERE xnbs.bs <= 10000),
-         xcand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
-           FROM xnb a JOIN xnb b ON a.band = b.band AND a.nib = b.nib
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-         pn AS (SELECT doc_id, toks,
-             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM xt),
-         psp AS (SELECT doc_id, i AS span_idx,
-             array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
-           FROM (SELECT doc_id, toks,
-               unnest(generate_series(0, n_spans - 1)) AS i
-             FROM pn WHERE n_spans >= 1)),
-         pk AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
-             PARTITION BY substr(md5(span), 1, 16)
-             ORDER BY doc_id, span_idx) AS rn FROM psp),
-         pr AS (SELECT doc_id, COUNT(*) AS n_kept FROM pk WHERE rn = 1
-           GROUP BY doc_id),
-         $semanticPairCtes,
-         drops AS (
-           SELECT DISTINCT 'minhash' AS det, b_id AS doc_id FROM mhp
-           UNION ALL
-           SELECT DISTINCT 'simhash' AS det, b_id AS doc_id FROM xcand
-             WHERE bit_count(xor(ash, bsh)) <= 3
-           UNION ALL
-           SELECT 'span' AS det, pn.doc_id FROM pn LEFT JOIN pr USING (doc_id)
-             WHERE COALESCE(pr.n_kept, 0) * 2 < pn.n_spans
-           UNION ALL
-           SELECT DISTINCT 'semantic' AS det, dropped_id AS doc_id FROM ev
-             WHERE rn = 1),
+         WITH $dedupDropsCtes,
          dsizes AS (SELECT det, COUNT(*) AS n FROM drops GROUP BY 1),
          dspine(det_a, det_b) AS (VALUES
            ('minhash', 'semantic'), ('minhash', 'simhash'), ('minhash', 'span'),
@@ -2405,5 +2599,76 @@ object ExtQueries {
          LEFT JOIN dsizes sa ON dspine.det_a = sa.det
          LEFT JOIN dsizes sb ON dspine.det_b = sb.det
          LEFT JOIN dinter i ON dspine.det_a = i.det_a AND dspine.det_b = i.det_b
-         ORDER BY dspine.det_a, dspine.det_b""")
+         ORDER BY dspine.det_a, dspine.det_b""",
+    "q114_lsh_recall" -> (s"""
+         WITH $bandedSigSql,
+         cpair AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         cdir AS (SELECT a_id AS q_id, b_id AS n_id FROM cpair
+           UNION ALL SELECT b_id AS q_id, a_id AS n_id FROM cpair),""" + """
+         gpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         g AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM gpos GROUP BY 1),
+         truth AS (SELECT gq.doc_id AS q_id, go.doc_id AS n_id
+           FROM g gq JOIN g go ON gq.doc_id % 17 = 0 AND go.doc_id <> gq.doc_id
+           WHERE CAST(len(list_intersect(gq.grams, go.grams)) AS DOUBLE) /
+             CAST(len(gq.grams) + len(go.grams)
+               - len(list_intersect(gq.grams, go.grams)) AS DOUBLE) >= 0.5)
+         SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(c.n_id) AS BIGINT) AS n_found,
+           round(CAST(COUNT(c.n_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS recall
+         FROM truth t LEFT JOIN cdir c ON t.q_id = c.q_id AND t.n_id = c.n_id
+         GROUP BY t.q_id ORDER BY t.q_id"""),
+    "q117_source_dedup_report" -> s"""
+         WITH $dedupDropsCtes,
+         st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         dd AS (SELECT doc.source, dr.det, COUNT(*) AS n_dropped
+           FROM drops dr JOIN documents doc ON dr.doc_id = doc.doc_id
+           GROUP BY 1, 2)
+         SELECT dd.source, dd.det, dd.n_dropped, st.n_docs,
+           round(CAST(dd.n_dropped AS DOUBLE) / CAST(st.n_docs AS DOUBLE), 6)
+             AS drop_frac
+         FROM dd JOIN st ON dd.source = st.source
+         ORDER BY dd.source, dd.det""",
+    "q116_classifier_auc" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks,
+             ${duckToks("lower(text)")} AS ltoks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(len(toks) AS BIGINT) AS n_words_l,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop,
+             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS dup_frac
+           FROM t),
+         scored AS (SELECT
+             round(1.0 / (1.0 + exp(-(0.5 + 4.0 * stop - 6.0 * punct
+               - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words)))), 6) AS score,
+             CAST(n_words_l >= 50 AND n_words_l <= 100000
+               AND round(mwl, 6) >= 3.0 AND round(mwl, 6) <= 10.0
+               AND round(stop, 6) >= 0.02 AND dup_frac <= 0.9 AS BIGINT) AS label
+           FROM f),
+         gs AS (SELECT score, COUNT(*) AS n, SUM(label) AS n_pos
+           FROM scored GROUP BY 1),
+         r AS (SELECT score, n, n_pos,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           FROM gs)
+         SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n - n_pos) AS BIGINT) AS n_neg,
+           round((SUM(CAST(n_pos AS DOUBLE) * (cumb + (n + 1.0) / 2.0))
+             - CAST(SUM(n_pos) AS DOUBLE) * (CAST(SUM(n_pos) AS DOUBLE) + 1.0) / 2.0)
+             / NULLIF(CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n - n_pos) AS DOUBLE), 0),
+             6) AS auc
+         FROM r""")
 }
