@@ -32,7 +32,7 @@ object PlanAudit {
     "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
     "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)",
     "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)",
-    "q114_lsh_recall" -> "brute-force exact truth side: bounded ~6% doc sample broadcast against the prefix projection (q25/q76's fenced design)",
+    "q114_lsh_recall" -> "brute-force exact truth side: bounded ~3.4% doc sample broadcast against the prefix projection (q25/q76's fenced design)",
     "q117_source_dedup_report" -> "q86's bounded 16-row centroid-assignment BNLJ via dedupDropSets (same as q113)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,

@@ -51,7 +51,7 @@ object PlanReport {
     "q111_ngram_novelty" -> "n-gram novelty: two keyed exchanges only (shingle for the first-owner window, doc_id for the aggregate) — no joins, no broadcast",
     "q112_daily_history" -> "daily-history E2 capstone: two normalize runs append through the K2 sink; the compared plan is a scan of the run-partitioned parquet (normalize work happens in the writes)",
     "q113_dedup_agreement" -> "dedup-family agreement: four keyed drop-set pipelines unioned once (persisted), self-joined on doc_id; 6-row literal spine keeps empty sets in the matrix; only BNLJ is q86's allowlisted 16-row centroid assignment",
-    "q114_lsh_recall" -> "LSH recall eval: fenced brute-force truth side (bounded ~6% sample broadcast, corpus streams), candidate side scans the persisted signature table — q102's precision twin",
+    "q114_lsh_recall" -> "LSH recall eval: fenced brute-force truth side (bounded ~3.4% sample broadcast, corpus streams), candidate side scans the persisted signature table — q102's precision twin",
     "q115_stream_neardup" -> "streaming near-dup ingest: per-micro-batch signatures equi-join the persisted base signature table on (band, minhash) — no base×base pair work, no corpus rescan; compared plan is the batch_id-partitioned sink read-back",
     "q116_classifier_auc" -> "Mann-Whitney AUC: one scan-stage feature pass, then every window/aggregate runs over the score-resolution-bounded distinct-score frame (<= ~1e6 rows at any corpus size)",
     "q117_source_dedup_report" -> "per-source curation report: dedupDropSets + one doc_id-keyed join + source-cardinality-bounded aggregate")

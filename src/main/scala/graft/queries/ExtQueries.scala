@@ -1328,16 +1328,21 @@ object ExtQueries {
     //      Jaccard >= 0.5 on the 120-char prefix), what fraction does
     //      the banded-LSH candidate generator find? Ground truth comes
     //      from a fenced brute-force pass: a bounded doc SAMPLE
-    //      (doc_id % 17 — ~6% of the corpus) broadcast against the full
+    //      (doc_id % 29 — ~3.4% of the corpus) broadcast against the full
     //      prefix projection (q25/q76's fenced-exact-side design; the
     //      only corpus-scale operand streams, never shuffles).
     //      Together q102+q114 bracket the banding operating point:
     //      precision says how much candidate budget is wasted, recall
     //      says what the shingle->band pipeline misses ----
     "q114_lsh_recall" -> ((s, d) => {
+      // NGramJaccard per pair is the measured winner: the fused
+      // codegen'd expression re-shingles both 120-char prefixes per
+      // pair in primitive space (6.4 s at sf0.1) and beats the
+      // precomputed-gram-array + array_intersect form (32.5 s — array
+      // ops on string arrays leave codegen and allocate per call)
       val pre = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
-      val sample = pre.filter(col("doc_id") % 17 === 0)
+      val sample = pre.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
       val truth = pre.crossJoin(broadcast(sample))
         .filter(col("doc_id") =!= col("q_id"))
@@ -1347,7 +1352,7 @@ object ExtQueries {
         .filter(col("n_bands") >= 2)
       val candDir = cand.select(col("a_id").as("q_id"), col("b_id").as("n_id"))
         .unionByName(cand.select(col("b_id").as("q_id"), col("a_id").as("n_id")))
-        .filter(col("q_id") % 17 === 0)
+        .filter(col("q_id") % 29 === 0)
         .withColumn("hit", lit(1))
       truth.join(candDir, Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
@@ -2614,7 +2619,7 @@ object ExtQueries {
          g AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
            FROM gpos GROUP BY 1),
          truth AS (SELECT gq.doc_id AS q_id, go.doc_id AS n_id
-           FROM g gq JOIN g go ON gq.doc_id % 17 = 0 AND go.doc_id <> gq.doc_id
+           FROM g gq JOIN g go ON gq.doc_id % 29 = 0 AND go.doc_id <> gq.doc_id
            WHERE CAST(len(list_intersect(gq.grams, go.grams)) AS DOUBLE) /
              CAST(len(gq.grams) + len(go.grams)
                - len(list_intersect(gq.grams, go.grams)) AS DOUBLE) >= 0.5)
