@@ -54,7 +54,9 @@ object PlanReport {
     "q114_lsh_recall" -> "LSH recall eval: fenced brute-force truth side (bounded ~3.4% sample broadcast, corpus streams), candidate side scans the persisted signature table — q102's precision twin",
     "q115_stream_neardup" -> "streaming near-dup ingest: per-micro-batch signatures equi-join the persisted base signature table on (band, minhash) — no base×base pair work, no corpus rescan; compared plan is the batch_id-partitioned sink read-back",
     "q116_classifier_auc" -> "Mann-Whitney AUC: one scan-stage feature pass, then every window/aggregate runs over the score-resolution-bounded distinct-score frame (<= ~1e6 rows at any corpus size)",
-    "q117_source_dedup_report" -> "per-source curation report: dedupDropSets + one doc_id-keyed join + source-cardinality-bounded aggregate")
+    "q117_source_dedup_report" -> "per-source curation report: dedupDropSets + one doc_id-keyed join + source-cardinality-bounded aggregate",
+    "q118_semantic_tau_sweep" -> "tau calibration curve: one tau-free cell-bounded pair pass (semanticMaxSim), then six conditional sums over the per-doc witness frame — no per-tau re-runs",
+    "q119_quality_resample" -> "importance resampling: deterministic per-doc uniform draw vs the q108 score — pure scan-stage arithmetic, zero shuffles before the output sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

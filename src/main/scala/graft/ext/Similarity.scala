@@ -481,6 +481,42 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("cell"))
   }
 
+  /** The τ-free witness aggregate behind [[semanticDedup]]: per
+    * candidate doc (the larger id of each within-cell pair), the
+    * cosine of its BEST witness — i.e. the max τ at which the doc
+    * would still be dropped. One extra map-side-combinable aggregate
+    * on top of the same cell-bounded pair pipeline; consumers sweep
+    * thresholds over this frame (a τ calibration curve) without
+    * re-running pair generation per τ.
+    */
+  def semanticMaxSim(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      "id", "vec", cents, 1)
+    val capped =
+      if (cellCap > 0) {
+        val wC = Window.partitionBy(col("cell"))
+        assigned.withColumn("cs", count(lit(1)).over(wC))
+          .filter(col("cs") <= cellCap)
+          .drop("cs")
+      } else assigned
+    val c = graft.util.Persist(capped.withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0))
+    val a = c.select(col("cell"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = c.select(col("cell"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("b_id").as("dropped_id"))
+      .agg(max(round(col("sim"), 6)).as("max_sim"))
+  }
+
   /** Observability twin of the [[semanticDedup]] cell cap: the cells
     * the cap would drop, with sizes (one keyed shuffle, no pair work).
     */

@@ -1502,6 +1502,52 @@ object ExtQueries {
       s.read.parquet(out)
         .select(col("delta_id"), col("base_id"), col("n_bands"))
         .orderBy(col("delta_id"), col("base_id"))
+    }),
+
+    // ---- semantic-dedup τ calibration curve: how many docs would the
+    //      embedding dedup drop at each threshold? One τ-free pass
+    //      computes every candidate's BEST-witness cosine
+    //      (semanticMaxSim — the same cell-bounded pair pipeline q86
+    //      runs, plus one map-side-combinable max), then the sweep is
+    //      six conditional sums over that per-doc frame — no join, no
+    //      re-running pair generation per τ. The number a curator
+    //      reads next to q113's agreement row before committing a τ ----
+    "q118_semantic_tau_sweep" -> ((s, d) => {
+      val ms = Similarity.semanticMaxSim(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 16)
+      def atTau(t: Double) =
+        sum((col("max_sim") >= t).cast("long")).as(f"n_tau_${(t * 100).toInt}%02d")
+      ms.agg(count(lit(1)).as("n_candidates"),
+        atTau(0.3), atTau(0.4), atTau(0.5), atTau(0.6), atTau(0.7), atTau(0.8))
+    }),
+
+    // ---- quality-score importance resampling (CCNet-style soft
+    //      filter): keep a doc with probability equal to its q108
+    //      quality score, decided by a DETERMINISTIC per-doc uniform
+    //      draw (md5(doc_id) first 6 hex / 0xffffff) so the sample is
+    //      reproducible across engines and runs — the soft alternative
+    //      to a hard keep/drop threshold that preserves a graded
+    //      quality mix. Pure scan-stage arithmetic; zero shuffles
+    //      before the output sort ----
+    "q119_quality_resample" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n_words"),
+          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+          TA.punctRatio(col("text")).as("punct"),
+          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
+      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+        lit(0.4) * abs(col("mwl") - lit(5.0)) +
+        lit(0.15) * log(lit(1.0) + col("n_words"))
+      f.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"),
+          round(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("double") / lit(16777215.0), 6).as("u"))
+        .filter(col("u") < col("quality_score"))
+        .orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -2675,5 +2721,38 @@ object ExtQueries {
              - CAST(SUM(n_pos) AS DOUBLE) * (CAST(SUM(n_pos) AS DOUBLE) + 1.0) / 2.0)
              / NULLIF(CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n - n_pos) AS DOUBLE), 0),
              6) AS auc
-         FROM r""")
+         FROM r""",
+    "q118_semantic_tau_sweep" -> s"""
+         WITH $semanticPairCtes,
+         maxs AS (SELECT dropped_id, MAX(round(sim, 6)) AS max_sim
+           FROM pairs GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN max_sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_30,
+           CAST(SUM(CASE WHEN max_sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_40,
+           CAST(SUM(CASE WHEN max_sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_50,
+           CAST(SUM(CASE WHEN max_sim >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_60,
+           CAST(SUM(CASE WHEN max_sim >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_70,
+           CAST(SUM(CASE WHEN max_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_tau_80
+         FROM maxs""",
+    "q119_quality_resample" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop
+           FROM t),
+         sc AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(0.5 + 4.0 * stop - 6.0 * punct
+               - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words)))), 6)
+               AS quality_score,
+             round(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) AS DOUBLE) / 16777215.0, 6) AS u
+           FROM f)
+         SELECT doc_id, quality_score, u FROM sc
+         WHERE u < quality_score ORDER BY doc_id""")
 }
