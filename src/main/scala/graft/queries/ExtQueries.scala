@@ -59,6 +59,20 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** q115's per-micro-batch body: the new batch's banded signatures
+    * equi-joined against the persisted base signature table — factored
+    * out so the replay-idempotence spec can drive it directly.
+    */
+  private[graft] def streamBatchCandidates(batch: DataFrame,
+      baseSig: DataFrame): DataFrame =
+    Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
+      .select(col("band"), col("minhash"), col("doc_id").as("delta_id"))
+      .join(baseSig.select(col("band"), col("minhash"),
+        col("doc_id").as("base_id")), Seq("band", "minhash"))
+      .groupBy(col("delta_id"), col("base_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+
   /** The four detector families' per-doc DROP SETS as one
     * (det, doc_id) frame — each rule is the detector's own gated
     * pipeline verbatim (see the q113 docstring). Shared by q113
@@ -1487,15 +1501,12 @@ object ExtQueries {
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              id: Long) =>
-            Dedup.bandedSignatures(batch.toDF(), "text", "doc_id", k = 8)
-              .select(col("band"), col("minhash"), col("doc_id").as("delta_id"))
-              .join(baseSig.select(col("band"), col("minhash"),
-                col("doc_id").as("base_id")), Seq("band", "minhash"))
-              .groupBy(col("delta_id"), col("base_id"))
-              .agg(count(lit(1)).as("n_bands"))
-              .filter(col("n_bands") >= 2)
-              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
-            ()
+            // writeBatch = the spec'd idempotent per-batch-id overwrite
+            // (StreamingSpec replay test) — an at-least-once replay of
+            // a batch absorbs cleanly
+            graft.streaming.Streaming.writeBatch(
+              streamBatchCandidates(batch.toDF(), baseSig), id, out,
+              append = true)
           }.start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

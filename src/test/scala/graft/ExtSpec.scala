@@ -696,4 +696,34 @@ class ExtSpec extends SparkSpec {
         r.getAs[Long]("height"), r.getAs[Long]("n_frames"))).toSet
     assert(pooled == viaExpr)
   }
+
+  test("semanticMaxSim is the tau-free envelope of semanticDedup") {
+    // cross-validation property on the real embeddings fixture: for any
+    // tau, semanticDedup's drop set must be exactly the docs whose
+    // best-witness cosine (semanticMaxSim) reaches tau — one pair
+    // pipeline, two consumers that cannot be allowed to drift
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val maxSim = Similarity.semanticMaxSim(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (tau <- Seq(0.3, 0.4, 0.5)) {
+      val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding", tau = tau)
+        .select(col("dropped_id")).collect().map(_.getLong(0)).toSet
+      val envelope = maxSim.filter { case (_, ms) => ms >= tau }.keySet
+      assert(dropped == envelope, s"tau=$tau: dedup=$dropped envelope=$envelope")
+    }
+  }
+
+  test("q119 resampling keeps a fraction near the mean quality score") {
+    // the keep rule (uniform draw < score) must sample at the rate the
+    // scores prescribe: kept/total within a few points of mean(score).
+    // Deterministic data + deterministic md5 draw => a fixed bound, not
+    // a flaky statistical assertion (measured 0.748 vs mean 0.737).
+    val out = SparkEntry.queries("q119_quality_resample")(spark, sf0001)
+    val kept = out.count().toDouble
+    val total = graft.util.Tables.documents(spark, sf0001).count().toDouble
+    val scores = SparkEntry.queries("q108_quality_classifier")(spark, sf0001)
+      .agg(avg(col("quality_score"))).collect()(0).getDouble(0)
+    assert(math.abs(kept / total - scores) < 0.05,
+      s"kept_frac=${kept / total} mean_score=$scores")
+  }
 }

@@ -224,4 +224,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Any](2).toString)).toSet
     assert(rows == Set((1L, "a", "7"), (2L, "b", "7"), (3L, "c", "8")))
   }
+
+  test("q115 stream near-dup batch body absorbs an at-least-once replay") {
+    // the streaming ingest loop's per-batch candidates (batch
+    // signatures x persisted base signature table) written through the
+    // idempotent per-batch-id sink: replaying the same micro-batch
+    // must leave the read-back history unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_q115_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val base = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely unrelated text about spark physical planning"))
+      .toDF("doc_id", "text")
+    val baseSig = graft.ext.Dedup.bandedSignatures(base, "text", "doc_id", k = 8)
+    // batch doc 20 duplicates base doc 10's text => must pair with it
+    val batch = Seq((20L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val cand = graft.queries.ExtQueries.streamBatchCandidates(batch, baseSig)
+    Streaming.writeBatch(cand, 0L, path, append = true)
+    Streaming.writeBatch(cand, 0L, path, append = true) // replay
+    val back = spark.read.parquet(path)
+      .select(col("delta_id"), col("base_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(back == Seq((20L, 10L)), back.mkString(","))
+  }
 }
