@@ -1559,6 +1559,40 @@ object ExtQueries {
             .cast("double") / lit(16777215.0), 6).as("u"))
         .filter(col("u") < col("quality_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    //      A-ES): key each doc u^(1/w) with w = its q108 quality score
+    //      and the same deterministic md5 uniform draw as q119, keep
+    //      the top-k keys. One pass + TakeOrderedAndProject — k-bounded
+    //      however large the corpus, no global sort — and the exact
+    //      distributed analog of "sample k docs with probability
+    //      proportional to quality". q119 is the Bernoulli (variable
+    //      size) sampler; this is the fixed-size one ----
+    "q120_weighted_sample" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n_words"),
+          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+          TA.punctRatio(col("text")).as("punct"),
+          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
+      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+        lit(0.4) * abs(col("mwl") - lit(5.0)) +
+        lit(0.15) * log(lit(1.0) + col("n_words"))
+      f.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"),
+          // draw floored away from 0 so ln(u)/w stays finite (md5
+          // prefix 000000 is legal, if astronomically rare)
+          greatest(round(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+            16, 10).cast("double") / lit(16777215.0), 6), lit(1e-9)).as("u"))
+        .withColumn("skey",
+          round(pow(col("u"), lit(1.0) / col("quality_score")), 6))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("quality_score"), col("skey"))
     }))
 
   private def duckToks(expr: String) =
@@ -2765,5 +2799,29 @@ object ExtQueries {
                AS BIGINT) AS DOUBLE) / 16777215.0, 6) AS u
            FROM f)
          SELECT doc_id, quality_score, u FROM sc
-         WHERE u < quality_score ORDER BY doc_id""")
+         WHERE u < quality_score ORDER BY doc_id""",
+    "q120_weighted_sample" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop
+           FROM t),
+         sc AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(0.5 + 4.0 * stop - 6.0 * punct
+               - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words)))), 6)
+               AS quality_score,
+             greatest(round(CAST(CAST('0x' ||
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE)
+               / 16777215.0, 6), 1e-9) AS u
+           FROM f),
+         k AS (SELECT doc_id, quality_score,
+             round(pow(u, 1.0 / quality_score), 6) AS skey FROM sc)
+         SELECT doc_id, quality_score, skey FROM k
+         ORDER BY skey DESC, doc_id LIMIT 100""")
 }
