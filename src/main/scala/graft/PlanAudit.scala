@@ -34,7 +34,8 @@ object PlanAudit {
     "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)",
     "q114_lsh_recall" -> "brute-force exact truth side: bounded ~3.4% doc sample broadcast against the prefix projection (q25/q76's fenced design)",
     "q117_source_dedup_report" -> "q86's bounded 16-row centroid-assignment BNLJ via dedupDropSets (same as q113)",
-    "q118_semantic_tau_sweep" -> "q86's bounded 16-row centroid-assignment BNLJ inside semanticMaxSim (q44's fan-out)")
+    "q118_semantic_tau_sweep" -> "q86's bounded 16-row centroid-assignment BNLJ inside semanticMaxSim (q44's fan-out)",
+    "q121_ivf_probe_sweep" -> "q76's fenced exact side + three q44 centroid-assignment BNLJs (one per probe level)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

@@ -1593,6 +1593,34 @@ object ExtQueries {
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("quality_score"), col("skey"))
+    }),
+
+    // ---- IVF nProbe recall sweep — the ANN twin of q118's τ curve:
+    //      recall@3 vs the exact ranking at nProbe = 1 / 2 / 4, in one
+    //      gated row set. nProbe is THE inverted-file operating knob
+    //      (probe more cells → more recall, proportionally more scan);
+    //      this is the measurement that picks it before a corpus-scale
+    //      index commits. The exact side is q76's fenced bounded-query
+    //      brute force, persisted once across the three probe levels;
+    //      each approximate side is the same bounded-centroid +
+    //      cell-keyed ivfTopK the production path runs ----
+    "q121_ivf_probe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      Seq(1, 2, 4).map { p =>
+        val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+            k = 3, nProbe = p)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(approx,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("a_n")).as("n_found"))
+          .select(lit(p.toLong).as("n_probe"), col("n_exact"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("n_probe"))
     }))
 
   private def duckToks(expr: String) =
@@ -2823,5 +2851,47 @@ object ExtQueries {
          k AS (SELECT doc_id, quality_score,
              round(pow(u, 1.0 / quality_score), 6) AS skey FROM sc)
          SELECT doc_id, quality_score, skey FROM k
-         ORDER BY skey DESC, doc_id LIMIT 100""")
+         ORDER BY skey DESC, doc_id LIMIT 100""",
+    "q121_ivf_probe_sweep" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings
+           WHERE $usableVec),
+         ca AS (SELECT n_id, n_vec, cell FROM (
+           SELECT n_id, n_vec, cell, ROW_NUMBER() OVER (PARTITION BY n_id
+             ORDER BY round(list_inner_product(n_vec, cvec), 6) DESC, cell) AS rn
+           FROM c, cent) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+           WHERE vec_id < 50 AND $usableVec),
+         qa AS (SELECT q_id, q_vec, cell, rn AS crank FROM (
+           SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         es AS (SELECT q.q_id, cc.n_id,
+             list_inner_product(q.q_vec, cc.n_vec) /
+               (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                sqrt(list_inner_product(cc.n_vec, cc.n_vec))) AS sim
+           FROM qq q, c cc WHERE q.q_id <> cc.n_id),
+         ex AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank FROM es) t
+           WHERE rank <= 3),
+         sv AS (SELECT qa.crank, qa.q_id, ca.n_id,
+             list_inner_product(qa.q_vec, ca.n_vec) /
+               (sqrt(list_inner_product(qa.q_vec, qa.q_vec)) *
+                sqrt(list_inner_product(ca.n_vec, ca.n_vec))) AS sim
+           FROM qa JOIN ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         probes(p) AS (VALUES (1), (2), (4)),
+         rp AS (SELECT probes.p, sv.q_id, sv.n_id,
+             ROW_NUMBER() OVER (PARTITION BY probes.p, sv.q_id
+               ORDER BY round(sv.sim, 6) DESC, sv.n_id) AS rank
+           FROM probes JOIN sv ON sv.crank <= probes.p),
+         ap AS (SELECT p, q_id, n_id FROM rp WHERE rank <= 3)
+         SELECT CAST(probes.p AS BIGINT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.n_id) AS BIGINT) AS n_found,
+           round(CAST(COUNT(a.n_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS recall
+         FROM probes CROSS JOIN ex e
+         LEFT JOIN ap a ON a.p = probes.p AND a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY probes.p ORDER BY n_probe""")
 }
