@@ -57,7 +57,8 @@ object PlanReport {
     "q117_source_dedup_report" -> "per-source curation report: dedupDropSets + one doc_id-keyed join + source-cardinality-bounded aggregate",
     "q118_semantic_tau_sweep" -> "tau calibration curve: one tau-free cell-bounded pair pass (semanticMaxSim), then six conditional sums over the per-doc witness frame — no per-tau re-runs",
     "q119_quality_resample" -> "importance resampling: deterministic per-doc uniform draw vs the q108 score — pure scan-stage arithmetic, zero shuffles before the output sort",
-    "q120_weighted_sample" -> "Efraimidis-Spirakis fixed-size weighted sample: scan-stage key arithmetic + TakeOrderedAndProject — k-bounded at any corpus size, no global sort")
+    "q120_weighted_sample" -> "Efraimidis-Spirakis fixed-size weighted sample: scan-stage key arithmetic + TakeOrderedAndProject — k-bounded at any corpus size, no global sort",
+    "q121_ivf_probe_sweep" -> "nProbe recall sweep: persisted fenced exact side + three cell-keyed ivfTopK runs (bounded centroid BNLJ each) — the probe-budget calibration measurement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
