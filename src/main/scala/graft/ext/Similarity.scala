@@ -472,7 +472,12 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
         dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")))
-      .filter(col("sim") >= tau)
+      // threshold on the ROUNDED sim — the same 6-decimal resolution
+      // the window orders by, the output emits, and semanticMaxSim
+      // aggregates, so "dropped at tau" ⟺ "max_sim >= tau" holds
+      // EXACTLY (a raw-sim filter let a pair in [tau-5e-7, tau) count
+      // in the τ curve but survive the dedup)
+      .filter(round(col("sim"), 6) >= tau)
       .select(col("cell"), col("b_id").as("dropped_id"),
         col("a_id").as("kept_id"), col("sim"))
       .withColumn("rn", row_number().over(w))

@@ -113,7 +113,7 @@ object CoreQueries {
     * sha1-based event_id_provider (gated separately via q15) — see the
     * q69 docstring.
     */
-  private def normalizedRunE1(s: SparkSession, d: String, runId: String,
+  private[graft] def normalizedRunE1(s: SparkSession, d: String, runId: String,
       shift: Int, extraDice: Boolean): DataFrame = {
     val k = col("p_partkey")
     val p = Tables.part(s, d)

@@ -53,8 +53,11 @@ object ExtQueries {
   private def corpusSignatures(s: SparkSession, d: String): DataFrame = {
     val dir = CoreQueries.sharedInputDir(
       s"graft_sig8_${new java.io.File(d).getName}") { p =>
+      // overwrite: a failed partial first write leaves the directory
+      // behind, and ErrorIfExists would then fail every retry for the
+      // rest of the session instead of clobbering the partial output
       Dedup.bandedSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
-        .write.parquet(p)
+        .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(dir)
   }
@@ -62,16 +65,41 @@ object ExtQueries {
   /** q115's per-micro-batch body: the new batch's banded signatures
     * equi-joined against the persisted base signature table — factored
     * out so the replay-idempotence spec can drive it directly.
+    *
+    * Carries the SAME degenerate-bucket safety valve as
+    * [[graft.ext.Dedup.minhashCandidates]]: buckets whose base+batch
+    * size exceeds `maxBucket` are dropped BEFORE the pair join (a
+    * boilerplate bucket would otherwise emit |base|×|batch| rows into
+    * the stage). The hot set is computed by one keyed count over the
+    * union of the two key streams and removed from the batch side with
+    * an anti-join — the hot frame is empty-to-tiny by construction
+    * (SCALE_LADDER: zero over-cap buckets at every fixture scale), so
+    * the anti-join broadcasts. Counting is per base+THIS-batch where
+    * the batch paths (q91/q95) count base+all-delta — identical below
+    * the cap, i.e. everywhere outside degenerate boilerplate buckets;
+    * see the q115 divergence note.
     */
   private[graft] def streamBatchCandidates(batch: DataFrame,
-      baseSig: DataFrame): DataFrame =
-    Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
+      baseSig: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val bSig = Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
       .select(col("band"), col("minhash"), col("doc_id").as("delta_id"))
-      .join(baseSig.select(col("band"), col("minhash"),
-        col("doc_id").as("base_id")), Seq("band", "minhash"))
+    val base = baseSig.select(col("band"), col("minhash"),
+      col("doc_id").as("base_id"))
+    val capped =
+      if (maxBucket > 0) {
+        val hot = bSig.select(col("band"), col("minhash"))
+          .unionByName(base.select(col("band"), col("minhash")))
+          .groupBy(col("band"), col("minhash"))
+          .agg(count(lit(1)).as("bs"))
+          .filter(col("bs") > maxBucket)
+          .select(col("band"), col("minhash"))
+        bSig.join(hot, Seq("band", "minhash"), "left_anti")
+      } else bSig
+    capped.join(base, Seq("band", "minhash"))
       .groupBy(col("delta_id"), col("base_id"))
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= 2)
+  }
 
   /** The four detector families' per-doc DROP SETS as one
     * (det, doc_id) frame — each rule is the detector's own gated
@@ -253,7 +281,7 @@ object ExtQueries {
       val sigDir = CoreQueries.sharedInputDir(
         s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
         Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
-          "text", "doc_id", k = 8).write.parquet(p)
+          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
       }
       val baseSig = s.read.parquet(sigDir)
       val deltaSig = Dedup.bandedSignatures(docs.filter(isDelta(col("doc_id"))),
@@ -1480,7 +1508,7 @@ object ExtQueries {
       val sigDir = CoreQueries.sharedInputDir(
         s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
         Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
-          "text", "doc_id", k = 8).write.parquet(p)
+          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
       }
       val baseSig = s.read.parquet(sigDir)
       val delta = docs.filter(isDelta(col("doc_id")))
@@ -1834,7 +1862,7 @@ object ExtQueries {
          ev AS (SELECT cell, dropped_id, kept_id, sim,
              ROW_NUMBER() OVER (PARTITION BY dropped_id
                ORDER BY round(sim, 6) DESC, kept_id) AS rn
-           FROM pairs WHERE sim >= 0.4)"""
+           FROM pairs WHERE round(sim, 6) >= 0.4)"""
 
   /** The q90 window-hash terms: plain polynomial sum over the trailing
     * 8 chars, every term BIGINT (31^7 * max code point ~ 3e16 — exact
