@@ -62,9 +62,15 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
-  /** q115's per-micro-batch body: the new batch's banded signatures
-    * equi-joined against the persisted base signature table — factored
-    * out so the replay-idempotence spec can drive it directly.
+  /** The streaming ingest loop's generic per-batch candidate core,
+    * shared by the MinHash (q115) and SimHash (q123) incremental
+    * detectors: a batch signature frame `(band, minhash, delta_id,
+    * payload...)` equi-joined against a persisted base signature frame
+    * `(band, minhash, base_id, payload...)` on the banding key, pairs
+    * counted and thresholded at `minBands`. Any extra payload columns
+    * (e.g. the fingerprints a rescore needs) ride through the pair
+    * aggregation via any_value — constant per (delta_id, base_id) by
+    * construction since each id carries one signature.
     *
     * Carries the SAME degenerate-bucket safety valve as
     * [[graft.ext.Dedup.minhashCandidates]]: buckets whose base+batch
@@ -75,30 +81,84 @@ object ExtQueries {
     * an anti-join — the hot frame is empty-to-tiny by construction
     * (SCALE_LADDER: zero over-cap buckets at every fixture scale), so
     * the anti-join broadcasts. Counting is per base+THIS-batch where
-    * the batch paths (q91/q95) count base+all-delta — identical below
-    * the cap, i.e. everywhere outside degenerate boilerplate buckets;
-    * see the q115 divergence note.
+    * the batch paths (q91/q95, q85) count the whole corpus — identical
+    * below the cap, i.e. everywhere outside degenerate boilerplate
+    * buckets; see the q115 divergence note.
     */
-  private[graft] def streamBatchCandidates(batch: DataFrame,
-      baseSig: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val bSig = Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
-      .select(col("band"), col("minhash"), col("doc_id").as("delta_id"))
-    val base = baseSig.select(col("band"), col("minhash"),
-      col("doc_id").as("base_id"))
+  private[graft] def streamSigCandidates(batchSig: DataFrame,
+      baseSig: DataFrame, minBands: Int, maxBucket: Int = 10000): DataFrame = {
     val capped =
       if (maxBucket > 0) {
-        val hot = bSig.select(col("band"), col("minhash"))
-          .unionByName(base.select(col("band"), col("minhash")))
+        val hot = batchSig.select(col("band"), col("minhash"))
+          .unionByName(baseSig.select(col("band"), col("minhash")))
           .groupBy(col("band"), col("minhash"))
           .agg(count(lit(1)).as("bs"))
           .filter(col("bs") > maxBucket)
           .select(col("band"), col("minhash"))
-        bSig.join(hot, Seq("band", "minhash"), "left_anti")
-      } else bSig
-    capped.join(base, Seq("band", "minhash"))
-      .groupBy(col("delta_id"), col("base_id"))
-      .agg(count(lit(1)).as("n_bands"))
-      .filter(col("n_bands") >= 2)
+        batchSig.join(hot, Seq("band", "minhash"), "left_anti")
+      } else batchSig
+    val joined = capped.join(baseSig, Seq("band", "minhash"))
+    val payload = joined.columns
+      .filterNot(Set("band", "minhash", "delta_id", "base_id"))
+      .map(c => any_value(col(c)).as(c))
+    joined.groupBy(col("delta_id"), col("base_id"))
+      .agg(count(lit(1)).as("n_bands"), payload.toIndexedSeq: _*)
+      .filter(col("n_bands") >= minBands)
+  }
+
+  /** q115's per-micro-batch body: the new batch's banded MinHash
+    * signatures against the persisted base signature table — factored
+    * out so the replay-idempotence spec can drive it directly.
+    */
+  private[graft] def streamBatchCandidates(batch: DataFrame,
+      baseSig: DataFrame, maxBucket: Int = 10000): DataFrame =
+    streamSigCandidates(
+      Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
+        .select(col("band"), col("minhash"), col("doc_id").as("delta_id")),
+      baseSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
+      minBands = 2, maxBucket = maxBucket)
+      .select(col("delta_id"), col("base_id"), col("n_bands"))
+
+  /** The 64-bit SimHash banding shared by q85's detector, the q113
+    * drop sets, and q123's streaming twin: 4 pigeonhole bands of 16
+    * bits each — a pair within hamming distance 3 MUST agree exactly
+    * on at least one band (in fact on >= 1 of any 4 with <= 3 flipped
+    * bits), so the (band, nib) equi-join is a lossless candidate
+    * filter for the <= 3 rescore. Keeps `sh` alongside so consumers
+    * can rescore without a second corpus join.
+    */
+  private def sh64Sig(shFrame: DataFrame): DataFrame =
+    shFrame.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "minhash")))
+
+  /** The (doc_id, sh, band, nib) frame q123 persists as the base
+    * SimHash signature table — factored so the replay spec and the
+    * interior-plan audit build the same frame the query writes.
+    */
+  private[graft] def simhashBaseSig(docs: DataFrame): DataFrame =
+    sh64Sig(docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh")))
+
+  /** q123's per-micro-batch body: the batch's SimHash64 band
+    * signatures against the persisted base signature table, exact
+    * hamming rescore on the fingerprints carried through the pair
+    * aggregation. Same shape as [[streamBatchCandidates]] over the
+    * generic [[streamSigCandidates]] core.
+    */
+  private[graft] def streamBatchSimhash(batch: DataFrame,
+      baseSig: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val bsh = batch.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    streamSigCandidates(
+      sh64Sig(bsh).select(col("band"), col("minhash"),
+        col("doc_id").as("delta_id"), col("sh").as("d_sh")),
+      baseSig.select(col("band"), col("minhash"),
+        col("doc_id").as("base_id"), col("sh").as("b_sh")),
+      minBands = 3, maxBucket = maxBucket)
+      .withColumn("hamming",
+        bit_count(col("d_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("delta_id"), col("base_id"), col("hamming"))
   }
 
   /** The four detector families' per-doc DROP SETS as one
@@ -115,10 +175,7 @@ object ExtQueries {
       .select(col("b_id").as("doc_id")).distinct()
       .select(lit("minhash").as("det"), col("doc_id"))
     val shFrame = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
-    val shSig = shFrame.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "minhash")))
+    val shSig = sh64Sig(shFrame).drop("sh")
     val sh = Dedup.minhashCandidates(shSig)
       .filter(col("n_bands") >= 3)
       .join(shFrame.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -149,6 +206,53 @@ object ExtQueries {
       .select(lit("semantic").as("det"), col("doc_id"))
     graft.util.Persist(mh.unionByName(sh).unionByName(sp).unionByName(se))
   }
+
+  /** q96's 5-round BPE trainer loop, factored out so q122 can APPLY
+    * the trained merge table. Each round: pair stats over the
+    * vocab-sized distinct-word table (the ONLY corpus-wide shuffle is
+    * the word-freq group-by, Persist'd once), argmax via a one-row
+    * bounded collect, merge applied with one codegen'd replace. The
+    * result is memoized per input dir — train once per session, every
+    * consumer (q96's presentation, q122's encode chain) reads the same
+    * table, the corpusSignatures discipline applied to the tokenizer.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
+
+  private[graft] def bpeTrainedMerges(s: SparkSession,
+      d: String): Seq[(Long, String, String, Long)] =
+    bpeMergeCache.computeIfAbsent(d, { _ =>
+      val S = "\u0001"; val SS = S + S
+      val words0 = graft.util.Persist(Tables.documents(s, d)
+        .select(explode(TA.wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("word")) >= 2)
+        .select(concat(lit(SS), regexp_replace(col("word"), "(.)", "$1" + SS)).as("rep"),
+          col("freq")))
+      var words: DataFrame = words0
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (it <- 1 to 5) {
+        val top = words
+          .select(col("freq"),
+            filter(split(col("rep"), SS), x => x =!= lit("")).as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("pair_freq"))
+          .orderBy(col("pair_freq").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((it.toLong, a, b, f))
+          words = words.withColumn("rep",
+            replace(col("rep"), lit(S + a + SS + b + S), lit(S + a + b + S)))
+        }
+      }
+      merges.toSeq
+    })
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
@@ -377,37 +481,105 @@ object ExtQueries {
     //      convergence count ----
     "q96_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val S = "\u0001"; val SS = S + S
-      val words0 = graft.util.Persist(Tables.documents(s, d)
-        .select(explode(TA.wsTokens(lower(col("text")))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .filter(length(col("word")) >= 2)
-        .select(concat(lit(SS), regexp_replace(col("word"), "(.)", "$1" + SS)).as("rep"),
-          col("freq")))
-      var words: DataFrame = words0
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (it <- 1 to 5) {
-        val top = words
-          .select(col("freq"),
-            filter(split(col("rep"), SS), x => x =!= lit("")).as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("a"),
-                element_at(col("syms"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("pair_freq"))
-          .orderBy(col("pair_freq").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((it.toLong, a, b, f))
-          words = words.withColumn("rep",
-            replace(col("rep"), lit(S + a + SS + b + S), lit(S + a + b + S)))
-        }
-      }
-      merges.toSeq.toDF("merge_iter", "left_sym", "right_sym", "pair_freq")
+      bpeTrainedMerges(s, d)
+        .toDF("merge_iter", "left_sym", "right_sym", "pair_freq")
         .orderBy(col("merge_iter"))
+    }),
+
+    // ---- BPE APPLY: tokenize the corpus with q96's TRAINED merge
+    //      table — the missing third of the train→apply→pack loop a
+    //      tokenizer pipeline actually runs (q93 ranks pairs, q96
+    //      learns the merges, this encodes with them). The merge table
+    //      is corpus-trained but VOCAB-SIZED, so it collects to the
+    //      driver and the whole encode is a chain of five codegen'd
+    //      literal replace()s inside one transform() over each doc's
+    //      token array — pure scan-stage arithmetic, zero shuffles
+    //      before the output sort, per-doc cost independent of corpus
+    //      size (at 100 TB the merge table is still a broadcast-sized
+    //      constant; a 50k-merge production vocab swaps the replace
+    //      chain for a fused expression over the same plan shape).
+    //      Merges apply in training order with the trainer's own
+    //      greedy left-to-right single-pass replace semantics, so
+    //      train and apply cannot disagree on the merge rule. Output:
+    //      per-doc whitespace-word count, BPE token count, and
+    //      fertility (tokens/word — the number a tokenizer eval
+    //      actually reports) ----
+    "q122_bpe_encode" -> ((s, d) => {
+      val S = "\u0001"; val SS = S + S
+      val merges = bpeTrainedMerges(s, d)
+      def encodeLen(w: Column): Column = {
+        val rep0 = concat(lit(SS), regexp_replace(w, "(.)", "$1" + SS))
+        val repN = merges.foldLeft(rep0) { case (r, (_, a, b, _)) =>
+          replace(r, lit(S + a + SS + b + S), lit(S + a + b + S)) }
+        size(filter(split(repN, SS), x => x =!= lit("")))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          coalesce(aggregate(col("toks"), lit(0L),
+            (acc, w) => acc + encodeLen(w).cast("long")), lit(0L)).as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          when(col("n_words") > 0,
+            round(col("n_tokens").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- STREAMING SimHash near-dup ingest — q115's incremental loop
+    //      for the second detector family: delta docs arrive as a file
+    //      stream (4 micro-batches), each batch's SimHash64 band
+    //      signatures equi-join the PERSISTED base signature table on
+    //      (band, nib) via the shared streamSigCandidates core, exact
+    //      hamming <= 3 rescore on the fingerprints carried through
+    //      the pair aggregation — never a base×base pair, never a
+    //      corpus rescan. Appended through the same idempotent
+    //      batch_id-partitioned K2 sink as q115; gated on the q85
+    //      family's oracle restricted to cross-side pairs, so the
+    //      streaming path must be value-identical to the batch
+    //      detector on the delta×base slice. (Same documented cap
+    //      divergence as q115: per base+batch bucket counting vs
+    //      whole-corpus in q85 — identical below the cap.) ----
+    "q123_stream_simhash" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val docs = Tables.documents(s, d)
+      // persisted base SimHash signature table: (doc_id, sh, band, nib)
+      // — at 100 TB this is the last corpus build's fingerprint index,
+      // ~4 narrow rows per doc
+      val sigDir = CoreQueries.sharedInputDir(
+        s"graft_q123_sig_${new java.io.File(d).getName}") { p =>
+        simhashBaseSig(docs.filter(!isDelta(col("doc_id"))))
+          .write.mode("overwrite").parquet(p)
+      }
+      val baseSig = s.read.parquet(sigDir)
+      val delta = docs.filter(isDelta(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q123_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q123_ssimhash_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              streamBatchSimhash(batch.toDF(), baseSig), id, out,
+              append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("delta_id"), col("base_id"), col("hamming"))
+        .orderBy(col("delta_id"), col("base_id"))
     }),
 
     // ---- CCNet-style boilerplate removal: drop any tumbling 8-token
@@ -1624,12 +1796,16 @@ object ExtQueries {
     }),
 
     // ---- IVF nProbe recall sweep — the ANN twin of q118's τ curve:
-    //      recall@3 vs the exact ranking at nProbe = 1 / 2 / 4, in one
-    //      gated row set. nProbe is THE inverted-file operating knob
-    //      (probe more cells → more recall, proportionally more scan);
-    //      this is the measurement that picks it before a corpus-scale
-    //      index commits. The exact side is q76's fenced bounded-query
-    //      brute force, persisted once across the three probe levels;
+    //      recall@3 vs the exact ranking at nProbe = 1/2/4/8/16, in
+    //      one gated row set. nProbe is THE inverted-file operating
+    //      knob (probe more cells → more recall, proportionally more
+    //      scan); this is the measurement that picks it before a
+    //      corpus-scale index commits. nProbe=16 probes EVERY cell, so
+    //      its recall is the 1.0 ceiling by construction — the sweep
+    //      shows where the curve saturates on the way there (PLANS.md
+    //      records the measured operating point for the q44/q94
+    //      default). The exact side is q76's fenced bounded-query
+    //      brute force, persisted once across the five probe levels;
     //      each approximate side is the same bounded-centroid +
     //      cell-keyed ivfTopK the production path runs ----
     "q121_ivf_probe_sweep" -> ((s, d) => {
@@ -1638,7 +1814,7 @@ object ExtQueries {
       val exact = graft.util.Persist(
         Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
           .select(col("q_id"), col("n_id")))
-      Seq(1, 2, 4).map { p =>
+      Seq(1, 2, 4, 8, 16).map { p =>
         val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
             k = 3, nProbe = p)
           .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
@@ -1770,7 +1946,7 @@ object ExtQueries {
     * merge applied with the same single replace() as the Spark side
     * (left join keeps w_i intact if a round produces no pair).
     */
-  private lazy val bpeTrainSql: String = {
+  private lazy val bpeTrainCtes: String = {
     val S = "\u0001"; val SS = S + S
     val rounds = (1 to 5).map { i =>
       s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, freq
@@ -1785,16 +1961,52 @@ object ExtQueries {
                             '$S' || t$i.a || t$i.b || '$S') END AS rep, freq
            FROM w${i - 1} LEFT JOIN t$i ON TRUE)"""
     }.mkString(",\n         ")
-    val unions = (1 to 5).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_iter, a AS left_sym, b AS right_sym, pair_freq FROM t$i"
-    }.mkString(" UNION ALL ")
-    s"""WITH w0 AS (SELECT '$SS' || regexp_replace(word, '(.)', '\\1$SS', 'g') AS rep,
+    s"""w0 AS (SELECT '$SS' || regexp_replace(word, '(.)', '\\1$SS', 'g') AS rep,
            CAST(freq AS BIGINT) AS freq FROM (
              SELECT word, COUNT(*) AS freq
              FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents) t
              WHERE len(word) >= 2 GROUP BY 1) f),
-         $rounds
+         $rounds"""
+  }
+
+  private lazy val bpeTrainSql: String = {
+    val unions = (1 to 5).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_iter, a AS left_sym, b AS right_sym, pair_freq FROM t$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes
          SELECT * FROM ($unions) ORDER BY merge_iter"""
+  }
+
+  /** q122 oracle: replay the trained merge table (the SAME t1..t5 CTE
+    * chain q96's oracle builds) over every doc's token list — the
+    * per-word symbol rep, five CASE-guarded replace()s in training
+    * order (guarded so an empty round leaves the rep intact, mirroring
+    * the Spark side's fold over collected merges), then count
+    * non-empty symbols and sum per doc.
+    */
+  private lazy val bpeEncodeSql: String = {
+    val S = "\u0001"; val SS = S + S
+    val rep0 = s"'$SS' || regexp_replace(w, '(.)', '\\1$SS', 'g')"
+    val repN = (1 to 5).foldLeft(rep0) { (acc, i) =>
+      s"""CASE WHEN t$i.a IS NULL THEN $acc
+         ELSE replace($acc, '$S' || t$i.a || '$SS' || t$i.b || '$S',
+                      '$S' || t$i.a || t$i.b || '$S') END"""
+        .replaceAll("\\n\\s*", " ")
+    }
+    val joins = (1 to 5).map(i => s"LEFT JOIN t$i ON TRUE").mkString(" ")
+    s"""WITH $bpeTrainCtes,
+         dt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         enc AS (SELECT doc_id, len(toks) AS n_words,
+             list_sum(list_transform(toks, w ->
+               len(list_filter(string_split($repN, '$SS'), x -> x <> ''))))
+               AS n_tokens
+           FROM dt $joins)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN n_words > 0
+             THEN round(CAST(coalesce(n_tokens, 0) AS DOUBLE) / n_words, 6)
+           END AS fertility
+         FROM enc ORDER BY doc_id"""
   }
 
   /** The q94/q97 shared oracle CTE chain: per-vector int8 quantization,
@@ -1889,6 +2101,27 @@ object ExtQueries {
        > len(toks) THEN $w ELSE 0 END""".replaceAll("\n\\s*", " ")
   }.mkString(" + ")
 
+  /** The SimHash64 banded-candidate oracle CTE chain (tokens ->
+    * 64-bit fingerprint -> 4x16-bit pigeonhole bands -> capped bucket
+    * join -> >= 3-band pairs with fingerprints), shared verbatim by
+    * the q85 detector, the q113/q117 drop sets (x-prefixed), and
+    * q123's streaming twin. `p` prefixes every CTE name so two
+    * instantiations can coexist in one WITH clause.
+    */
+  private def simhashCandCtes(p: String): String = s"""${p}t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         ${p}s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM ${p}t),
+         ${p}n AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM ${p}s),
+         ${p}nb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM ${p}n),
+         ${p}nbs AS (SELECT band, nib, COUNT(*) AS bs FROM ${p}nb0 GROUP BY 1, 2),
+         ${p}nb AS (SELECT ${p}nb0.doc_id, ${p}nb0.sh, ${p}nb0.band, ${p}nb0.nib FROM ${p}nb0
+           JOIN ${p}nbs ON ${p}nb0.band = ${p}nbs.band AND ${p}nb0.nib = ${p}nbs.nib
+           WHERE ${p}nbs.bs <= 10000),
+         ${p}cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
+           FROM ${p}nb a JOIN ${p}nb b ON a.band = b.band AND a.nib = b.nib
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)"""
+
   /** The q113/q117 shared oracle CTE chain: all four detector drop
     * sets re-derived from the detectors' own fragments, ending in
     * `drops(det, doc_id)`.
@@ -1898,19 +2131,7 @@ object ExtQueries {
            FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
              AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         xt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         xs AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM xt),
-         xn AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM xs),
-         xnb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM xn),
-         xnbs AS (SELECT band, nib, COUNT(*) AS bs FROM xnb0 GROUP BY 1, 2),
-         xnb AS (SELECT xnb0.doc_id, xnb0.sh, xnb0.band, xnb0.nib FROM xnb0
-           JOIN xnbs ON xnb0.band = xnbs.band AND xnb0.nib = xnbs.nib
-           WHERE xnbs.bs <= 10000),
-         xcand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
-           FROM xnb a JOIN xnb b ON a.band = b.band AND a.nib = b.nib
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         ${simhashCandCtes("x")},
          pn AS (SELECT doc_id, toks,
              CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM xt),
          psp AS (SELECT doc_id, i AS span_idx,
@@ -1952,22 +2173,24 @@ object ExtQueries {
          SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
     "q85_simhash_neardup" -> s"""
-         WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM t),
-         n AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM s),
-         nb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM n),
-         nbs AS (SELECT band, nib, COUNT(*) AS bs FROM nb0 GROUP BY 1, 2),
-         nb AS (SELECT nb0.doc_id, nb0.sh, nb0.band, nb0.nib FROM nb0
-           JOIN nbs ON nb0.band = nbs.band AND nb0.nib = nbs.nib
-           WHERE nbs.bs <= 10000),
-         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             any_value(a.sh) AS ash, any_value(b.sh) AS bsh
-           FROM nb a JOIN nb b ON a.band = b.band AND a.nib = b.nib
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         WITH ${simhashCandCtes("")}
          SELECT a_id, b_id, CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(ash, bsh)) <= 3
          ORDER BY a_id, b_id""",
+    // the STREAMING SimHash incremental path must be value-identical
+    // to the q85 batch detector on the delta-vs-base (md5-split) slice
+    "q123_stream_simhash" -> s"""
+         WITH ${simhashCandCtes("")},
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0', '1', '2')
+               THEN 'delta' ELSE 'base' END AS side FROM documents)
+         SELECT CASE WHEN sa.side = 'delta' THEN c.a_id ELSE c.b_id END AS delta_id,
+           CASE WHEN sa.side = 'delta' THEN c.b_id ELSE c.a_id END AS base_id,
+           CAST(bit_count(xor(ash, bsh)) AS BIGINT) AS hamming
+         FROM cand c JOIN sd sa ON c.a_id = sa.doc_id
+           JOIN sd sb ON c.b_id = sb.doc_id
+         WHERE sa.side <> sb.side AND bit_count(xor(ash, bsh)) <= 3
+         ORDER BY delta_id, base_id""",
     "q86_semantic_dedup" -> s"""
          WITH $semanticPairCtes
          SELECT dropped_id, kept_id, round(sim, 6) AS sim, cell
@@ -2013,6 +2236,7 @@ object ExtQueries {
            CAST(pair_freq AS BIGINT) AS pair_freq
          FROM r WHERE merge_rank <= 20 ORDER BY merge_rank""",
     "q96_bpe_train" -> bpeTrainSql,
+    "q122_bpe_encode" -> bpeEncodeSql,
     "q98_boilerplate" -> s"""
          WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS toks FROM documents),
          n AS (SELECT doc_id, source, toks,
@@ -2893,7 +3117,7 @@ object ExtQueries {
          qa AS (SELECT q_id, q_vec, cell, rn AS crank FROM (
            SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
              ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
-           FROM qq, cent) t WHERE rn <= 4),
+           FROM qq, cent) t WHERE rn <= 16),
          es AS (SELECT q.q_id, cc.n_id,
              list_inner_product(q.q_vec, cc.n_vec) /
                (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
@@ -2908,7 +3132,7 @@ object ExtQueries {
                (sqrt(list_inner_product(qa.q_vec, qa.q_vec)) *
                 sqrt(list_inner_product(ca.n_vec, ca.n_vec))) AS sim
            FROM qa JOIN ca USING (cell) WHERE qa.q_id <> ca.n_id),
-         probes(p) AS (VALUES (1), (2), (4)),
+         probes(p) AS (VALUES (1), (2), (4), (8), (16)),
          rp AS (SELECT probes.p, sv.q_id, sv.n_id,
              ROW_NUMBER() OVER (PARTITION BY probes.p, sv.q_id
                ORDER BY round(sv.sim, 6) DESC, sv.n_id) AS rank

@@ -44,6 +44,11 @@ class PlanAuditSpec extends SparkSpec {
       graft.queries.ExtQueries.streamBatchCandidates(
         docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
         baseSig))
+    assertKeyed("streamBatchSimhash",
+      graft.queries.ExtQueries.streamBatchSimhash(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        graft.queries.ExtQueries.simhashBaseSig(
+          docs.filter(col("doc_id") % 2 === 0))))
     assertKeyed("normalizedRunE1",
       graft.queries.CoreQueries.normalizedRunE1(spark, sf0001, "r1", 0, false))
   }

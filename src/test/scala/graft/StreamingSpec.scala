@@ -248,4 +248,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(back == Seq((20L, 10L)), back.mkString(","))
   }
+
+  test("q123 stream simhash batch body absorbs an at-least-once replay") {
+    // the SimHash twin of the q115 replay test: per-batch candidates
+    // (batch band signatures x persisted base signature table, exact
+    // hamming rescore) through the same idempotent per-batch-id sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_q123_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val base = Seq((10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely unrelated text about spark physical planning"))
+      .toDF("doc_id", "text")
+    val baseSig = graft.queries.ExtQueries.simhashBaseSig(base)
+    // batch doc 20 duplicates base doc 10's text => hamming 0 pair
+    val batch = Seq((20L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val cand = graft.queries.ExtQueries.streamBatchSimhash(batch, baseSig)
+    Streaming.writeBatch(cand, 0L, path, append = true)
+    Streaming.writeBatch(cand, 0L, path, append = true) // replay
+    val back = spark.read.parquet(path)
+      .select(col("delta_id"), col("base_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(back == Seq((20L, 10L, 0L)), back.mkString(","))
+  }
 }
