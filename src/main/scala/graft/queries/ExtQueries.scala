@@ -1825,6 +1825,53 @@ object ExtQueries {
             round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
       }.reduce(_.unionByName(_))
         .orderBy(col("n_probe"))
+    }),
+
+    // ---- per-detector precision/recall against the PLANTED ground
+    //      truth — turns q113's relative agreement matrix into an
+    //      absolute score. The fixture generator plants near-dup
+    //      families by appending " dup" tokens to a base text
+    //      (TESTDATA seed=42; every family member shares the text root
+    //      after stripping trailing " dup" repeats), so the truth drop
+    //      set is derivable EXACTLY: non-minimal doc_ids of each root
+    //      group — the same keep-min-id convention every detector
+    //      family uses. Root groups key by a 16-hex md5 prefix (q92's
+    //      bounded-key discipline: the exchange width never depends on
+    //      text length). Reuses the Persist'd dedupDropSets, so the
+    //      four detector pipelines still run once per session across
+    //      q113/q117/q124. The semantic row scores an EMBEDDING-space
+    //      detector against TEXT-planted truth — its near-zero
+    //      precision here is the same cross-modality disjointness
+    //      q113's agreement matrix measures, now in absolute terms ----
+    "q124_detector_truth_eval" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val truth = graft.util.Persist(docs
+        .select(col("doc_id"),
+          substring(md5(regexp_replace(col("text"), "( dup)+$", "")), 1, 16)
+            .as("gk"))
+        .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(col("gk"))))
+        .filter(col("doc_id") =!= col("keep"))
+        .select(col("doc_id")))
+      val st = dedupDropSets(s, d)
+        .join(truth.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("det"))
+        .agg(count(lit(1)).as("n_dropped"), count(col("hit")).as("n_hit"))
+      val tc = truth.agg(count(lit(1)).as("n_truth"))
+      Seq("minhash", "semantic", "simhash", "span").toDF("det")
+        .join(st, Seq("det"), "left")
+        .crossJoin(broadcast(tc))
+        .select(col("det"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(coalesce(col("n_dropped"), lit(0L)) > 0,
+            round(col("n_hit").cast("double") / col("n_dropped"), 6)).as("prec"),
+          when(col("n_truth") > 0,
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_truth"), 6)).as("recall"))
+        .orderBy(col("det"))
     }))
 
   private def duckToks(expr: String) =
@@ -2976,6 +3023,32 @@ object ExtQueries {
          LEFT JOIN dsizes sb ON dspine.det_b = sb.det
          LEFT JOIN dinter i ON dspine.det_a = i.det_a AND dspine.det_b = i.det_b
          ORDER BY dspine.det_a, dspine.det_b""",
+    // absolute twin of q113: each detector's drop set scored against
+    // the planted-family truth (non-minimal doc_ids per text root
+    // after stripping trailing " dup" repeats)
+    "q124_detector_truth_eval" -> s"""
+         WITH $dedupDropsCtes,
+         tr AS (SELECT doc_id FROM (
+             SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+               substr(md5(regexp_replace(text, '( dup)+$$', '')), 1, 16)) AS keep
+             FROM documents) t WHERE doc_id <> keep),
+         tc AS (SELECT COUNT(*) AS n_truth FROM tr),
+         st AS (SELECT det, COUNT(*) AS n_dropped, COUNT(tr.doc_id) AS n_hit
+           FROM drops LEFT JOIN tr USING (doc_id) GROUP BY det),
+         tspine(det) AS (VALUES
+           ('minhash'), ('semantic'), ('simhash'), ('span'))
+         SELECT tspine.det,
+           CAST(COALESCE(st.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(tc.n_truth AS BIGINT) AS n_truth,
+           CAST(COALESCE(st.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN COALESCE(st.n_dropped, 0) > 0
+             THEN round(CAST(st.n_hit AS DOUBLE) / st.n_dropped, 6) END AS prec,
+           CASE WHEN tc.n_truth > 0
+             THEN round(CAST(COALESCE(st.n_hit, 0) AS DOUBLE) / tc.n_truth, 6)
+           END AS recall
+         FROM tspine CROSS JOIN tc
+         LEFT JOIN st ON tspine.det = st.det
+         ORDER BY tspine.det""",
     "q114_lsh_recall" -> (s"""
          WITH $bandedSigSql,
          cpair AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
