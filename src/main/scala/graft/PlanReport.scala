@@ -61,7 +61,8 @@ object PlanReport {
     "q121_ivf_probe_sweep" -> "nProbe recall sweep 1/2/4/8/16: persisted fenced exact side + five cell-keyed ivfTopK runs (bounded centroid BNLJ each). Measured recall@3 at sf0.001: 0.11/0.17/0.42/0.67/1.00 — near-LINEAR in probed cells with no early saturation (near-isotropic synthetic embeddings: cell assignment carries little similarity signal), so the q44/q94 nProbe=4 default is a cost ceiling (25% of cells for 42% recall), not a measured knee; on clustered production embeddings re-run this sweep and set nProbe at the knee",
     "q122_bpe_encode" -> "BPE apply: trained merge table collected once (memoized, vocab-bounded) and inlined as literal replace chain — encode is pure scan-stage arithmetic, zero shuffles before the output sort",
     "q123_stream_simhash" -> "streaming SimHash ingest: per-micro-batch band signatures equi-join the persisted base fingerprint table via the shared capped core, hamming rescore on carried fingerprints; compared plan is the batch_id-partitioned sink read-back (q115's shape)",
-    "q124_detector_truth_eval" -> "planted-truth eval: Persist'd dedupDropSets joined to the md5-root-keyed truth set, detector-cardinality-bounded aggregate + one-row truth-count broadcast — absolute precision/recall per family")
+    "q124_detector_truth_eval" -> "planted-truth eval: Persist'd dedupDropSets joined to the md5-root-keyed truth set, detector-cardinality-bounded aggregate + one-row truth-count broadcast — absolute precision/recall per family",
+    "q125_bpe_pack" -> "BPE-token sequence packing: q61's per-source pack window fed by the literal-merge-chain encode — the encode adds zero shuffles, so the plan is q61's (one scan, pack window, (source, seq_id) aggregate)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -254,6 +254,31 @@ object ExtQueries {
       merges.toSeq
     })
 
+  /** The corpus encoded with [[bpeTrainedMerges]]' trained table —
+    * per-doc whitespace-word and BPE-token counts, shared by q122
+    * (fertility report) and q125 (sequence packing). The merge table
+    * collects to the driver (vocab-bounded) and inlines as a chain of
+    * literal codegen'd replace()s inside one transform() over each
+    * doc's token array — pure scan-stage arithmetic, zero shuffles.
+    */
+  private def bpeEncoded(s: SparkSession, d: String): DataFrame = {
+    val S = "\u0001"; val SS = S + S
+    val merges = bpeTrainedMerges(s, d)
+    def encodeLen(w: Column): Column = {
+      val rep0 = concat(lit(SS), regexp_replace(w, "(.)", "$1" + SS))
+      val repN = merges.foldLeft(rep0) { case (r, (_, a, b, _)) =>
+        replace(r, lit(S + a + SS + b + S), lit(S + a + b + S)) }
+      size(filter(split(repN, SS), x => x =!= lit("")))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TA.wsTokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        coalesce(aggregate(col("toks"), lit(0L),
+          (acc, w) => acc + encodeLen(w).cast("long")), lit(0L)).as("n_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
     "q21_dedup_exact" -> ((s, d) => {
@@ -505,25 +530,34 @@ object ExtQueries {
     //      fertility (tokens/word — the number a tokenizer eval
     //      actually reports) ----
     "q122_bpe_encode" -> ((s, d) => {
-      val S = "\u0001"; val SS = S + S
-      val merges = bpeTrainedMerges(s, d)
-      def encodeLen(w: Column): Column = {
-        val rep0 = concat(lit(SS), regexp_replace(w, "(.)", "$1" + SS))
-        val repN = merges.foldLeft(rep0) { case (r, (_, a, b, _)) =>
-          replace(r, lit(S + a + SS + b + S), lit(S + a + b + S)) }
-        size(filter(split(repN, SS), x => x =!= lit("")))
-      }
-      Tables.documents(s, d)
-        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_words"),
-          coalesce(aggregate(col("toks"), lit(0L),
-            (acc, w) => acc + encodeLen(w).cast("long")), lit(0L)).as("n_tokens"))
+      bpeEncoded(s, d)
         .select(col("doc_id"), col("n_words"), col("n_tokens"),
           when(col("n_words") > 0,
             round(col("n_tokens").cast("double") / col("n_words"), 6))
             .as("fertility"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing on REAL tokenizer counts — q61's greedy
+    //      per-source pack re-pointed from whitespace tokens to q122's
+    //      BPE token counts, completing the train→apply→PACK loop with
+    //      the counts a training run actually bills by. Same plan
+    //      shape as q61 (one scan + the per-source pack window + the
+    //      (source, seq_id) aggregate); the encode chain adds zero
+    //      shuffles. q61 stays registered as the tokenizer-free
+    //      baseline — the pair shows how the 512-token sequence budget
+    //      shifts when whitespace counts (which UNDERCOUNT subword
+    //      splits) are replaced by the trained vocabulary's counts ----
+    "q125_bpe_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bpeEncoded(s, d)
+        .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("prev_tokens") / lit(512)).cast("long"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .orderBy(col("source"), col("seq_id"))
     }),
 
     // ---- STREAMING SimHash near-dup ingest — q115's incremental loop
@@ -2031,7 +2065,7 @@ object ExtQueries {
     * the Spark side's fold over collected merges), then count
     * non-empty symbols and sum per doc.
     */
-  private lazy val bpeEncodeSql: String = {
+  private lazy val bpeEncodeCtes: String = {
     val S = "\u0001"; val SS = S + S
     val rep0 = s"'$SS' || regexp_replace(w, '(.)', '\\1$SS', 'g')"
     val repN = (1 to 5).foldLeft(rep0) { (acc, i) =>
@@ -2041,20 +2075,38 @@ object ExtQueries {
         .replaceAll("\\n\\s*", " ")
     }
     val joins = (1 to 5).map(i => s"LEFT JOIN t$i ON TRUE").mkString(" ")
-    s"""WITH $bpeTrainCtes,
-         dt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         enc AS (SELECT doc_id, len(toks) AS n_words,
+    s"""$bpeTrainCtes,
+         dt AS (SELECT doc_id, source, ${duckToks("text")} AS toks FROM documents),
+         enc AS (SELECT doc_id, source, len(toks) AS n_words,
              list_sum(list_transform(toks, w ->
                len(list_filter(string_split($repN, '$SS'), x -> x <> ''))))
                AS n_tokens
-           FROM dt $joins)
+           FROM dt $joins)"""
+  }
+
+  private lazy val bpeEncodeSql: String = s"""
+         WITH $bpeEncodeCtes
          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
            CASE WHEN n_words > 0
              THEN round(CAST(coalesce(n_tokens, 0) AS DOUBLE) / n_words, 6)
            END AS fertility
          FROM enc ORDER BY doc_id"""
-  }
+
+  /** q125 oracle: q61's pack chain verbatim, fed by the BPE token
+    * counts of the shared encode CTEs instead of whitespace counts.
+    */
+  private lazy val bpePackSql: String = s"""
+         WITH $bpeEncodeCtes,
+         pc AS (SELECT source, doc_id,
+             CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+             COALESCE(SUM(CAST(coalesce(n_tokens, 0) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM enc)
+         SELECT source, CAST(prev // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         FROM pc GROUP BY 1, 2 ORDER BY source, seq_id"""
 
   /** The q94/q97 shared oracle CTE chain: per-vector int8 quantization,
     * integer code norms, code-space IVF cell assignment (corpus keep-1
@@ -2284,6 +2336,7 @@ object ExtQueries {
          FROM r WHERE merge_rank <= 20 ORDER BY merge_rank""",
     "q96_bpe_train" -> bpeTrainSql,
     "q122_bpe_encode" -> bpeEncodeSql,
+    "q125_bpe_pack" -> bpePackSql,
     "q98_boilerplate" -> s"""
          WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS toks FROM documents),
          n AS (SELECT doc_id, source, toks,
