@@ -560,6 +560,43 @@ object ExtQueries {
         .orderBy(col("source"), col("seq_id"))
     }),
 
+    // ---- BPE merge-budget sweep — the tokenizer family's operating
+    //      knob, completing the knob-calibration set (LSH: q102+q114;
+    //      semantic tau: q118; IVF nProbe: q121; quality threshold:
+    //      q116): corpus token totals under each PROGRESSIVE merge
+    //      prefix k = 0..5 of q96's trained table, i.e. what each
+    //      additional merge buys in compression. All six encodes run
+    //      in ONE scan pass — each word's symbol rep threads through
+    //      the literal replace chain and every intermediate length is
+    //      captured — then six map-side-combinable sums; one output
+    //      row per budget. tokens_per_word is the fertility a
+    //      vocab-size decision reads ----
+    "q126_bpe_merge_sweep" -> ((s, d) => {
+      val S = "\u0001"; val SS = S + S
+      val merges = bpeTrainedMerges(s, d)
+      def lenOf(rep: Column): Column =
+        size(filter(split(rep, SS), x => x =!= lit(""))).cast("long")
+      Tables.documents(s, d)
+        .select(TA.wsTokens(lower(col("text"))).as("toks"))
+        .select(explode(col("toks")).as("w"))
+        .select({
+          val rep0 = concat(lit(SS), regexp_replace(col("w"), "(.)", "$1" + SS))
+          val reps = merges.scanLeft(rep0) { case (r, (_, a, b, _)) =>
+            replace(r, lit(S + a + SS + b + S), lit(S + a + b + S)) }
+          struct(reps.zipWithIndex.map { case (r, k) =>
+            lenOf(r).as(s"l$k") }: _*).as("ls")
+        })
+        .agg(count(lit(1)).as("n_words"),
+          (0 to merges.length).map(k => sum(col(s"ls.l$k")).as(s"t$k")): _*)
+        .select(explode(array((0 to merges.length).map(k =>
+          struct(lit(k.toLong).as("n_merges"), col(s"t$k").as("corpus_tokens"),
+            round(col(s"t$k").cast("double") / col("n_words"), 6)
+              .as("tokens_per_word"))): _*)).as("r"))
+        .select(col("r.n_merges"), col("r.corpus_tokens"),
+          col("r.tokens_per_word"))
+        .orderBy(col("n_merges"))
+    }),
+
     // ---- STREAMING SimHash near-dup ingest — q115's incremental loop
     //      for the second detector family: delta docs arrive as a file
     //      stream (4 micro-batches), each batch's SimHash64 band
@@ -2093,6 +2130,42 @@ object ExtQueries {
            END AS fertility
          FROM enc ORDER BY doc_id"""
 
+  /** q126 oracle: the merge-budget sweep — all-word freqs (NO length
+    * filter, unlike the trainer's w0), the progressive replace chain
+    * r0..r5 via lateral column aliases, per-budget length sums, six
+    * rows via UNION ALL.
+    */
+  private lazy val bpeSweepSql: String = {
+    val S = "\u0001"; val SS = S + S
+    val repDefs = (1 to 5).map { i =>
+      s"""CASE WHEN t$i.a IS NULL THEN r${i - 1}
+         ELSE replace(r${i - 1}, '$S' || t$i.a || '$SS' || t$i.b || '$S',
+                      '$S' || t$i.a || t$i.b || '$S') END AS r$i"""
+        .replaceAll("\\n\\s*", " ")
+    }.mkString(",\n         ")
+    val lens = (0 to 5).map(k =>
+      s"len(list_filter(string_split(r$k, '$SS'), x -> x <> '')) AS l$k")
+      .mkString(", ")
+    val sums = (0 to 5).map(k => s"SUM(freq * l$k) AS t$k").mkString(", ")
+    val rows = (0 to 5).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS n_merges, CAST(t$k AS BIGINT) AS corpus_tokens,
+         round(CAST(t$k AS DOUBLE) / n_words, 6) AS tokens_per_word FROM tot"""
+        .replaceAll("\\n\\s*", " "))
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes,
+         aw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(${duckToks("text")}) AS word FROM documents) u
+           GROUP BY 1),
+         ch AS (SELECT freq,
+             '$SS' || regexp_replace(word, '(.)', '\\1$SS', 'g') AS r0,
+             $repDefs
+           FROM aw LEFT JOIN t1 ON TRUE LEFT JOIN t2 ON TRUE LEFT JOIN t3 ON TRUE
+             LEFT JOIN t4 ON TRUE LEFT JOIN t5 ON TRUE),
+         ln AS (SELECT freq, $lens FROM ch),
+         tot AS (SELECT SUM(freq) AS n_words, $sums FROM ln)
+         SELECT * FROM ($rows) ORDER BY n_merges"""
+  }
+
   /** q125 oracle: q61's pack chain verbatim, fed by the BPE token
     * counts of the shared encode CTEs instead of whitespace counts.
     */
@@ -2337,6 +2410,7 @@ object ExtQueries {
     "q96_bpe_train" -> bpeTrainSql,
     "q122_bpe_encode" -> bpeEncodeSql,
     "q125_bpe_pack" -> bpePackSql,
+    "q126_bpe_merge_sweep" -> bpeSweepSql,
     "q98_boilerplate" -> s"""
          WITH t AS (SELECT doc_id, source, ${duckToks("text")} AS toks FROM documents),
          n AS (SELECT doc_id, source, toks,
