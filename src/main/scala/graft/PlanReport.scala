@@ -63,7 +63,10 @@ object PlanReport {
     "q123_stream_simhash" -> "streaming SimHash ingest: per-micro-batch band signatures equi-join the persisted base fingerprint table via the shared capped core, hamming rescore on carried fingerprints; compared plan is the batch_id-partitioned sink read-back (q115's shape)",
     "q124_detector_truth_eval" -> "planted-truth eval: Persist'd dedupDropSets joined to the md5-root-keyed truth set, detector-cardinality-bounded aggregate + one-row truth-count broadcast — absolute precision/recall per family",
     "q125_bpe_pack" -> "BPE-token sequence packing: q61's per-source pack window fed by the literal-merge-chain encode — the encode adds zero shuffles, so the plan is q61's (one scan, pack window, (source, seq_id) aggregate)",
-    "q126_bpe_merge_sweep" -> "merge-budget sweep: all six progressive-prefix encodes in ONE scan pass (scanLeft threads the replace chain, every intermediate length captured), six map-side-combinable sums, 6-row explode. Measured at sf0.001: fertility 4.50→3.93 over merges 0..5 (~2%/merge, linear regime — a real vocab sweeps to the knee)")
+    "q126_bpe_merge_sweep" -> "merge-budget sweep: all six progressive-prefix encodes in ONE scan pass (scanLeft threads the replace chain, every intermediate length captured), six map-side-combinable sums, 6-row explode. Measured at sf0.001: fertility 4.50→3.93 over merges 0..5 (~2%/merge, linear regime — a real vocab sweeps to the knee)",
+    "q127_pq_ann" -> "IVF-PQ ADC search: bounded centroid BNLJ assigns cells, candidates hash-keyed by cell; corpus side carries ONLY the 8-byte PQ code (fp32 dropped at encode — the ~32x index shrink), scoring is 8 LUT lookups per candidate instead of a 64-fold",
+    "q128_pq_recall" -> "ADC recall gate: fenced exact inner-product truth side (bounded query broadcast) vs q127's cell-keyed ADC ranking — the quantization ladder's q97 twin at the PQ rung",
+    "q129_pq_distortion" -> "PQ distortion report: per-subspace encode + squared error entirely in the scan stage (constant-folded codebook literals), one 8-row-bounded aggregate — zero joins at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -536,4 +536,164 @@ object Similarity {
       .agg(count(lit(1)).as("cell_size"))
       .filter(col("cell_size") > cellCap)
   }
+
+  // ================= Product quantization (IVF-PQ) =================
+
+  /** Component i of PQ sub-codebook centroid `c` in subspace `sub`
+    * (deterministic; public so the oracle SQL can inline the same
+    * constants, like [[centroidVal]]).
+    */
+  def pqVal(sub: Int, c: Int, i: Int): Double = hashVal(s"pqcent-$sub-$c-$i")
+
+  /** PQ encode (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): split an `m*subDim`-dim vector into
+    * `m` subvectors and assign each its nearest (L2) sub-codebook
+    * centroid. Output is an array of `m` small code ints — at corpus
+    * scale the ANN index stores ONLY (cell, codes): m bytes per vector
+    * instead of 4*dim, a 32× shrink over fp32 at the default geometry,
+    * which is the entire point of PQ (the int8 path q81/q94 shrinks 4×;
+    * this is the next rung of the same ladder).
+    *
+    * The argmin key is |c|² − 2·x·c (dropping the per-row |x|² constant,
+    * which cannot change the argmin and halves the fold work); every
+    * dot is the shared sequential left fold, so any engine replays the
+    * argmin bit-exactly; ties at 6-decimal resolution break toward the
+    * lower centroid id (registry-wide determinism discipline). The
+    * centroid self-dots are folded over literal arrays, so Catalyst
+    * constant-folds them at plan time — per-row work is m*nCents
+    * subDim-length dots, the same order as IVF cell assignment.
+    */
+  def pqCodes(vec: Column, m: Int = 8, subDim: Int = 8, nCents: Int = 16): Column = {
+    val v = vec.cast("array<double>")
+    array((0 until m).map { sub =>
+      val sv = slice(v, sub * subDim + 1, subDim)
+      val cands = array((0 until nCents).map { c =>
+        val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+        val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+        struct(round(key, 6).as("d"), lit(c).as("c"))
+      }: _*)
+      array_min(cands).getField("c")
+    }: _*)
+  }
+
+  /** IVF-PQ ANN with asymmetric-distance (ADC) scoring — the
+    * composition a 100 TB vector index actually deploys (FAISS's
+    * IVFPQ): coarse IVF cells bound the candidate set (keyed equi-join
+    * on cell, [[ivfTopK]]'s shape), and within a cell the corpus side
+    * is represented ONLY by its m-byte PQ code — the fp32 vector is
+    * dropped after encode, so the index shard is ~32× smaller and
+    * candidate scoring never touches raw vectors. Each query builds its
+    * per-subspace dot-product lookup table (m × nCents doubles, a
+    * per-row constant-size column) once; a candidate's ADC score is m
+    * table lookups + m−1 adds instead of a dim-length fold — the LUT
+    * trade that makes PQ scan candidates at memory speed.
+    *
+    * ADC approximates the INNER-PRODUCT ranking (score =
+    * q · reconstruct(code)); recall against the exact-IP ranking is
+    * measured by q128, exactly as q76/q97 gate the LSH/int8 paths.
+    * Zero-norm/empty vectors are excluded on both sides (usable-vector
+    * contract shared with every rank path). The ADC sum is a fixed
+    * left-to-right fold over subspaces so the oracle can replay the
+    * exact FP association.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, subDim: Int = 8, nCents: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val c = assignCells(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", cents, 1)
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+      .select(col("cell"), col("n_id"),
+        pqCodes(col("n_vec"), m, subDim, nCents).as("n_code"))
+    val q = assignCells(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
+        array((0 until nCents).map { cc =>
+          val cent = array((0 until subDim).map(i => lit(pqVal(sub, cc, i))): _*)
+          dot(sv, cent)
+        }: _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", (0 until m).map { sub =>
+        element_at(element_at(col("lut"), sub + 1),
+          element_at(col("n_code"), sub + 1) + 1)
+      }.reduce(_ + _))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
+  }
+
+  /** Exact brute-force INNER-PRODUCT top-k — the truth side for the
+    * ADC recall eval (ADC approximates q·n, not cosine, so its recall
+    * must be measured against the exact-IP ranking; [[bruteForceTopK]]
+    * remains the cosine truth for the LSH/IVF evals). Same fenced
+    * bounded-broadcast design as q25.
+    */
+  def bruteForceDotTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("ip"), 6).desc, col("n_id").asc)
+    q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("ip", dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("ip"), 6).as("ip"))
+  }
+
+  /** PQ reconstruction distortion: per subspace, the mean squared L2
+    * error between each usable vector's subvector and its assigned
+    * centroid — the quantization-quality report read before committing
+    * a codebook geometry (the PQ twin of the q97 recall gate). Pure
+    * scan-stage encode + one m-bounded aggregate; the per-row distance
+    * uses the same three-fold identity |x−c|² = x·x + c·c − 2·x·c as
+    * the encode so the oracle replays it exactly.
+    */
+  def pqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, subDim: Int = 8, nCents: Int = 16): DataFrame = {
+    val v = col("vec")
+    val withD = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), posexplode(array((0 until m).map { sub =>
+        val sv = slice(v, sub * subDim + 1, subDim)
+        // keys[c] = c·c − 2·x·c; cands round them for the argmin. The
+        // two arrays are built from independent folds (lambda exprs are
+        // exempt from subexpression elimination, so element_at(keys,·)
+        // inside cands would re-fold all 16 keys per candidate); total
+        // per-sub work stays 2*nCents+1 subDim-length folds
+        def keyFor(c: Int): Column = {
+          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          dot(cent, cent) - lit(2.0) * dot(sv, cent)
+        }
+        val keys = array((0 until nCents).map(keyFor): _*)
+        val cands = array((0 until nCents).map { c =>
+          struct(round(keyFor(c), 6).as("d"), lit(c).as("c"))
+        }: _*)
+        val best = array_min(cands).getField("c")
+        dot(sv, sv) + element_at(keys, best + 1)
+      }: _*)).as(Seq("sub", "sqerr")))
+    withD.groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("sqerr")), 6).as("mse"))
+  }
 }

@@ -1943,6 +1943,52 @@ object ExtQueries {
             round(coalesce(col("n_hit"), lit(0L)).cast("double") /
               col("n_truth"), 6)).as("recall"))
         .orderBy(col("det"))
+    }),
+
+    // ---- IVF-PQ ANN with asymmetric-distance (ADC) scoring — the
+    //      composition a 100 TB vector index deploys (FAISS IVFPQ):
+    //      coarse cells bound candidates (q44's keyed equi-join), and
+    //      the corpus side inside a cell is ONLY its 8-byte PQ code —
+    //      fp32 vectors are dropped at encode, the index shard is ~32×
+    //      smaller, and scoring is 8 LUT lookups + adds per candidate
+    //      instead of a 64-length fold. The next rung of the
+    //      quantization ladder after q81/q94's 4× int8 ----
+    "q127_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 50), emb,
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---- ADC recall gate: q127's approximate ranking vs the exact
+    //      INNER-PRODUCT top-3 (ADC approximates q·n, not cosine, so
+    //      its truth side is the exact-IP ranking — q76/q97's fenced
+    //      bounded-query brute-force design, IP metric) ----
+    "q128_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.pqAdcTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- PQ reconstruction distortion: per-subspace mean squared L2
+    //      error of the encode — the quantization-quality report read
+    //      before committing a codebook geometry (the PQ twin of q97's
+    //      recall gate; distortion up ⇒ recall down). Pure scan-stage
+    //      encode + one 8-row-bounded aggregate: zero joins, zero
+    //      broadcast, distributes at any corpus size ----
+    "q129_pq_distortion" -> ((s, d) => {
+      Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("sub"))
     }))
 
   private def duckToks(expr: String) =
@@ -1995,6 +2041,66 @@ object ExtQueries {
       val vals = (0 until 64).map(i => graft.ext.Similarity.centroidVal(cl, i)).mkString(", ")
       s"($cl, [$vals]::DOUBLE[])"
     }.mkString(", ")
+
+  /** PQ sub-codebook VALUES rows for the q127/q128/q129 oracles — the
+    * exact constants the Spark side folds into its plan
+    * ([[graft.ext.Similarity.pqVal]]; 8 subspaces × 16 centroids × 8
+    * dims over the 64-dim test embeddings).
+    */
+  private val pqCentroids: String =
+    (0 until 8).flatMap { sub =>
+      (0 until 16).map { c =>
+        val vals = (0 until 8).map(i => graft.ext.Similarity.pqVal(sub, c, i)).mkString(", ")
+        s"($sub, $c, [$vals]::DOUBLE[])"
+      }
+    }.mkString(", ")
+
+  /** Shared q127/q128 oracle CTEs: IVF cell assignment + PQ encode +
+    * the ADC candidate scoring, mirroring `Similarity.pqAdcTopK`
+    * exactly — the encode argmin orders by round(c·c − 2·x·c, 6) with
+    * centroid-id tie-break (the |x|² term drops out of the argmin),
+    * and the ADC sum pins the Spark side's left-to-right subspace fold
+    * by pivoting the 8 per-subspace terms into one left-associative
+    * addition chain (a plain SUM would leave the FP association to the
+    * aggregator's visit order).
+    */
+  private lazy val pqAdcCtes: String = {
+    val termPivot = (0 until 8).map(sub =>
+      s"MAX(term) FILTER (sub = $sub)").mkString(" + ")
+    s"""cent(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings
+           WHERE $usableVec),
+         ca AS (SELECT n_id, n_vec, cell FROM (
+           SELECT n_id, n_vec, cell, ROW_NUMBER() OVER (PARTITION BY n_id
+             ORDER BY round(list_inner_product(n_vec, cvec), 6) DESC, cell) AS rn
+           FROM c, cent) t WHERE rn = 1),
+         codes AS (SELECT n_id, sub, c FROM (
+           SELECT ca.n_id, p.sub, p.c,
+             ROW_NUMBER() OVER (PARTITION BY ca.n_id, p.sub
+               ORDER BY round(list_inner_product(p.pvec, p.pvec)
+                 - 2 * list_inner_product(
+                     list_slice(ca.n_vec, p.sub * 8 + 1, p.sub * 8 + 8), p.pvec), 6),
+               p.c) AS rn
+           FROM ca, pqc p) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+           WHERE vec_id < 50 AND $usableVec),
+         qa AS (SELECT q_id, q_vec, cell FROM (
+           SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.q_vec, ca.n_id FROM qa JOIN ca USING (cell)
+           WHERE qa.q_id <> ca.n_id),
+         terms AS (SELECT pr.q_id, pr.n_id, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8), p.pvec) AS term
+           FROM prs pr JOIN codes k ON k.n_id = pr.n_id
+           JOIN pqc p ON p.sub = k.sub AND p.c = k.c),
+         adc AS (SELECT q_id, n_id, $termPivot AS adc
+           FROM terms GROUP BY q_id, n_id),
+         adcr AS (SELECT q_id, n_id, adc, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY round(adc, 6) DESC, n_id) AS rank FROM adc)"""
+  }
 
   /** Sign-LSH hyperplane VALUES rows for the q36 oracle — the exact
     * constants the Spark side folds into its plan ([[graft.ext.Similarity.planeVal]];
@@ -3345,5 +3451,41 @@ object ExtQueries {
              AS recall
          FROM probes CROSS JOIN ex e
          LEFT JOIN ap a ON a.p = probes.p AND a.q_id = e.q_id AND a.n_id = e.n_id
-         GROUP BY probes.p ORDER BY n_probe""")
+         GROUP BY probes.p ORDER BY n_probe""",
+    "q127_pq_ann" -> s"""
+         WITH $pqAdcCtes
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(adc, 6) AS adc
+         FROM adcr WHERE rank <= 3 ORDER BY q_id, rank""",
+    "q128_pq_recall" -> s"""
+         WITH $pqAdcCtes,
+         ap AS (SELECT q_id, n_id FROM adcr WHERE rank <= 3),
+         es AS (SELECT q.q_id, cc.n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.n_vec), 6) DESC,
+               cc.n_id) AS rank
+           FROM qq q, c cc WHERE q.q_id <> cc.n_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3)
+         SELECT ex.q_id, CAST(COUNT(ap.n_id) AS BIGINT) AS n_hits,
+           round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+         GROUP BY ex.q_id ORDER BY ex.q_id""",
+    "q129_pq_distortion" -> s"""
+         WITH pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         keys AS (SELECT e.vec_id, p.sub, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(
+                   list_slice(e.vec, p.sub * 8 + 1, p.sub * 8 + 8), p.pvec) AS key,
+             list_inner_product(
+               list_slice(e.vec, p.sub * 8 + 1, p.sub * 8 + 8),
+               list_slice(e.vec, p.sub * 8 + 1, p.sub * 8 + 8)) AS svv
+           FROM e, pqc p),
+         best AS (SELECT vec_id, sub, svv + key AS sqerr FROM (
+           SELECT vec_id, sub, key, svv, ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+           FROM keys) t WHERE rn = 1)
+         SELECT CAST(sub AS BIGINT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(AVG(sqerr), 6) AS mse
+         FROM best GROUP BY sub ORDER BY sub""")
 }
