@@ -66,7 +66,9 @@ object PlanReport {
     "q126_bpe_merge_sweep" -> "merge-budget sweep: all six progressive-prefix encodes in ONE scan pass (scanLeft threads the replace chain, every intermediate length captured), six map-side-combinable sums, 6-row explode. Measured at sf0.001: fertility 4.50→3.93 over merges 0..5 (~2%/merge, linear regime — a real vocab sweeps to the knee)",
     "q127_pq_ann" -> "IVF-PQ ADC search: bounded centroid BNLJ assigns cells, candidates hash-keyed by cell; corpus side carries ONLY the 8-byte PQ code (fp32 dropped at encode — the ~32x index shrink), scoring is 8 LUT lookups per candidate instead of a 64-fold",
     "q128_pq_recall" -> "ADC recall gate: fenced exact inner-product truth side (bounded query broadcast) vs q127's cell-keyed ADC ranking — the quantization ladder's q97 twin at the PQ rung",
-    "q129_pq_distortion" -> "PQ distortion report: per-subspace encode + squared error entirely in the scan stage (constant-folded codebook literals), one 8-row-bounded aggregate — zero joins at any corpus size")
+    "q129_pq_distortion" -> "PQ distortion report: per-subspace encode + squared error entirely in the scan stage (constant-folded codebook literals), one 8-row-bounded aggregate — zero joins at any corpus size",
+    "q130_pq_train" -> "PQ training (one Lloyd step per sub-codebook, q74's discipline at the PQ rung): scan-stage argmin assignment, single (sub,c,pos)-keyed exchange with map-side partials — <=1024 groups at any corpus size",
+    "q131_pq_refine_gain" -> "training gain: static vs refined distortion in one re-encode scan; the refined codebook is a 1024-double collected training artifact inlined as literals (q96's bounded-collect discipline). Measured at sf0.001: mse 0.42->0.08 (~4x in one Lloyd step) — with the static-codebook ADC recall at 0.07 (q128, near-isotropic synthetic embeddings), this is the knob a production index turns before committing a codebook")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -696,4 +696,91 @@ object Similarity {
     withD.groupBy(col("sub").cast("long").as("sub"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("sqerr")), 6).as("mse"))
   }
+
+  /** One Lloyd refinement of the PQ sub-codebooks — PQ *training* (the
+    * per-subspace k-means step of Jégou et al.; [[kmeansIteration]]'s
+    * discipline at the PQ rung): every usable vector's subvectors are
+    * assigned their argmin static centroid ([[pqCodes]]' key), and each
+    * (subspace, code) cell's element-wise member mean is the refined
+    * centroid. Long-form output — one row per (sub, c, pos) with the
+    * mean and member count — because list columns defeat cross-engine
+    * hashing (q74's convention); empty cells emit no rows. The only
+    * shuffle is keyed by (sub, c, pos) — ≤ m*nCents*subDim groups with
+    * map-side partial aggregation, so the update is corpus-size-
+    * independent after the scan.
+    */
+  def pqTrainIteration(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, subDim: Int = 8, nCents: Int = 16): DataFrame = {
+    val v = col("vec")
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), posexplode(array((0 until m).map { sub =>
+        val sv = slice(v, sub * subDim + 1, subDim)
+        val cands = array((0 until nCents).map { c =>
+          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          struct(round(dot(cent, cent) - lit(2.0) * dot(sv, cent), 6).as("d"),
+            lit(c).as("c"))
+        }: _*)
+        struct(array_min(cands).getField("c").as("c"), sv.as("sv"))
+      }: _*)).as(Seq("sub", "sc")))
+      .select(col("sub"), col("sc.c").as("c"),
+        posexplode(col("sc.sv")).as(Seq("pos", "vv")))
+      .groupBy(col("sub").cast("long").as("sub"), col("c").cast("long").as("c"),
+        col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("vv")), 6).as("c_val"), count(lit(1)).as("n_members"))
+  }
+
+  /** Distortion before/after one training iteration: per subspace, the
+    * corpus MSE under the static codebook vs under `refined` (the
+    * collected [[pqTrainIteration]] output — a bounded training
+    * artifact, m*nCents*subDim doubles, inlined as literals exactly
+    * like the static codebook). The measurable proof that the training
+    * step moves the operating point (mse down ⇒ ADC ranking closer to
+    * exact — the PQ analogue of the q121/q126 knob sweeps). Encode
+    * against refined centroids argmins over the cells PRESENT in the
+    * artifact (empty cells trained nothing), same rounded-key/low-id
+    * tie discipline. Pure scan-stage; one m-bounded aggregate.
+    */
+  def pqRefineGain(corpus: DataFrame, idCol: String, vecCol: String,
+      refined: Seq[(Int, Int, Seq[Double])],
+      m: Int = 8, subDim: Int = 8, nCents: Int = 16): DataFrame = {
+    val bySub: Map[Int, Seq[(Int, Seq[Double])]] =
+      refined.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(x => (x._2, x._3)).sortBy(_._1)
+      }
+    val v = col("vec")
+    def minKeyAndErr(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+      // keys and cands from independent folds (CSE-exempt lambdas,
+      // same note as pqDistortion)
+      def keyFor(vals: Seq[Double]): Column = {
+        val cent = array(vals.map(lit): _*)
+        dot(cent, cent) - lit(2.0) * dot(sv, cent)
+      }
+      val keys = array(cents.map(c => keyFor(c._2)): _*)
+      val cands = array(cents.zipWithIndex.map { case ((c, vals), i) =>
+        struct(round(keyFor(vals), 6).as("d"), lit(i).as("i"), lit(c).as("c"))
+      }: _*)
+      val bestIdx = array_min(cands).getField("i")
+      dot(sv, sv) + element_at(keys, bestIdx + 1)
+    }
+    val withD = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), posexplode(array((0 until m).map { sub =>
+        val sv = slice(v, sub * subDim + 1, subDim)
+        val statics = (0 until nCents).map(c =>
+          (c, (0 until subDim).map(i => pqVal(sub, c, i)): Seq[Double]))
+        struct(
+          minKeyAndErr(sv, statics).as("e0"),
+          minKeyAndErr(sv, bySub.getOrElse(sub, statics)).as("e1"))
+      }: _*)).as(Seq("sub", "es")))
+    withD.groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("es.e0")), 6).as("mse_static"),
+        round(avg(col("es.e1")), 6).as("mse_refined"))
+  }
 }

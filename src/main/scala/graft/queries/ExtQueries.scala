@@ -1989,6 +1989,35 @@ object ExtQueries {
     "q129_pq_distortion" -> ((s, d) => {
       Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("sub"))
+    }),
+
+    // ---- PQ TRAINING: one Lloyd refinement per sub-codebook (the
+    //      per-subspace k-means of Jégou et al. — q74's discipline at
+    //      the PQ rung). Long-form (sub, c, pos) rows; the only
+    //      shuffle is keyed by (sub, c, pos) with map-side partials —
+    //      ≤1024 groups at any corpus size ----
+    "q130_pq_train" -> ((s, d) => {
+      Similarity.pqTrainIteration(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("sub"), col("c"), col("pos"))
+    }),
+
+    // ---- training gain: corpus MSE under the static codebook vs the
+    //      q130-refined one, per subspace — the measured proof the
+    //      training iteration moves the operating point (the PQ
+    //      analogue of the q121/q126 knob sweeps). The refined
+    //      codebook is a COLLECTED training artifact — 1024 doubles,
+    //      q96's bounded-collect discipline — inlined as literals for
+    //      the re-encode, which stays pure scan-stage ----
+    "q131_pq_refine_gain" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val refined = Similarity.pqTrainIteration(emb, "vec_id", "embedding")
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq
+      Similarity.pqRefineGain(emb, "vec_id", "embedding", refined)
+        .orderBy(col("sub"))
     }))
 
   private def duckToks(expr: String) =
@@ -2054,6 +2083,28 @@ object ExtQueries {
         s"($sub, $c, [$vals]::DOUBLE[])"
       }
     }.mkString(", ")
+
+  /** Shared q130/q131 oracle CTEs: static-codebook PQ assignment keys,
+    * the argmin codes, and the per-(sub, c, pos) member values feeding
+    * the Lloyd mean — mirroring `Similarity.pqTrainIteration` (argmin
+    * key c·c − 2·x·c rounded at 6, low-c tie-break).
+    */
+  private lazy val pqTrainCtes: String = s"""
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         keys AS (SELECT e.vec_id, p.sub, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(
+                   list_slice(e.vec, p.sub * 8 + 1, p.sub * 8 + 8), p.pvec) AS key
+           FROM e, pqc p),
+         codes AS (SELECT vec_id, sub, c FROM (
+           SELECT vec_id, sub, c, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+             ORDER BY round(key, 6), c) AS rn FROM keys) t WHERE rn = 1),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         vals AS (SELECT k.sub, k.c, poss.pos,
+             list_extract(e.vec, k.sub * 8 + poss.pos + 1) AS vv
+           FROM codes k JOIN e USING (vec_id) CROSS JOIN poss)"""
 
   /** Shared q127/q128 oracle CTEs: IVF cell assignment + PQ encode +
     * the ADC candidate scoring, mirroring `Similarity.pqAdcTopK`
@@ -3487,5 +3538,41 @@ object ExtQueries {
            FROM keys) t WHERE rn = 1)
          SELECT CAST(sub AS BIGINT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            round(AVG(sqerr), 6) AS mse
-         FROM best GROUP BY sub ORDER BY sub""")
+         FROM best GROUP BY sub ORDER BY sub""",
+    "q130_pq_train" -> s"""
+         WITH $pqTrainCtes
+         SELECT CAST(sub AS BIGINT) AS sub, CAST(c AS BIGINT) AS c,
+           CAST(pos AS BIGINT) AS pos, round(AVG(vv), 6) AS c_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+         FROM vals GROUP BY sub, c, pos ORDER BY sub, c, pos""",
+    "q131_pq_refine_gain" -> s"""
+         WITH $pqTrainCtes,
+         ref AS (SELECT sub, c, pos, round(AVG(vv), 6) AS c_val
+           FROM vals GROUP BY sub, c, pos),
+         rcb AS (SELECT sub, c, list(c_val ORDER BY pos) AS rvec
+           FROM ref GROUP BY sub, c),
+         stat AS (SELECT vec_id, sub, svv + key AS e0 FROM (
+           SELECT k.vec_id, k.sub, k.key,
+             list_inner_product(
+               list_slice(e.vec, k.sub * 8 + 1, k.sub * 8 + 8),
+               list_slice(e.vec, k.sub * 8 + 1, k.sub * 8 + 8)) AS svv,
+             ROW_NUMBER() OVER (PARTITION BY k.vec_id, k.sub
+               ORDER BY round(k.key, 6), k.c) AS rn
+           FROM keys k JOIN e USING (vec_id)) t WHERE rn = 1),
+         rkeys AS (SELECT e.vec_id, r.sub, r.c,
+             list_inner_product(r.rvec, r.rvec)
+               - 2 * list_inner_product(
+                   list_slice(e.vec, r.sub * 8 + 1, r.sub * 8 + 8), r.rvec) AS key,
+             list_inner_product(
+               list_slice(e.vec, r.sub * 8 + 1, r.sub * 8 + 8),
+               list_slice(e.vec, r.sub * 8 + 1, r.sub * 8 + 8)) AS svv
+           FROM e, rcb r),
+         reft AS (SELECT vec_id, sub, svv + key AS e1 FROM (
+           SELECT vec_id, sub, key, svv, ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+           FROM rkeys) t WHERE rn = 1)
+         SELECT CAST(s.sub AS BIGINT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(AVG(s.e0), 6) AS mse_static, round(AVG(r.e1), 6) AS mse_refined
+         FROM stat s JOIN reft r ON s.vec_id = r.vec_id AND s.sub = r.sub
+         GROUP BY s.sub ORDER BY sub""")
 }

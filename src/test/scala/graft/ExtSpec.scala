@@ -255,6 +255,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pqTrainIteration: member counts partition the usable corpus per (sub, pos)") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val usable = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .count()
+    val rows = Similarity.pqTrainIteration(emb, "vec_id", "embedding").collect()
+    // per (sub, pos): every usable vector lands in exactly one cell
+    val perSubPos = rows.groupBy(r => (r.getLong(0), r.getLong(2))).values
+      .map(_.map(_.getLong(4)).sum).toSet
+    assert(perSubPos == Set(usable))
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+    // each nonempty (sub, c) cell emits exactly subDim position rows
+    assert(rows.groupBy(r => (r.getLong(0), r.getLong(1))).values
+      .forall(_.map(_.getLong(2)).sorted.toSeq == (0L until 8L).toSeq))
+  }
+
+  test("pqRefineGain: one Lloyd step never increases distortion") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val refined = Similarity.pqTrainIteration(emb, "vec_id", "embedding")
+      .collect()
+      .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+      .map { case ((sub, c), rs) =>
+        (sub, c, rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+      .toSeq
+    val gain = Similarity.pqRefineGain(emb, "vec_id", "embedding", refined)
+      .collect()
+    assert(gain.length == 8)
+    // k-means monotonicity: per-cell means minimize squared error under
+    // the old assignment, and the re-encode argmin only improves on
+    // that (slack covers the 6-decimal centroid rounding)
+    gain.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-5,
+        s"sub ${r.getLong(0)}: refined ${r.getDouble(3)} > static ${r.getDouble(2)}")
+    }
+  }
+
   test("kmeansIteration: long-form means partition the corpus per position") {
     val emb = graft.util.Tables.embeddings(spark, sf0001)
     val n = emb.count()
