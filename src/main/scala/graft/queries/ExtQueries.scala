@@ -13,6 +13,35 @@ import graft.util.Tables
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared q120/q133 frame: per-doc logistic quality score (q108's
+    * frozen weights) and the deterministic Efraimidis–Spirakis sample
+    * key u^(1/w) (u an md5-derived uniform draw floored away from 0 —
+    * prefix 000000 is legal, if astronomically rare). One definition so
+    * the global (q120) and per-source (q133) samplers cannot
+    * desynchronize on the weight or the draw. Pure scan-stage
+    * arithmetic; `source` rides along for the grouped consumer.
+    */
+  private def esKeyFrame(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        TA.wsTokens(col("text")).as("toks"),
+        TA.wsTokens(lower(col("text"))).as("ltoks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("double").as("n_words"),
+        TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+        TA.punctRatio(col("text")).as("punct"),
+        TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
+    val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+      lit(0.4) * abs(col("mwl") - lit(5.0)) +
+      lit(0.15) * log(lit(1.0) + col("n_words"))
+    f.select(col("doc_id"), col("source"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"),
+        greatest(round(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("double") / lit(16777215.0), 6), lit(1e-9)).as("u"))
+      .withColumn("skey",
+        round(pow(col("u"), lit(1.0) / col("quality_score")), 6))
+  }
+
   /** The q59/q84 decontamination gram projection: per-doc distinct
     * word-8-gram md5 prefixes plus the md5-head-byte split bucket.
     * Shared so the twin paths (exact broadcast join vs Bloom prefilter)
@@ -1840,31 +1869,11 @@ object ExtQueries {
     //      distributed analog of "sample k docs with probability
     //      proportional to quality". q119 is the Bernoulli (variable
     //      size) sampler; this is the fixed-size one ----
-    "q120_weighted_sample" -> ((s, d) => {
-      val f = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TA.wsTokens(col("text")).as("toks"),
-          TA.wsTokens(lower(col("text"))).as("ltoks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("double").as("n_words"),
-          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
-          TA.punctRatio(col("text")).as("punct"),
-          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
-      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
-        lit(0.4) * abs(col("mwl") - lit(5.0)) +
-        lit(0.15) * log(lit(1.0) + col("n_words"))
-      f.select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"),
-          // draw floored away from 0 so ln(u)/w stays finite (md5
-          // prefix 000000 is legal, if astronomically rare)
-          greatest(round(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
-            16, 10).cast("double") / lit(16777215.0), 6), lit(1e-9)).as("u"))
-        .withColumn("skey",
-          round(pow(col("u"), lit(1.0) / col("quality_score")), 6))
+    "q120_weighted_sample" -> ((s, d) =>
+      esKeyFrame(s, d)
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(100)
-        .select(col("doc_id"), col("quality_score"), col("skey"))
-    }),
+        .select(col("doc_id"), col("quality_score"), col("skey"))),
 
     // ---- IVF nProbe recall sweep — the ANN twin of q118's τ curve:
     //      recall@3 vs the exact ranking at nProbe = 1/2/4/8/16, in
@@ -2018,10 +2027,86 @@ object ExtQueries {
         .toSeq
       Similarity.pqRefineGain(emb, "vec_id", "embedding", refined)
         .orderBy(col("sub"))
+    }),
+
+    // ---- LEAKAGE-SAFE train/test split: near-dup cluster members
+    //      must land in ONE split, or held-out eval leaks training
+    //      text (the split bug that silently inflates benchmarks).
+    //      Composes three gated pieces: MinHash candidates off the
+    //      persisted signature table (q22), connected components
+    //      (q45), and the q46 md5-bucket rule — applied to the CLUSTER
+    //      REPRESENTATIVE (component min id; singletons key on
+    //      themselves), so co-assignment is by construction. Output is
+    //      the audit: candidate pairs crossing splits under the naive
+    //      per-doc rule vs the cluster rule (cluster row must be 0 —
+    //      asserted by spec, measured by the oracle) ----
+    "q132_leakage_safe_split" -> ((s, d) => {
+      val cand = graft.util.Persist(
+        Dedup.minhashCandidates(corpusSignatures(s, d))
+          .filter(col("n_bands") >= 2)
+          .select(col("a_id"), col("b_id")))
+      val comp = Dedup.connectedComponents(cand, "a_id", "b_id")
+      val rep = Tables.documents(s, d).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      def bucketOf(c: Column): Column =
+        pmod(conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long"),
+          lit(100L))
+      def splitOf(b: Column): Column =
+        when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+      val assigned = rep.select(col("doc_id"),
+        splitOf(bucketOf(col("doc_id"))).as("naive_split"),
+        splitOf(bucketOf(col("rep"))).as("cluster_split"))
+      val a = assigned.select(col("doc_id").as("a_id"),
+        col("naive_split").as("a_n"), col("cluster_split").as("a_c"))
+      val b = assigned.select(col("doc_id").as("b_id"),
+        col("naive_split").as("b_n"), col("cluster_split").as("b_c"))
+      val agg1 = cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a_n") =!= col("b_n"), 1L).otherwise(0L)).as("cross_naive"),
+          sum(when(col("a_c") =!= col("b_c"), 1L).otherwise(0L)).as("cross_cluster"))
+      agg1.select(col("n_pairs"),
+          expr("stack(2, 'cluster', cross_cluster, 'naive', cross_naive)")
+            .as(Seq("policy", "cross_pairs")))
+        .select(col("policy"), col("n_pairs"), col("cross_pairs"),
+          when(col("n_pairs") > 0,
+            round(col("cross_pairs").cast("double") / col("n_pairs"), 6))
+            .as("leak_frac"))
+        .orderBy(col("policy"))
+    }),
+
+    // ---- per-source fixed-budget weighted sampling: q120's
+    //      Efraimidis–Spirakis keys ranked WITHIN each source (top-5
+    //      per source) — the per-domain quota a curation run enforces
+    //      (a global top-k lets one high-quality source crowd out the
+    //      rest). One source-keyed exchange + per-source window sort;
+    //      at corpus scale, pre-filter with an approximate per-source
+    //      skey threshold before the window to bound the sort input ----
+    "q133_source_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("skey").desc, col("doc_id"))
+      esKeyFrame(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("quality_score"), col("skey"))
+        .orderBy(col("source"), col("rk"))
     }))
 
   private def duckToks(expr: String) =
     s"list_filter(string_split_regex(trim(lower($expr)), '\\s+'), x -> x <> '')"
+
+  /** DuckDB mirror of the q46/q132 bucket rule: first 4 hex chars of an
+    * md5 (column `hx`) as an int, mod 100 (Spark's
+    * `conv(substring(md5(x),1,4),16,10) % 100`).
+    */
+  private def duckBucket(hx: String): String =
+    s"""((strpos('0123456789abcdef', substr($hx, 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr($hx, 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1)) % 100"""
+      .replaceAll("\n\\s*", " ")
 
   /** DuckDB mirror of [[TA.normWords]]. */
   private val duckNormWords =
@@ -3574,5 +3659,75 @@ object ExtQueries {
          SELECT CAST(s.sub AS BIGINT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            round(AVG(s.e0), 6) AS mse_static, round(AVG(r.e1), 6) AS mse_refined
          FROM stat s JOIN reft r ON s.vec_id = r.vec_id AND s.sub = r.sub
-         GROUP BY s.sub ORDER BY sub""")
+         GROUP BY s.sub ORDER BY sub""",
+    "q132_leakage_safe_split" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+         rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hn,
+             md5(CAST(rep AS VARCHAR)) AS hr FROM rep),
+         spl AS (SELECT doc_id,
+             CASE WHEN ${duckBucket("hn")} < 80 THEN 'train'
+                  WHEN ${duckBucket("hn")} < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split,
+             CASE WHEN ${duckBucket("hr")} < 80 THEN 'train'
+                  WHEN ${duckBucket("hr")} < 90 THEN 'val'
+                  ELSE 'test' END AS cluster_split
+           FROM hx),
+         j AS (SELECT sa.naive_split AS a_n, sa.cluster_split AS a_c,
+             sb.naive_split AS b_n, sb.cluster_split AS b_c
+           FROM cand JOIN spl sa ON cand.a_id = sa.doc_id
+           JOIN spl sb ON cand.b_id = sb.doc_id),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN a_n <> b_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_naive,
+             CAST(SUM(CASE WHEN a_c <> b_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_cluster FROM j)
+         SELECT 'cluster' AS policy, n_pairs, cross_cluster AS cross_pairs,
+           CASE WHEN n_pairs > 0
+             THEN round(CAST(cross_cluster AS DOUBLE) / n_pairs, 6) END AS leak_frac
+         FROM ag
+         UNION ALL
+         SELECT 'naive' AS policy, n_pairs, cross_naive AS cross_pairs,
+           CASE WHEN n_pairs > 0
+             THEN round(CAST(cross_naive AS DOUBLE) / n_pairs, 6) END AS leak_frac
+         FROM ag ORDER BY policy""",
+    "q133_source_weighted_sample" -> s"""
+         WITH t AS (SELECT doc_id, source, text, ${duckToks("text")} AS toks
+           FROM documents),
+         f AS (SELECT doc_id, source,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop
+           FROM t),
+         sc AS (SELECT doc_id, source,
+             round(1.0 / (1.0 + exp(-(0.5 + 4.0 * stop - 6.0 * punct
+               - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words)))), 6)
+               AS quality_score,
+             greatest(round(CAST(CAST('0x' ||
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE)
+               / 16777215.0, 6), 1e-9) AS u
+           FROM f),
+         k AS (SELECT doc_id, source, quality_score,
+             round(pow(u, 1.0 / quality_score), 6) AS skey FROM sc),
+         r AS (SELECT source, doc_id, quality_score, skey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY skey DESC, doc_id) AS BIGINT) AS rk FROM k)
+         SELECT source, rk, doc_id, quality_score, skey FROM r
+         WHERE rk <= 5 ORDER BY source, rk""")
 }

@@ -290,6 +290,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q132: cluster-representative split co-assigns every candidate pair") {
+    val rows = graft.queries.ExtQueries.queries("q132_leakage_safe_split")(
+      spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // zero cross-split pairs under the cluster rule — by construction,
+    // and the invariant the operator exists to provide
+    assert(rows("cluster")._2 == 0L)
+    // same pair universe measured for both policies
+    assert(rows("cluster")._1 == rows("naive")._1 && rows("cluster")._1 > 0L)
+    // the naive per-doc rule genuinely leaks on this corpus (the bug
+    // being prevented is real, not vacuous)
+    assert(rows("naive")._2 > 0L)
+  }
+
+  test("q133: at most 5 docs per source, skey non-increasing within a source") {
+    val rows = graft.queries.ExtQueries.queries("q133_source_weighted_sample")(
+      spark, sf0001).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    assert(bySrc.values.forall(_.length <= 5))
+    bySrc.values.foreach { g =>
+      val ordered = g.sortBy(_.getLong(1)).map(_.getDouble(4)).toSeq
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("kmeansIteration: long-form means partition the corpus per position") {
     val emb = graft.util.Tables.embeddings(spark, sf0001)
     val n = emb.count()
