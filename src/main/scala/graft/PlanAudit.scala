@@ -38,7 +38,8 @@ object PlanAudit {
     "q121_ivf_probe_sweep" -> "q76's fenced exact side + five q44 centroid-assignment BNLJs (one per probe level)",
     "q124_detector_truth_eval" -> "one-row broadcast of the truth-set-size scalar (q48's pattern) + q86's bounded centroid BNLJ via dedupDropSets (same as q113)",
     "q127_pq_ann" -> "16-row broadcast centroid frame (IVF cell assignment feeding the PQ candidate join, q44's fan-out)",
-    "q128_pq_recall" -> "brute-force exact-IP truth side (q25/q76's fenced design) + q127's bounded centroid assignment")
+    "q128_pq_recall" -> "brute-force exact-IP truth side (q25/q76's fenced design) + q127's bounded centroid assignment",
+    "q134_truncation_recall" -> "fenced eval: bounded-query brute force on both the exact side and the four prefix-truncation sides (q25/q76's design)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

@@ -697,6 +697,39 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("sqerr")), 6).as("mse"))
   }
 
+  /** Dimension-truncation ranking: exact cosine computed on the FIRST
+    * `d` components only — the matryoshka-representation trade
+    * (Kusupati et al., NeurIPS 2022): store/scan a prefix of each
+    * embedding for a d/dim cost cut and measure the recall price
+    * (q134's sweep). Same fenced bounded-broadcast design as
+    * [[bruteForceTopK]]. Usability is judged on the FULL vector (the
+    * population every rank path shares); a zero-norm PREFIX of a
+    * usable vector scores −2 (below the cosine range), so such pairs
+    * rank deterministically last on any engine instead of producing a
+    * NaN whose sort order is engine-specific.
+    */
+  def truncatedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, d: Int): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"), col(vecCol).cast("array<double>").as("fv"))
+        .withColumn("fnorm", norm(col("fv")))
+        .filter(col("fnorm") > 0)
+        .select(col(s"${p}_id"), slice(col("fv"), 1, d).as(s"${p}_vec"))
+        .withColumn(s"${p}_norm", norm(col(s"${p}_vec")))
+    val q = broadcast(side(queries, "q"))
+    val c = side(corpus, "n")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", when(col("q_norm") > 0 && col("n_norm") > 0,
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+        .otherwise(lit(-2.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** One Lloyd refinement of the PQ sub-codebooks — PQ *training* (the
     * per-subspace k-means step of Jégou et al.; [[kmeansIteration]]'s
     * discipline at the PQ rung): every usable vector's subvectors are

@@ -2092,6 +2092,34 @@ object ExtQueries {
         .select(col("source"), col("rk"), col("doc_id"),
           col("quality_score"), col("skey"))
         .orderBy(col("source"), col("rk"))
+    }),
+
+    // ---- dimension-truncation recall sweep (matryoshka trade): exact
+    //      cosine on the first 8/16/32/64 components vs the full-dim
+    //      exact top-3 — the storage/compute-vs-recall knob a
+    //      prefix-truncated index commits to (completes the embedding
+    //      knob family: nProbe q121, τ q118, PQ q128/q131). d=64 is
+    //      the full vector, so its recall is the 1.0 ceiling by
+    //      construction (q121's nProbe=16 discipline). Both sides are
+    //      q76's fenced bounded-query brute force; the exact side is
+    //      persisted across the four truncation levels ----
+    "q134_truncation_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      Seq(8, 16, 32, 64).map { td =>
+        val approx = Similarity.truncatedTopK(q, emb, "vec_id", "embedding",
+            k = 3, d = td)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(approx,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("a_n")).as("n_found"))
+          .select(lit(td.toLong).as("trunc_dim"), col("n_exact"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("trunc_dim"))
     }))
 
   private def duckToks(expr: String) =
@@ -3729,5 +3757,41 @@ object ExtQueries {
              CAST(ROW_NUMBER() OVER (PARTITION BY source
                ORDER BY skey DESC, doc_id) AS BIGINT) AS rk FROM k)
          SELECT source, rk, doc_id, quality_score, skey FROM r
-         WHERE rk <= 5 ORDER BY source, rk""")
+         WHERE rk <= 5 ORDER BY source, rk""",
+    "q134_truncation_recall" -> s"""
+         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 50),
+         es AS (SELECT q.q_id, b.vec_id AS n_id,
+             list_inner_product(q.q_vec, b.vec) /
+               (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                sqrt(list_inner_product(b.vec, b.vec))) AS sim
+           FROM qq q, e b WHERE q.q_id <> b.vec_id),
+         ex AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank FROM es) t
+           WHERE rank <= 3),
+         dims(td) AS (VALUES (8), (16), (32), (64)),
+         pv AS (SELECT dims.td, e.vec_id,
+             list_slice(e.vec, 1, dims.td) AS pvec,
+             sqrt(list_inner_product(list_slice(e.vec, 1, dims.td),
+               list_slice(e.vec, 1, dims.td))) AS pnorm
+           FROM dims, e),
+         tv AS (SELECT a.td, a.vec_id AS q_id, b.vec_id AS n_id,
+             CASE WHEN a.pnorm > 0 AND b.pnorm > 0
+               THEN list_inner_product(a.pvec, b.pvec) / (a.pnorm * b.pnorm)
+               ELSE -2.0 END AS sim
+           FROM pv a JOIN pv b ON a.td = b.td AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < 50),
+         rp AS (SELECT td, q_id, n_id, ROW_NUMBER() OVER (PARTITION BY td, q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank FROM tv),
+         ap AS (SELECT td, q_id, n_id FROM rp WHERE rank <= 3)
+         SELECT CAST(dims.td AS BIGINT) AS trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.n_id) AS BIGINT) AS n_found,
+           round(CAST(COUNT(a.n_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS recall
+         FROM dims CROSS JOIN ex e
+         LEFT JOIN ap a ON a.td = dims.td AND a.q_id = e.q_id AND a.n_id = e.n_id
+         GROUP BY dims.td ORDER BY trunc_dim""")
 }

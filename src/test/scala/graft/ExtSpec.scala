@@ -316,6 +316,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("truncatedTopK at full dim reproduces the exact cosine ranking") {
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") < 5)
+    val full = Similarity.truncatedTopK(q, emb, "vec_id", "embedding", k = 3, d = 64)
+      .collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(full.toSet == exact.toSet)
+    // a strict prefix must still emit k ranked rows per query, sims in
+    // the closed cosine range (the -2 guard never fires on dense vecs)
+    val half = Similarity.truncatedTopK(q, emb, "vec_id", "embedding", k = 3, d = 32)
+      .collect()
+    assert(half.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(half.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("kmeansIteration: long-form means partition the corpus per position") {
     val emb = graft.util.Tables.embeddings(spark, sf0001)
     val n = emb.count()
