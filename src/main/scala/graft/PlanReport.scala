@@ -71,7 +71,8 @@ object PlanReport {
     "q131_pq_refine_gain" -> "training gain: static vs refined distortion in one re-encode scan; the refined codebook is a 1024-double collected training artifact inlined as literals (q96's bounded-collect discipline). Measured at sf0.001: mse 0.42->0.08 (~4x in one Lloyd step) — with the static-codebook ADC recall at 0.07 (q128, near-isotropic synthetic embeddings), this is the knob a production index turns before committing a codebook",
     "q132_leakage_safe_split" -> "leakage-safe split: q22 candidates off the persisted signature table -> q45 connected components -> q46's md5-bucket rule keyed on the CLUSTER REPRESENTATIVE; keyed joins only. Measured at sf0.001: naive per-doc split leaks 45% of near-dup pairs across splits, cluster split leaks 0 (by construction) — the audit row a curator checks before an eval is trusted",
     "q133_source_weighted_sample" -> "per-source weighted quota: q120's Efraimidis-Spirakis keys ranked within source — one source-keyed exchange + per-source window; at corpus scale pre-filter with an approximate per-source skey threshold to bound the window sort input",
-    "q134_truncation_recall" -> "matryoshka truncation sweep: recall@3 of prefix-dim cosine (8/16/32/64) vs the full exact ranking, fenced bounded-query brute force, exact side persisted across levels. Measured at sf0.001: 0.05/0.09/0.24/1.00 — near-isotropic synthetic embeddings spread variance evenly across dims, so prefixes carry ~d/64 of the signal (no matryoshka concentration to exploit); on MRL-trained production embeddings this curve is what licenses a truncated index")
+    "q134_truncation_recall" -> "matryoshka truncation sweep: recall@3 of prefix-dim cosine (8/16/32/64) vs the full exact ranking, fenced bounded-query brute force, exact side persisted across levels. Measured at sf0.001: 0.05/0.09/0.24/1.00 — near-isotropic synthetic embeddings spread variance evenly across dims, so prefixes carry ~d/64 of the signal (no matryoshka concentration to exploit); on MRL-trained production embeddings this curve is what licenses a truncated index",
+    "q135_stream_semantic" -> "streaming semantic ingest — the THIRD detector family's incremental loop (MinHash q115, SimHash q123, embeddings here): per-micro-batch cell index equi-joins the persisted base cell index on cell id, delta x base pairs only, round(sim,6) >= tau; compared plan is the batch_id-partitioned sink read-back (q115's shape); interior join audited directly in PlanAuditSpec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -522,6 +522,60 @@ object Similarity {
       .agg(max(round(col("sim"), 6)).as("max_sim"))
   }
 
+  /** The (cell, id, vec, nrm) frame a semantic-dedup deployment
+    * persists as its cell index — argmax-cell assignment plus the
+    * per-vector norm, usable-vector contract applied. At 100 TB this
+    * table IS the corpus build's embedding-index output (q22's
+    * persisted-signature discipline for the embedding family); both
+    * the batch detectors and the streaming ingest twin (q135) read or
+    * build exactly this frame, so the index and the recompute path
+    * cannot diverge.
+    */
+  def cellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    assignCells(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("cell"), col("id"), col("vec"), col("nrm"))
+  }
+
+  /** Cross-side semantic candidates for the incremental/streaming
+    * loop: a batch [[cellIndex]] equi-joined against the persisted
+    * base index on the cell id — delta×base pairs only, never
+    * base×base work, never a corpus rescan (the q115/q123 ingest shape
+    * for the embedding family). Same degenerate-cell safety valve as
+    * [[semanticDedup]], counted per base+batch cell: over-cap cells
+    * are anti-joined off the batch side before pair work (the hot
+    * frame is empty-to-tiny by construction, so the anti-join
+    * broadcasts). Emits every in-threshold pair with the
+    * rounded-at-6 sim — the threshold discipline `round(sim,6) >= tau`
+    * shared with [[semanticDedup]]/[[semanticMaxSim]].
+    */
+  def semanticCrossCandidates(batchIdx: DataFrame, baseIdx: DataFrame,
+      tau: Double, cellCap: Int = 10000): DataFrame = {
+    val capped =
+      if (cellCap > 0) {
+        val hot = batchIdx.select(col("cell"))
+          .unionByName(baseIdx.select(col("cell")))
+          .groupBy(col("cell")).agg(count(lit(1)).as("cs"))
+          .filter(col("cs") > cellCap)
+          .select(col("cell"))
+        batchIdx.join(hot, Seq("cell"), "left_anti")
+      } else batchIdx
+    capped.select(col("cell"), col("id").as("delta_id"),
+        col("vec").as("d_vec"), col("nrm").as("d_nrm"))
+      .join(baseIdx.select(col("cell"), col("id").as("base_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_nrm")), Seq("cell"))
+      .withColumn("sim",
+        dot(col("d_vec"), col("b_vec")) / (col("d_nrm") * col("b_nrm")))
+      .filter(round(col("sim"), 6) >= tau)
+      .select(col("delta_id"), col("base_id"),
+        round(col("sim"), 6).as("sim"), col("cell"))
+  }
+
   /** Observability twin of the [[semanticDedup]] cell cap: the cells
     * the cap would drop, with sizes (one keyed shuffle, no pair work).
     */

@@ -190,6 +190,17 @@ object ExtQueries {
       .select(col("delta_id"), col("base_id"), col("hamming"))
   }
 
+  /** q135's per-micro-batch body: the batch's cell index against the
+    * persisted base cell index, cross-side in-threshold pairs only —
+    * the semantic family's [[streamBatchCandidates]] twin, factored so
+    * the replay-idempotence spec and the interior-plan audit drive the
+    * same frame the query writes.
+    */
+  private[graft] def streamBatchSemantic(batch: DataFrame,
+      baseIdx: DataFrame, tau: Double = 0.4): DataFrame =
+    Similarity.semanticCrossCandidates(
+      Similarity.cellIndex(batch, "vec_id", "embedding"), baseIdx, tau)
+
   /** The four detector families' per-doc DROP SETS as one
     * (det, doc_id) frame — each rule is the detector's own gated
     * pipeline verbatim (see the q113 docstring). Shared by q113
@@ -2120,6 +2131,61 @@ object ExtQueries {
             round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
       }.reduce(_.unionByName(_))
         .orderBy(col("trunc_dim"))
+    }),
+
+    // ---- STREAMING semantic near-dup ingest — the third detector
+    //      family's incremental loop (MinHash q115, SimHash q123, now
+    //      embeddings): delta vectors arrive as a file stream (4
+    //      micro-batches); each batch builds its cell index (bounded
+    //      centroid BNLJ) and equi-joins the PERSISTED base cell index
+    //      on the cell id — delta×base pairs only, cosine thresholded
+    //      at q86's τ=0.4 with the shared round(sim,6) discipline;
+    //      never a base×base pair, never a corpus rescan. Appended
+    //      through the same idempotent batch_id-partitioned K2 sink;
+    //      gated on the q86-family oracle restricted to cross-side
+    //      pairs, so the streaming path must be value-identical to the
+    //      batch detector on the delta×base slice. (Same documented
+    //      cap divergence as q115/q123: per base+batch cell counting
+    //      vs whole-corpus — identical below the cap.) ----
+    "q135_stream_semantic" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      // persisted base cell index: (cell, id, vec, nrm) — the corpus
+      // build's embedding-index output at 100 TB
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q135_idx_${new java.io.File(d).getName}") { p =>
+        Similarity.cellIndex(emb.filter(!isDelta(col("vec_id"))),
+          "vec_id", "embedding").write.mode("overwrite").parquet(p)
+      }
+      val baseIdx = s.read.parquet(idxDir)
+      val delta = emb.filter(isDelta(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q135_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q135_ssem_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              streamBatchSemantic(batch.toDF(), baseIdx), id, out,
+              append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("delta_id"), col("base_id"), col("sim"), col("cell"))
+        .orderBy(col("delta_id"), col("base_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -3793,5 +3859,26 @@ object ExtQueries {
              AS recall
          FROM dims CROSS JOIN ex e
          LEFT JOIN ap a ON a.td = dims.td AND a.q_id = e.q_id AND a.n_id = e.n_id
-         GROUP BY dims.td ORDER BY trunc_dim""")
+         GROUP BY dims.td ORDER BY trunc_dim""",
+    "q135_stream_semantic" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         asg AS (SELECT vec_id, vec, cell FROM (
+           SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM e, cent) t WHERE rn = 1),
+         dl AS (SELECT * FROM asg
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')),
+         bs AS (SELECT * FROM asg
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')),
+         prs AS (SELECT d.vec_id AS delta_id, b.vec_id AS base_id,
+             list_inner_product(d.vec, b.vec) /
+               (sqrt(list_inner_product(d.vec, d.vec)) *
+                sqrt(list_inner_product(b.vec, b.vec))) AS sim,
+             d.cell AS cell
+           FROM dl d JOIN bs b ON d.cell = b.cell)
+         SELECT delta_id, base_id, round(sim, 6) AS sim,
+           CAST(cell AS BIGINT) AS cell
+         FROM prs WHERE round(sim, 6) >= 0.4 ORDER BY delta_id, base_id""")
 }

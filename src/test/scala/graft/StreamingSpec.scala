@@ -271,4 +271,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(back == Seq((20L, 10L, 0L)), back.mkString(","))
   }
+
+  test("q135 stream semantic batch body absorbs an at-least-once replay") {
+    // the embedding family's twin of the q115/q123 replay tests: batch
+    // cell index x persisted base cell index, cosine >= tau, through
+    // the same idempotent per-batch-id sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_q135_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val base = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // default nCells: the batch body assigns with the same default, and
+    // base/batch cell spaces must be identical for the equi-join
+    val baseIdx = graft.ext.Similarity.cellIndex(base, "vec_id", "embedding")
+    // batch vec 20 is a near-copy of base vec 10 => same cell, sim ~ 1
+    val batch = Seq((20L, Array(0.999f, 0.01f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cand = graft.queries.ExtQueries.streamBatchSemantic(batch, baseIdx)
+    Streaming.writeBatch(cand, 0L, path, append = true)
+    Streaming.writeBatch(cand, 0L, path, append = true) // replay
+    val back = spark.read.parquet(path)
+      .select(col("delta_id"), col("base_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(back.map(t => (t._1, t._2)) == Seq((20L, 10L)), back.mkString(","))
+    assert(back.head._3 > 0.99)
+  }
 }
