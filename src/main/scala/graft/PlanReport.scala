@@ -73,7 +73,11 @@ object PlanReport {
     "q133_source_weighted_sample" -> "per-source weighted quota: q120's Efraimidis-Spirakis keys ranked within source — one source-keyed exchange + per-source window; at corpus scale pre-filter with an approximate per-source skey threshold to bound the window sort input",
     "q134_truncation_recall" -> "matryoshka truncation sweep: recall@3 of prefix-dim cosine (8/16/32/64) vs the full exact ranking, fenced bounded-query brute force, exact side persisted across levels. Measured at sf0.001: 0.05/0.09/0.24/1.00 — near-isotropic synthetic embeddings spread variance evenly across dims, so prefixes carry ~d/64 of the signal (no matryoshka concentration to exploit); on MRL-trained production embeddings this curve is what licenses a truncated index",
     "q135_stream_semantic" -> "streaming semantic ingest — the THIRD detector family's incremental loop (MinHash q115, SimHash q123, embeddings here): per-micro-batch cell index equi-joins the persisted base cell index on cell id, delta x base pairs only, round(sim,6) >= tau; compared plan is the batch_id-partitioned sink read-back (q115's shape); interior join audited directly in PlanAuditSpec",
-    "q136_pq_trained_recall" -> "trained-ADC recall — the train->deploy close of the PQ loop: q128's fenced exact-IP gate re-run with q130's refined codebook inlined as literals (identical plan shape to q127). Measured at sf0.001: recall@3 0.08 static -> 0.14 trained — one Lloyd step buys ~1.75x recall, the number that justifies the training pass before a codebook commits")
+    "q136_pq_trained_recall" -> "trained-ADC recall — the train->deploy close of the PQ loop: q128's fenced exact-IP gate re-run with q130's refined codebook inlined as literals (identical plan shape to q127). Measured at sf0.001: recall@3 0.08 static -> 0.14 trained — one Lloyd step buys ~1.75x recall, the number that justifies the training pass before a codebook commits",
+    "q137_stream_index_ingest" -> "streaming ANN-index maintenance — the FOURTH incremental loop, and the only one with NO base-side join: each micro-batch appends its own quantized-index rows (int8 code + code-space cell, q94's deployed frame) at |batch| x 16 centroid-dot cost, independent of index size; compared plan is the sink read-back unioned with the base index; oracle gates value-identity against a FULL from-scratch rebuild (a 100 TB index never needs rebuilding); interior batch plan audited directly in PlanAuditSpec (no shuffled join at all)",
+    "q138_dedup_token_impact" -> "per-detector token impact — dedup cost in the training currency (q96-trained BPE tokens), not row counts: Persist'd dedupDropSets x memoized q122 encode, one doc_id-keyed join + 4-row aggregate + one-row corpus-total broadcast. Measured at sf0.001: minhash drops 7.9% of corpus tokens (37 docs), span 5.0%, simhash 3.5%, semantic 2.0% — the doc-count view (q117) under-states span's cost and over-states semantic's, exactly why a curator budgets in tokens",
+    "q139_split_span_leak" -> "cross-split TEXT leakage — q132 counts candidate pairs straddling splits; this counts what actually leaks: 8-token spans (q92's 16-hex keys) present in BOTH train and test under each policy. Measured at sf0.001: naive split leaks 7.9% of test spans, cluster split 0.53% (15x reduction); the residual is sub-threshold sharing between docs the detector never paired — the honest floor. Every exchange keyed ((doc_id,span_key) distinct, (policy,span_key) agg, 2-row rollup)",
+    "q140_token_budget_mix" -> "token-budget mixture plan — the recipe a curation run commits before sampling: per-source trained-BPE token supply vs a uniform per-source share of the global budget, emitting sample_frac (downsample) / epochs (upsample, q77's theme) per source. Per-source aggregate + one-row source-count broadcast: source-cardinality-bounded at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -221,6 +221,39 @@ object Similarity {
     * [[ivfTopK]]; recall loss vs fp32 is measured by the recall query
     * (q97), exactly as q76 gates the LSH path.
     */
+  /** The (cell, id, code, scale, cnorm) frame a quantized-IVF ANN
+    * deployment persists as its INDEX — int8 encode + code-space
+    * argmax cell assignment, exactly [[quantizedIvfTopK]]'s corpus
+    * side factored public so the index is buildable (and incrementally
+    * maintainable — q137 appends per-micro-batch slices of this frame)
+    * without running a search. At 100 TB this table IS the corpus
+    * build's ANN-index output: codes + scales only, the fp32 vectors
+    * are gone after quantization (4x smaller shards); the only
+    * non-scan work is the bounded nCells-row centroid broadcast, so
+    * the build streams at scan speed and appending a delta batch costs
+    * |batch| x nCells, independent of corpus size.
+    */
+  def quantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val qz = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn("scale0", int8Scale(col("v")))
+      .select(col("id"), quantizeInt8(col("v"), col("scale0")).as("code"),
+        col("scale0").as("scale"))
+      .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
+      .filter(col("cnorm") > 0)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+    qz.crossJoin(cents)
+      .withColumn("cdot", dot(col("code").cast("array<double>"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select(col("cell"), col("id"), col("code"), col("scale"), col("cnorm"))
+  }
+
   def quantizedIvfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -249,8 +282,11 @@ object Similarity {
         .drop("cdot", "rn", "cvec")
     }
 
-    val c = assign(quantize(corpus, "n_id"), "n_id", 1)
-      .select(col("cell"), col("n_id"), col("code").as("n_code"),
+    // corpus side IS the persisted index frame (same plan as before
+    // the quantizedIndex factoring: per-row encode + bounded centroid
+    // broadcast — the search scans what the index build writes)
+    val c = quantizedIndex(corpus, idCol, vecCol, nCells)
+      .select(col("cell"), col("id").as("n_id"), col("code").as("n_code"),
         col("scale").as("n_scale"), col("cnorm").as("n_norm"))
     val q = assign(quantize(queries, "q_id"), "q_id", nProbe)
       .select(col("cell"), col("q_id"), col("code").as("q_code"),

@@ -201,6 +201,43 @@ object ExtQueries {
     Similarity.semanticCrossCandidates(
       Similarity.cellIndex(batch, "vec_id", "embedding"), baseIdx, tau)
 
+  /** q137's per-micro-batch body: the batch slice's quantized-index
+    * rows — int8 encode + code-space cell assignment
+    * ([[graft.ext.Similarity.quantizedIndex]], q94's deployed index
+    * frame). Unlike the detector twins (q115/q123/q135) the index
+    * append needs NO base-side join at all: maintaining the artifact
+    * is pure per-batch work (|batch| x 16 centroids), which is exactly
+    * why an incremental index build beats a rebuild at 100 TB.
+    * Factored so the replay spec and the interior-plan audit build the
+    * same frame the query appends.
+    */
+  private[graft] def streamBatchQuantIndex(batch: DataFrame): DataFrame =
+    Similarity.quantizedIndex(batch, "vec_id", "embedding")
+
+  /** The leakage-safe split-assignment frame shared by q132 and q139:
+    * per doc, the NAIVE md5-bucket split (q46's rule on doc_id) and
+    * the CLUSTER split (same rule on the connected-component
+    * representative of the MinHash candidate graph — singletons key on
+    * themselves), so near-dup cluster members co-assign by
+    * construction. `cand` is the candidate-pair edge list (callers
+    * Persist it; q132 also reuses it for its pair audit).
+    */
+  private def splitAssignments(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(cand, "a_id", "b_id")
+    val rep = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+    def bucketOf(c: Column): Column =
+      pmod(conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long"),
+        lit(100L))
+    def splitOf(b: Column): Column =
+      when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+    rep.select(col("doc_id"),
+      splitOf(bucketOf(col("doc_id"))).as("naive_split"),
+      splitOf(bucketOf(col("rep"))).as("cluster_split"))
+  }
+
   /** The four detector families' per-doc DROP SETS as one
     * (det, doc_id) frame — each rule is the detector's own gated
     * pipeline verbatim (see the q113 docstring). Shared by q113
@@ -2069,18 +2106,7 @@ object ExtQueries {
         Dedup.minhashCandidates(corpusSignatures(s, d))
           .filter(col("n_bands") >= 2)
           .select(col("a_id"), col("b_id")))
-      val comp = Dedup.connectedComponents(cand, "a_id", "b_id")
-      val rep = Tables.documents(s, d).select(col("doc_id"))
-        .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
-      def bucketOf(c: Column): Column =
-        pmod(conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long"),
-          lit(100L))
-      def splitOf(b: Column): Column =
-        when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
-      val assigned = rep.select(col("doc_id"),
-        splitOf(bucketOf(col("doc_id"))).as("naive_split"),
-        splitOf(bucketOf(col("rep"))).as("cluster_split"))
+      val assigned = splitAssignments(s, d, cand)
       val a = assigned.select(col("doc_id").as("a_id"),
         col("naive_split").as("a_n"), col("cluster_split").as("a_c"))
       val b = assigned.select(col("doc_id").as("b_id"),
@@ -2226,6 +2252,159 @@ object ExtQueries {
         .select(col("q_id"), col("n_hits"),
           round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
         .orderBy(col("q_id"))
+    }),
+
+    // ---- STREAMING ANN-index maintenance: the index ARTIFACT itself
+    //      kept current incrementally — the fourth incremental loop,
+    //      after the three detector families (q115/q123/q135). Base
+    //      corpus (~13/16 of vectors by the md5 rule) batch-builds the
+    //      persisted quantized-IVF index once; delta vectors arrive as
+    //      a 4-micro-batch file stream and each batch appends its OWN
+    //      index rows (int8 code + code-space cell, q94's deployed
+    //      frame) through the idempotent batch_id-partitioned K2 sink.
+    //      No base join, no corpus rescan: appending a batch costs
+    //      |batch| x 16 centroid dots, independent of index size. The
+    //      result is base ∪ appended-delta — and the oracle replays a
+    //      FULL batch rebuild of the whole-corpus index, so the gate
+    //      proves incremental maintenance is value-identical to
+    //      rebuilding from scratch (the invariant that lets a 100 TB
+    //      deployment never rebuild). `src` tags which path produced
+    //      each row; the oracle derives it from the md5 split rule. ----
+    "q137_stream_index_ingest" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q137_idx_${new java.io.File(d).getName}") { p =>
+        Similarity.quantizedIndex(emb.filter(!isDelta(col("vec_id"))),
+          "vec_id", "embedding").write.mode("overwrite").parquet(p)
+      }
+      val baseIdx = s.read.parquet(idxDir)
+      val delta = emb.filter(isDelta(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q137_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q137_sidx_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              streamBatchQuantIndex(batch.toDF()), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("cell"), col("id"), col("code"), col("scale"), col("cnorm"))
+        .withColumn("src", lit("delta"))
+        .unionByName(baseIdx
+          .select(col("cell"), col("id"), col("code"), col("scale"),
+            col("cnorm"))
+          .withColumn("src", lit("base")))
+        .select(col("cell"), col("id").as("vec_id"), col("code"),
+          round(col("scale"), 6).as("scale"),
+          round(col("cnorm"), 6).as("cnorm"), col("src"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- per-detector TOKEN impact: what each dedup family costs in
+    //      the training currency — BPE tokens under the q96-trained
+    //      vocabulary — not row counts (q117 reports docs per source;
+    //      a curator budgeting a token target needs THIS view: 500
+    //      dropped boilerplate snippets ≠ 500 dropped long documents).
+    //      Reuses the Persist'd dedupDropSets (q113/q117) and the
+    //      memoized trained-merge encode (q122): one doc_id-keyed join
+    //      + a 4-row aggregate; the corpus-total divisor is a one-row
+    //      broadcast scalar (q48's pattern). ----
+    "q138_dedup_token_impact" -> ((s, d) => {
+      val enc = bpeEncoded(s, d).select(col("doc_id"), col("n_tokens"))
+      val tot = enc.agg(sum(col("n_tokens")).as("corpus_tokens"))
+      dedupDropSets(s, d).join(enc, Seq("doc_id"))
+        .groupBy(col("det"))
+        .agg(count(lit(1)).as("docs_dropped"),
+          sum(col("n_tokens")).as("tokens_dropped"))
+        .crossJoin(broadcast(tot))
+        .select(col("det"), col("docs_dropped"), col("tokens_dropped"),
+          round(col("tokens_dropped").cast("double") /
+            col("corpus_tokens").cast("double"), 6).as("token_frac"))
+        .orderBy(col("det"))
+    }),
+
+    // ---- cross-split TEXT leakage: q132 counts candidate PAIRS that
+    //      straddle splits; this measures what actually leaks — 8-token
+    //      spans (q92's 16-hex keys) present in BOTH a policy's train
+    //      and test sides. The cluster policy co-locates minhash
+    //      components, so its residual is span overlap between docs
+    //      the detector never paired (sub-threshold sharing) — the
+    //      honest floor a curator compares against the naive rule's
+    //      number. Long-form stack over the two policies; shuffles are
+    //      keyed by (doc_id, span_key) distinct, (policy, span_key)
+    //      agg, then a 2-row rollup — every exchange keyed, corpus-
+    //      scale-proportional, no join wider than the split map. ----
+    "q139_split_span_leak" -> ((s, d) => {
+      val cand = graft.util.Persist(
+        Dedup.minhashCandidates(corpusSignatures(s, d))
+          .filter(col("n_bands") >= 2)
+          .select(col("a_id"), col("b_id")))
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+        .filter(col("n_spans") >= 1)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0L), col("n_spans") - 1),
+            i => substring(md5(array_join(
+              slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")), 1, 16)))
+            .as("span_key"))
+        .distinct()
+      spans.join(splitAssignments(s, d, cand), Seq("doc_id"))
+        .select(col("span_key"),
+          expr("stack(2, 'naive', naive_split, 'cluster', cluster_split)")
+            .as(Seq("policy", "split")))
+        .groupBy(col("policy"), col("span_key"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+        .filter(col("in_test") === 1)
+        .groupBy(col("policy"))
+        .agg(count(lit(1)).as("n_test_spans"),
+          sum(col("in_train")).cast("long").as("n_leaked"))
+        .select(col("policy"), col("n_test_spans"), col("n_leaked"),
+          round(col("n_leaked").cast("double") / col("n_test_spans"), 6)
+            .as("leak_frac"))
+        .orderBy(col("policy"))
+    }),
+
+    // ---- token-budget mixture plan: the RECIPE a curation run
+    //      commits before sampling — per-source trained-BPE token
+    //      supply (q122's currency, q138's discipline) vs a uniform
+    //      per-source target share of a global token budget; emits the
+    //      sampling fraction (downsample) or epoch factor (upsample,
+    //      q77's oversampling theme) that hits the target. Per-source
+    //      aggregate + one-row source-count broadcast — plan is
+    //      source-cardinality-bounded at any corpus size. ----
+    "q140_token_budget_mix" -> ((s, d) => {
+      val budget = 50000L // global token budget (deploy-time knob)
+      val perSrc = bpeEncoded(s, d).groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n_tokens"))
+      val nSrc = perSrc.agg(count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(nSrc))
+        .withColumn("target_tokens",
+          round(lit(budget.toDouble) / col("n_sources"), 6))
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          round(least(lit(1.0),
+            col("target_tokens") / col("n_tokens").cast("double")), 6)
+            .as("sample_frac"),
+          round(col("target_tokens") / col("n_tokens").cast("double"), 6)
+            .as("epochs"))
+        .orderBy(col("source"))
     }))
 
   private def duckToks(expr: String) =
@@ -2679,6 +2858,36 @@ object ExtQueries {
     * sets re-derived from the detectors' own fragments, ending in
     * `drops(det, doc_id)`.
     */
+  /** The q132/q139 shared split-assignment CTE chain: MinHash
+    * candidate graph → recursive connected components → cluster
+    * representative → naive (doc_id) and cluster (rep) md5-bucket
+    * splits, mirroring [[splitAssignments]] exactly. Callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private lazy val splitCtes: String = s"""$bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+         rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hn,
+             md5(CAST(rep AS VARCHAR)) AS hr FROM rep),
+         spl AS (SELECT doc_id,
+             CASE WHEN ${duckBucket("hn")} < 80 THEN 'train'
+                  WHEN ${duckBucket("hn")} < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split,
+             CASE WHEN ${duckBucket("hr")} < 80 THEN 'train'
+                  WHEN ${duckBucket("hr")} < 90 THEN 'val'
+                  ELSE 'test' END AS cluster_split
+           FROM hx)"""
+
   private val dedupDropsCtes: String = s"""$bandedSigSql,
          mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
            FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
@@ -3800,29 +4009,7 @@ object ExtQueries {
          FROM stat s JOIN reft r ON s.vec_id = r.vec_id AND s.sub = r.sub
          GROUP BY s.sub ORDER BY sub""",
     "q132_leakage_safe_split" -> s"""
-         WITH RECURSIVE $bandedSigSql,
-         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         edges AS (SELECT a_id AS s, b_id AS t FROM cand
-           UNION SELECT b_id AS s, a_id AS t FROM cand),
-         reach AS (SELECT s AS id, s AS comp FROM edges
-           UNION SELECT e.t AS id, r.comp AS comp
-           FROM reach r JOIN edges e ON r.id = e.s),
-         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
-         rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
-           FROM documents d LEFT JOIN comp c USING (doc_id)),
-         hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hn,
-             md5(CAST(rep AS VARCHAR)) AS hr FROM rep),
-         spl AS (SELECT doc_id,
-             CASE WHEN ${duckBucket("hn")} < 80 THEN 'train'
-                  WHEN ${duckBucket("hn")} < 90 THEN 'val'
-                  ELSE 'test' END AS naive_split,
-             CASE WHEN ${duckBucket("hr")} < 80 THEN 'train'
-                  WHEN ${duckBucket("hr")} < 90 THEN 'val'
-                  ELSE 'test' END AS cluster_split
-           FROM hx),
+         WITH RECURSIVE $splitCtes,
          j AS (SELECT sa.naive_split AS a_n, sa.cluster_split AS a_c,
              sb.naive_split AS b_n, sb.cluster_split AS b_c
            FROM cand JOIN spl sa ON cand.a_id = sa.doc_id
@@ -3972,5 +4159,80 @@ object ExtQueries {
          SELECT ex.q_id, CAST(COUNT(ap.n_id) AS BIGINT) AS n_hits,
            round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
          FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
-         GROUP BY ex.q_id ORDER BY ex.q_id""")
+         GROUP BY ex.q_id ORDER BY ex.q_id""",
+    // the streaming-maintained index must be value-identical to a FULL
+    // batch rebuild of the whole-corpus quantized index (q94's frame);
+    // src re-derives the md5 delta/base split rule
+    "q137_stream_index_ingest" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         s AS (SELECT vec_id, embedding,
+             coalesce(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale0
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         qz AS (SELECT vec_id,
+             CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code,
+             scale0 AS scale FROM s),
+         cd AS (SELECT vec_id, code, scale,
+             list_transform(code, x -> CAST(x AS DOUBLE)) AS dcode FROM qz),
+         nn AS (SELECT vec_id, code, scale, dcode,
+             sqrt(list_inner_product(dcode, dcode)) AS cnorm FROM cd
+           WHERE list_inner_product(dcode, dcode) > 0),
+         ca AS (SELECT vec_id, code, scale, cnorm, cell FROM (
+             SELECT vec_id, code, scale, cnorm, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
+             FROM nn, cent) t WHERE rn = 1)
+         SELECT CAST(cell AS BIGINT) AS cell, vec_id, code,
+           round(scale, 6) AS scale, round(cnorm, 6) AS cnorm,
+           CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+                THEN 'delta' ELSE 'base' END AS src
+         FROM ca ORDER BY vec_id""",
+    "q138_dedup_token_impact" -> s"""
+         WITH $dedupDropsCtes,
+         $bpeEncodeCtes,
+         tot AS (SELECT SUM(coalesce(n_tokens, 0)) AS corpus_tokens FROM enc),
+         dd AS (SELECT dr.det, COUNT(*) AS docs_dropped,
+             SUM(coalesce(e2.n_tokens, 0)) AS tokens_dropped
+           FROM drops dr JOIN enc e2 ON dr.doc_id = e2.doc_id GROUP BY 1)
+         SELECT det, CAST(docs_dropped AS BIGINT) AS docs_dropped,
+           CAST(tokens_dropped AS BIGINT) AS tokens_dropped,
+           round(CAST(tokens_dropped AS DOUBLE) / corpus_tokens, 6) AS token_frac
+         FROM dd CROSS JOIN tot ORDER BY det""",
+    "q139_split_span_leak" -> s"""
+         WITH RECURSIVE $splitCtes,
+         tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         pn2 AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM tk),
+         ps2 AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(toks[i*8+1 : i*8+8], ' ')), 1, 16)
+               AS span_key
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM pn2 WHERE n_spans >= 1)),
+         lf AS (SELECT span_key, 'naive' AS policy, naive_split AS split
+             FROM ps2 JOIN spl USING (doc_id)
+           UNION ALL
+           SELECT span_key, 'cluster' AS policy, cluster_split AS split
+             FROM ps2 JOIN spl USING (doc_id)),
+         g2 AS (SELECT policy, span_key,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+           FROM lf GROUP BY 1, 2)
+         SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_test_spans,
+           CAST(SUM(in_train) AS BIGINT) AS n_leaked,
+           round(CAST(SUM(in_train) AS DOUBLE) / COUNT(*), 6) AS leak_frac
+         FROM g2 WHERE in_test = 1 GROUP BY policy ORDER BY policy""",
+    "q140_token_budget_mix" -> s"""
+         WITH $bpeEncodeCtes,
+         ps AS (SELECT source, CAST(SUM(coalesce(n_tokens, 0)) AS BIGINT)
+             AS n_tokens FROM enc GROUP BY 1),
+         ns AS (SELECT COUNT(*) AS n_sources FROM ps)
+         SELECT source, n_tokens,
+           round(50000.0 / n_sources, 6) AS target_tokens,
+           round(least(1.0, round(50000.0 / n_sources, 6) / n_tokens), 6)
+             AS sample_frac,
+           round(round(50000.0 / n_sources, 6) / n_tokens, 6) AS epochs
+         FROM ps CROSS JOIN ns ORDER BY source""")
 }
