@@ -264,6 +264,48 @@ object Dedup {
     labels
   }
 
+  /** Incremental connected-components maintenance via the CONTRACTED
+    * supergraph: given the persisted base cluster table and only the
+    * delta-touching candidate edges, produce labels for the whole
+    * corpus WITHOUT re-running CC over the base×base edge set.
+    *
+    * Nodes of the contracted graph are delta doc ids and base CLUSTER
+    * LABELS (each label is the min doc_id of its base component, so
+    * min-propagation over the contracted graph yields exactly the
+    * min-doc_id label a full recompute assigns — including when one
+    * delta doc bridges two base clusters and merges them). The
+    * contracted graph is |delta edges|-sized, so the per-ingest CC
+    * cost is proportional to the DELTA, not the corpus — the property
+    * that makes cluster maintenance viable at 100 TB.
+    *
+    * @param baseLab    (doc_id, lab): persisted base labels, singletons
+    *                   labelled with their own id
+    * @param cross      (delta_id, base_id) delta×base candidate pairs
+    * @param deltaPairs (a_id, b_id) delta×delta candidate pairs
+    * @param deltaDocs  (doc_id) all delta docs (for singleton labels)
+    * @return (doc_id, cluster_id, src) for every base and delta doc
+    */
+  def incrementalComponents(baseLab: DataFrame, cross: DataFrame,
+      deltaPairs: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    val e1 = cross
+      .join(baseLab.select(col("doc_id").as("base_id"), col("lab")), Seq("base_id"))
+      .select(col("delta_id").as("s"), col("lab").as("t"))
+    val e2 = deltaPairs.select(col("a_id").as("s"), col("b_id").as("t"))
+    val superComp = connectedComponents(e1.unionByName(e2), "s", "t")
+    val deltaOut = deltaDocs.select(col("doc_id"))
+      .join(superComp.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+        lit("delta").as("src"))
+    val baseOut = baseLab
+      .join(superComp.select(col("id").as("lab"), col("comp")), Seq("lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("lab")).as("cluster_id"),
+        lit("base").as("src"))
+    deltaOut.unionByName(baseOut)
+  }
+
   /** Character n-gram Jaccard similarity of two strings (distinct
     * n-gram sets), as used for near-dup scoring. Single-pass codegen'd
     * expression — see [[graft.etl.expressions.NGramJaccard]].

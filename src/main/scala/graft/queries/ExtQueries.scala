@@ -2405,6 +2405,58 @@ object ExtQueries {
           round(col("target_tokens") / col("n_tokens").cast("double"), 6)
             .as("epochs"))
         .orderBy(col("source"))
+    }),
+
+    // ---- INCREMENTAL cluster maintenance — the missing half of the
+    //      incremental dedup story: q91/q95/q115 keep the candidate
+    //      PAIRS current, but the cluster table (q45's artifact) was
+    //      still a full-corpus recompute. Contracted-supergraph CC:
+    //      the persisted base cluster table's LABELS and the delta doc
+    //      ids are the only nodes; delta×base edges map base_id →
+    //      its label, delta×delta edges ride as-is; min-propagation
+    //      over this |delta|-proportional graph reproduces EXACTLY the
+    //      min-doc_id labels of a from-scratch CC — including when one
+    //      delta doc bridges two base clusters and merges them (the
+    //      case the unit spec pins). The oracle replays a full
+    //      recompute over the whole corpus, so the gate proves
+    //      maintenance ≡ rebuild — q137's index invariant, now for the
+    //      cluster artifact. Base side: reads the persisted q95
+    //      signature table and a persisted cluster table ("the last
+    //      run's output"); per-ingest cost is delta-proportional. ----
+    "q141_incremental_clusters" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val docs = Tables.documents(s, d)
+      val sigDir = CoreQueries.sharedInputDir(
+        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
+          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
+      }
+      val baseSig = s.read.parquet(sigDir)
+      val compDir = CoreQueries.sharedInputDir(
+        s"graft_q141_comp_${new java.io.File(d).getName}") { p =>
+        val baseCand = graft.util.Persist(Dedup.minhashCandidates(baseSig)
+          .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id")))
+        val comp = Dedup.connectedComponents(baseCand, "a_id", "b_id")
+        docs.filter(!isDelta(col("doc_id"))).select(col("doc_id"))
+          .join(comp.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("lab"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val baseLab = s.read.parquet(compDir)
+      val deltaSig = Dedup.bandedSignatures(docs.filter(isDelta(col("doc_id"))),
+        "text", "doc_id", k = 8)
+      val cross = streamSigCandidates(
+        deltaSig.select(col("band"), col("minhash"), col("doc_id").as("delta_id")),
+        baseSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
+        minBands = 2)
+        .select(col("delta_id"), col("base_id"))
+      val dd = Dedup.minhashCandidates(deltaSig)
+        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+      Dedup.incrementalComponents(baseLab, cross, dd,
+          docs.filter(isDelta(col("doc_id"))).select(col("doc_id")))
+        .orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -4234,5 +4286,26 @@ object ExtQueries {
            round(least(1.0, round(50000.0 / n_sources, 6) / n_tokens), 6)
              AS sample_frac,
            round(round(50000.0 / n_sources, 6) / n_tokens, 6) AS epochs
-         FROM ps CROSS JOIN ns ORDER BY source""")
+         FROM ps CROSS JOIN ns ORDER BY source""",
+    // incremental cluster maintenance must be value-identical to a
+    // FULL from-scratch CC over the whole corpus' candidate graph
+    // (q45's recursive oracle, extended to label every doc)
+    "q141_incremental_clusters" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2')
+                THEN 'delta' ELSE 'base' END AS src
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+         ORDER BY d.doc_id""")
 }

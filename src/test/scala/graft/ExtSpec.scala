@@ -613,6 +613,24 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incrementalComponents: delta bridge doc merges two base clusters to the global min") {
+    // base clusters {1,2} (lab 1) and {5,6} (lab 5), base singleton 9;
+    // delta doc 3 links to BOTH clusters (the merge case a naive
+    // label-join gets wrong), delta pair (3,4), delta singleton 7 —
+    // the contracted supergraph must relabel everything to 1
+    val baseLab = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "lab")
+    val cross = Seq((3L, 2L), (3L, 6L)).toDF("delta_id", "base_id")
+    val dd = Seq((3L, 4L)).toDF("a_id", "b_id")
+    val deltaDocs = Seq(3L, 4L, 7L).toDF("doc_id")
+    val out = Dedup.incrementalComponents(baseLab, cross, dd, deltaDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 1L, "base"), (2L, 1L, "base"), (5L, 1L, "base"), (6L, 1L, "base"),
+      (9L, 9L, "base"),
+      (3L, 1L, "delta"), (4L, 1L, "delta"), (7L, 7L, "delta")))
+  }
+
   test("connectedComponents under a reliable checkpoint dir") {
     // spark.graft.checkpointDir switches the loop's lineage truncation
     // from executor-local to reliable checkpoints; results must be
