@@ -78,7 +78,8 @@ object PlanReport {
     "q138_dedup_token_impact" -> "per-detector token impact — dedup cost in the training currency (q96-trained BPE tokens), not row counts: Persist'd dedupDropSets x memoized q122 encode, one doc_id-keyed join + 4-row aggregate + one-row corpus-total broadcast. Measured at sf0.001: minhash drops 7.9% of corpus tokens (37 docs), span 5.0%, simhash 3.5%, semantic 2.0% — the doc-count view (q117) under-states span's cost and over-states semantic's, exactly why a curator budgets in tokens",
     "q139_split_span_leak" -> "cross-split TEXT leakage — q132 counts candidate pairs straddling splits; this counts what actually leaks: 8-token spans (q92's 16-hex keys) present in BOTH train and test under each policy. Measured at sf0.001: naive split leaks 7.9% of test spans, cluster split 0.53% (15x reduction); the residual is sub-threshold sharing between docs the detector never paired — the honest floor. Every exchange keyed ((doc_id,span_key) distinct, (policy,span_key) agg, 2-row rollup)",
     "q140_token_budget_mix" -> "token-budget mixture plan — the recipe a curation run commits before sampling: per-source trained-BPE token supply vs a uniform per-source share of the global budget, emitting sample_frac (downsample) / epochs (upsample, q77's theme) per source. Per-source aggregate + one-row source-count broadcast: source-cardinality-bounded at any corpus size",
-    "q141_incremental_clusters" -> "incremental cluster maintenance — contracted-supergraph CC: nodes are delta doc ids + persisted base cluster LABELS (min doc_ids), edges are the delta-touching candidate pairs only (cross via the persisted q95 signature table, delta x delta from the batch); min-propagation over this |delta|-proportional graph reproduces exactly a from-scratch CC's labels, including delta-bridge merges of two base clusters (unit-spec'd). Oracle gates maintenance == rebuild over the whole corpus; base side reads two persisted artifacts, never recomputes base x base")
+    "q141_incremental_clusters" -> "incremental cluster maintenance — contracted-supergraph CC: nodes are delta doc ids + persisted base cluster LABELS (min doc_ids), edges are the delta-touching candidate pairs only (cross via the persisted q95 signature table, delta x delta from the batch); min-propagation over this |delta|-proportional graph reproduces exactly a from-scratch CC's labels, including delta-bridge merges of two base clusters (unit-spec'd). Oracle gates maintenance == rebuild over the whole corpus; base side reads two persisted artifacts, never recomputes base x base",
+    "q142_cluster_ingest_chain" -> "the q141 loop run TWICE in sequence (q112's two-run capstone discipline): ingest 1 merges delta1 and persists the label table; ingest 2 reads it back and merges delta2 against the grown signature table (delta2 x delta1 bridges resolve through run-1 labels — chained-bridge case unit-spec'd). Oracle is still the ONE-SHOT whole-corpus rebuild: green = the contracted merge is associative across runs, i.e. the maintained table equals the rebuild however the corpus arrives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

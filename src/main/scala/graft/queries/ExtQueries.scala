@@ -214,6 +214,71 @@ object ExtQueries {
   private[graft] def streamBatchQuantIndex(batch: DataFrame): DataFrame =
     Similarity.quantizedIndex(batch, "vec_id", "embedding")
 
+  /** The md5 delta/base corpus split shared by the incremental paths
+    * (q91/q95/q115/q135/q137/q141/q142): first hex nibble 0–2 ⇒ delta
+    * (~19% of docs).
+    */
+  private def isDeltaDoc(c: Column): Column =
+    substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+
+  /** Sub-split of the delta slice into two consecutive ingests (q142):
+    * second md5 nibble 0–7 ⇒ first ingest.
+    */
+  private def isFirstIngest(c: Column): Column =
+    substring(md5(c.cast("string")), 2, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+
+  /** The two persisted base-corpus artifacts the cluster-maintenance
+    * queries read instead of recomputing: the q95 banded-signature
+    * table and the base cluster table (labels = min doc_id per
+    * component, singletons self-labelled). Shared by q141/q142 —
+    * session-materialized once each.
+    */
+  private def baseClusterArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val sigDir = CoreQueries.sharedInputDir(
+      s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+      Dedup.bandedSignatures(docs.filter(!isDeltaDoc(col("doc_id"))),
+        "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
+    }
+    val baseSig = s.read.parquet(sigDir)
+    val compDir = CoreQueries.sharedInputDir(
+      s"graft_q141_comp_${new java.io.File(d).getName}") { p =>
+      val baseCand = graft.util.Persist(Dedup.minhashCandidates(baseSig)
+        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id")))
+      val comp = Dedup.connectedComponents(baseCand, "a_id", "b_id")
+      docs.filter(!isDeltaDoc(col("doc_id"))).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("lab"))
+        .write.mode("overwrite").parquet(p)
+    }
+    (baseSig, s.read.parquet(compDir))
+  }
+
+  /** One cluster-ingest step (q141/q142's loop body): candidates that
+    * touch the delta only (cross equi-join against the signature
+    * table + delta×delta batch pass), contracted-supergraph merge
+    * into the label table. Returns the grown signature table (a real
+    * run APPENDS the delta signatures to the q95 table; the union is
+    * computationally identical) and the merged label table.
+    */
+  private def clusterIngestStep(baseSig: DataFrame, baseLab: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame) = {
+    val deltaSig = Dedup.bandedSignatures(delta, "text", "doc_id", k = 8)
+    val cross = streamSigCandidates(
+      deltaSig.select(col("band"), col("minhash"), col("doc_id").as("delta_id")),
+      baseSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
+      minBands = 2)
+      .select(col("delta_id"), col("base_id"))
+    val dd = Dedup.minhashCandidates(deltaSig)
+      .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+    val merged = Dedup.incrementalComponents(baseLab, cross, dd,
+        delta.select(col("doc_id")))
+      .select(col("doc_id"), col("cluster_id").as("lab"))
+    (baseSig.unionByName(deltaSig), merged)
+  }
+
   /** The leakage-safe split-assignment frame shared by q132 and q139:
     * per doc, the NAIVE md5-bucket split (q46's rule on doc_id) and
     * the CLUSTER split (same rule on the connected-component
@@ -2424,29 +2489,10 @@ object ExtQueries {
     //      signature table and a persisted cluster table ("the last
     //      run's output"); per-ingest cost is delta-proportional. ----
     "q141_incremental_clusters" -> ((s, d) => {
-      def isDelta(c: Column): Column =
-        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val docs = Tables.documents(s, d)
-      val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
-        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
-          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
-      }
-      val baseSig = s.read.parquet(sigDir)
-      val compDir = CoreQueries.sharedInputDir(
-        s"graft_q141_comp_${new java.io.File(d).getName}") { p =>
-        val baseCand = graft.util.Persist(Dedup.minhashCandidates(baseSig)
-          .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id")))
-        val comp = Dedup.connectedComponents(baseCand, "a_id", "b_id")
-        docs.filter(!isDelta(col("doc_id"))).select(col("doc_id"))
-          .join(comp.select(col("id").as("doc_id"), col("comp")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("lab"))
-          .write.mode("overwrite").parquet(p)
-      }
-      val baseLab = s.read.parquet(compDir)
-      val deltaSig = Dedup.bandedSignatures(docs.filter(isDelta(col("doc_id"))),
-        "text", "doc_id", k = 8)
+      val (baseSig, baseLab) = baseClusterArtifacts(s, d)
+      val deltaSig = Dedup.bandedSignatures(
+        docs.filter(isDeltaDoc(col("doc_id"))), "text", "doc_id", k = 8)
       val cross = streamSigCandidates(
         deltaSig.select(col("band"), col("minhash"), col("doc_id").as("delta_id")),
         baseSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
@@ -2455,7 +2501,40 @@ object ExtQueries {
       val dd = Dedup.minhashCandidates(deltaSig)
         .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
       Dedup.incrementalComponents(baseLab, cross, dd,
-          docs.filter(isDelta(col("doc_id"))).select(col("doc_id")))
+          docs.filter(isDeltaDoc(col("doc_id"))).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the cluster-maintenance LOOP run twice in sequence (q112's
+    //      two-run capstone discipline, applied to q141): ingest 1
+    //      merges delta1 into the persisted base cluster table and
+    //      WRITES the merged table; ingest 2 reads that artifact back
+    //      and merges delta2 against the GROWN signature table (so
+    //      delta2×delta1 bridges resolve through ingest 1's labels).
+    //      The oracle is still the one-shot whole-corpus rebuild —
+    //      green means the merge is associative across runs: however
+    //      the corpus arrives, batch by batch, the maintained table
+    //      equals the rebuild. That is the nightly loop a 100 TB
+    //      dedup deployment actually runs. ----
+    "q142_cluster_ingest_chain" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (sig0, lab0) = baseClusterArtifacts(s, d)
+      val d1 = docs.filter(isDeltaDoc(col("doc_id")) && isFirstIngest(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val d2 = docs.filter(isDeltaDoc(col("doc_id")) && !isFirstIngest(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val (sig1, lab1raw) = clusterIngestStep(sig0, lab0, d1)
+      // run-1 output is a PERSISTED artifact run 2 reads back
+      val lab1Dir = CoreQueries.sharedInputDir(
+        s"graft_q142_lab1_${new java.io.File(d).getName}") { p =>
+        lab1raw.write.mode("overwrite").parquet(p)
+      }
+      val (_, lab2) = clusterIngestStep(sig1, s.read.parquet(lab1Dir), d2)
+      lab2.select(col("doc_id"), col("lab").as("cluster_id"),
+          when(isDeltaDoc(col("doc_id")) && isFirstIngest(col("doc_id")),
+            lit("delta1"))
+            .when(isDeltaDoc(col("doc_id")), lit("delta2"))
+            .otherwise(lit("base")).as("src"))
         .orderBy(col("doc_id"))
     }))
 
@@ -4306,6 +4385,29 @@ object ExtQueries {
            CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
                   IN ('0', '1', '2')
                 THEN 'delta' ELSE 'base' END AS src
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+         ORDER BY d.doc_id""",
+    // the two-run chained maintenance must ALSO equal the one-shot
+    // whole-corpus rebuild (merge associativity across runs)
+    "q142_cluster_ingest_chain" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2')
+                THEN CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)
+                       IN ('0', '1', '2', '3', '4', '5', '6', '7')
+                     THEN 'delta1' ELSE 'delta2' END
+                ELSE 'base' END AS src
          FROM documents d LEFT JOIN comp c USING (doc_id)
          ORDER BY d.doc_id""")
 }

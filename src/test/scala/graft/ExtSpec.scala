@@ -631,6 +631,25 @@ class ExtSpec extends SparkSpec {
       (3L, 1L, "delta"), (4L, 1L, "delta"), (7L, 7L, "delta")))
   }
 
+  test("incrementalComponents chained: run-2 bridge through a run-1 label equals one-shot CC") {
+    // run 1: delta doc 3 joins base cluster {1,2} -> lab(3)=1
+    // run 2: delta doc 8 links to 3 (now labelled 1) AND base cluster
+    // {5,6} -> everything merges to 1, exactly what a one-shot CC over
+    // all edges gives — associativity of the contracted merge
+    val lab0 = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("doc_id", "lab")
+    val run1 = Dedup.incrementalComponents(lab0,
+      Seq((3L, 2L)).toDF("delta_id", "base_id"),
+      spark.emptyDataFrame.select(lit(0L).as("a_id"), lit(0L).as("b_id")).limit(0),
+      Seq(3L).toDF("doc_id"))
+      .select(col("doc_id"), col("cluster_id").as("lab"))
+    val run2 = Dedup.incrementalComponents(run1,
+      Seq((8L, 3L), (8L, 6L)).toDF("delta_id", "base_id"),
+      spark.emptyDataFrame.select(lit(0L).as("a_id"), lit(0L).as("b_id")).limit(0),
+      Seq(8L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 8L -> 1L))
+  }
+
   test("connectedComponents under a reliable checkpoint dir") {
     // spark.graft.checkpointDir switches the loop's lineage truncation
     // from executor-local to reliable checkpoints; results must be
