@@ -591,13 +591,21 @@ object Similarity {
     * shared with [[semanticDedup]]/[[semanticMaxSim]].
     */
   def semanticCrossCandidates(batchIdx: DataFrame, baseIdx: DataFrame,
-      tau: Double, cellCap: Int = 10000): DataFrame = {
+      tau: Double, cellCap: Int = 10000,
+      baseCellCounts: Option[DataFrame] = None): DataFrame = {
     val capped =
       if (cellCap > 0) {
-        val hot = batchIdx.select(col("cell"))
-          .unionByName(baseIdx.select(col("cell")))
-          .groupBy(col("cell")).agg(count(lit(1)).as("cs"))
-          .filter(col("cs") > cellCap)
+        // batch agg + join against base-side cell counts (cn):
+        // value-identical to counting the union (base-only cells can't
+        // produce a cross pair), but the base index isn't rescanned
+        // per micro-batch when `baseCellCounts` carries the persisted
+        // (cell, cn) artifact — the additive-counts discipline of the
+        // streamSigCandidates cap, for the embedding family
+        val cn = baseCellCounts.getOrElse(
+          baseIdx.groupBy(col("cell")).agg(count(lit(1)).as("cn")))
+        val hot = batchIdx.groupBy(col("cell")).agg(count(lit(1)).as("cb"))
+          .join(cn, Seq("cell"), "left")
+          .filter(coalesce(col("cn"), lit(0L)) + col("cb") > cellCap)
           .select(col("cell"))
         batchIdx.join(hot, Seq("cell"), "left_anti")
       } else batchIdx

@@ -613,6 +613,30 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("streamSigCandidates cap: persisted-counts path ≡ derived path, boundary exact") {
+    // bucket (b0,h1): base 2 + batch 2 = 4 rows; bucket (b1,h2): 1+1.
+    // cap 3 drops the first (4 > 3), cap 4 keeps it (boundary is >),
+    // and the precomputed-bn path must agree with the derived path in
+    // both regimes — the equivalence the persisted count artifact
+    // (q115/q123/q141/q142) depends on
+    val batch = Seq(("b0", "h1", 100L), ("b0", "h1", 101L), ("b1", "h2", 102L))
+      .toDF("band", "minhash", "delta_id")
+    val base = Seq(("b0", "h1", 1L), ("b0", "h1", 2L), ("b1", "h2", 3L))
+      .toDF("band", "minhash", "base_id")
+    val cnt = base.groupBy(col("band"), col("minhash"))
+      .agg(count(lit(1)).as("bn"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("delta_id"), col("base_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.queries.ExtQueries
+    val capped = rows(q.streamSigCandidates(batch, base, 1, 3))
+    assert(capped == Set((102L, 3L)))
+    assert(rows(q.streamSigCandidates(batch, base, 1, 3, Some(cnt))) == capped)
+    val kept = rows(q.streamSigCandidates(batch, base, 1, 4))
+    assert(kept == Set((100L, 1L), (100L, 2L), (101L, 1L), (101L, 2L), (102L, 3L)))
+    assert(rows(q.streamSigCandidates(batch, base, 1, 4, Some(cnt))) == kept)
+  }
+
   test("incrementalComponents: delta bridge doc merges two base clusters to the global min") {
     // base clusters {1,2} (lab 1) and {5,6} (lab 5), base singleton 9;
     // delta doc 3 links to BOTH clusters (the merge case a naive
