@@ -2591,6 +2591,50 @@ object ExtQueries {
             .when(isDeltaDoc(col("doc_id")), lit("delta2"))
             .otherwise(lit("base")).as("src"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- CLUSTER-level truth eval: q124 scores each detector's DROP
+    //      SET against the planted truth; this scores the minhash
+    //      CLUSTERING itself (q45's artifact) with pair-counting
+    //      precision/recall/F1 against the planted md5-root families —
+    //      the standard external clustering metric, computed WITHOUT
+    //      enumerating pairs: TP/P/T come from contingency-cell counts
+    //      (Σ n·(n−1)/2 over (cluster, family) cells, clusters, and
+    //      families), so the eval is three keyed aggregates over the
+    //      label frame however large the corpus — and F1 reduces to
+    //      2·TP/(P+T), no per-pair work anywhere. Non-candidate docs
+    //      count as singletons (no pairs), matching q141's full-label
+    //      discipline. ----
+    "q143_cluster_purity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = graft.util.Persist(
+        Dedup.minhashCandidates(corpusSignatures(s, d))
+          .filter(col("n_bands") >= 2)
+          .select(col("a_id"), col("b_id")))
+      val comp = Dedup.connectedComponents(cand, "a_id", "b_id")
+      val lab = graft.util.Persist(docs
+        .select(col("doc_id"),
+          substring(md5(regexp_replace(col("text"), "( dup)+$", "")), 1, 16)
+            .as("gk"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cl"), col("gk")))
+      // n·(n−1)/2 in pure integer arithmetic (shiftright, not float
+      // division — exact at any cluster size)
+      def pairs(n: Column): Column = shiftright((n * (n - 1)).cast("long"), 1)
+      val tp = lab.groupBy(col("cl"), col("gk")).agg(count(lit(1)).as("n"))
+        .agg(sum(pairs(col("n"))).as("tp"))
+      val pp = lab.groupBy(col("cl")).agg(count(lit(1)).as("n"))
+        .agg(sum(pairs(col("n"))).as("pp"))
+      val tt = lab.groupBy(col("gk")).agg(count(lit(1)).as("n"))
+        .agg(sum(pairs(col("n"))).as("tt"))
+      tp.crossJoin(broadcast(pp)).crossJoin(broadcast(tt))
+        .select(col("tp").as("n_hit_pairs"), col("pp").as("n_pred_pairs"),
+          col("tt").as("n_truth_pairs"),
+          round(col("tp").cast("double") / col("pp"), 6).as("pair_prec"),
+          round(col("tp").cast("double") / col("tt"), 6).as("pair_recall"),
+          round(lit(2.0) * col("tp") / (col("pp") + col("tt")), 6).as("pair_f1"))
     }))
 
   private def duckToks(expr: String) =
@@ -4464,5 +4508,31 @@ object ExtQueries {
                      THEN 'delta1' ELSE 'delta2' END
                 ELSE 'base' END AS src
          FROM documents d LEFT JOIN comp c USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q143_cluster_purity" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cl,
+             substr(md5(regexp_replace(d.text, '( dup)+$$', '')), 1, 16) AS gk
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tp FROM
+           (SELECT COUNT(*) AS n FROM lab GROUP BY cl, gk) x),
+         pp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pp FROM
+           (SELECT COUNT(*) AS n FROM lab GROUP BY cl) x),
+         tt AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tt FROM
+           (SELECT COUNT(*) AS n FROM lab GROUP BY gk) x)
+         SELECT tp AS n_hit_pairs, pp AS n_pred_pairs, tt AS n_truth_pairs,
+           round(CAST(tp AS DOUBLE) / pp, 6) AS pair_prec,
+           round(CAST(tp AS DOUBLE) / tt, 6) AS pair_recall,
+           round(2.0 * tp / (pp + tt), 6) AS pair_f1
+         FROM tp CROSS JOIN pp CROSS JOIN tt""")
 }
