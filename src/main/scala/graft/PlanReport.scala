@@ -80,7 +80,8 @@ object PlanReport {
     "q140_token_budget_mix" -> "token-budget mixture plan — the recipe a curation run commits before sampling: per-source trained-BPE token supply vs a uniform per-source share of the global budget, emitting sample_frac (downsample) / epochs (upsample, q77's theme) per source. Per-source aggregate + one-row source-count broadcast: source-cardinality-bounded at any corpus size",
     "q141_incremental_clusters" -> "incremental cluster maintenance — contracted-supergraph CC: nodes are delta doc ids + persisted base cluster LABELS (min doc_ids), edges are the delta-touching candidate pairs only (cross via the persisted q95 signature table, delta x delta from the batch); min-propagation over this |delta|-proportional graph reproduces exactly a from-scratch CC's labels, including delta-bridge merges of two base clusters (unit-spec'd). Oracle gates maintenance == rebuild over the whole corpus; base side reads two persisted artifacts, never recomputes base x base",
     "q142_cluster_ingest_chain" -> "the q141 loop run TWICE in sequence (q112's two-run capstone discipline): ingest 1 merges delta1 and persists the label table; ingest 2 reads it back and merges delta2 against the grown signature table (delta2 x delta1 bridges resolve through run-1 labels — chained-bridge case unit-spec'd). Oracle is still the ONE-SHOT whole-corpus rebuild: green = the contracted merge is associative across runs, i.e. the maintained table equals the rebuild however the corpus arrives",
-    "q143_cluster_purity" -> "cluster-level truth eval — pair-counting precision/recall/F1 of the minhash clustering (q45's artifact) vs the planted md5-root families, computed from CONTINGENCY CELLS (sum n(n-1)/2 over (cluster,family)/cluster/family counts, F1 = 2TP/(P+T)) — three keyed aggregates, zero per-pair work at any corpus size. Measured at sf0.001: prec 0.67 / recall 1.00 / F1 0.80 — the clustering catches every planted pair and over-merges organic near-dups, the cluster-level view of q124's minhash row (0.65/1.0)")
+    "q143_cluster_purity" -> "cluster-level truth eval — pair-counting precision/recall/F1 of the minhash clustering (q45's artifact) vs the planted md5-root families, computed from CONTINGENCY CELLS (sum n(n-1)/2 over (cluster,family)/cluster/family counts, F1 = 2TP/(P+T)) — three keyed aggregates, zero per-pair work at any corpus size. Measured at sf0.001: prec 0.67 / recall 1.00 / F1 0.80 — the clustering catches every planted pair and over-merges organic near-dups, the cluster-level view of q124's minhash row (0.65/1.0)",
+    "q144_stream_clusters" -> "STREAMING cluster maintenance — q142's chain generalized to a stateful 4-micro-batch stream: each batch appends its signatures to a versioned store, reads the label table AS OF the previous batch, contracted-supergraph-merges, writes label version N through the idempotent per-batch-id sink (replay recomputes the same version — spec'd). Gated on the q141 one-shot-rebuild oracle: green = maintained table == rebuild however many batches the corpus arrives in; per-batch cost |batch|-proportional")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -313,6 +313,26 @@ object ExtQueries {
     (baseSig.unionByName(deltaSig), merged)
   }
 
+  /** q144's per-micro-batch merge body: the batch's signatures against
+    * the signature table AS OF the previous batch (base + all earlier
+    * batches), contracted-supergraph merge into the label table AS OF
+    * the previous batch. Factored so the replay spec and interior-plan
+    * audit drive the same frame the stream writes.
+    */
+  private[graft] def streamBatchClusterMerge(batchSig: DataFrame,
+      priorSig: DataFrame, prevLab: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val cross = streamSigCandidates(
+      batchSig.select(col("band"), col("minhash"), col("doc_id").as("delta_id")),
+      priorSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
+      minBands = 2)
+      .select(col("delta_id"), col("base_id"))
+    val dd = Dedup.minhashCandidates(batchSig)
+      .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+    Dedup.incrementalComponents(prevLab, cross, dd, deltaDocs)
+      .select(col("doc_id"), col("cluster_id").as("lab"))
+  }
+
   /** The leakage-safe split-assignment frame shared by q132 and q139:
     * per doc, the NAIVE md5-bucket split (q46's rule on doc_id) and
     * the CLUSTER split (same rule on the connected-component
@@ -2635,6 +2655,71 @@ object ExtQueries {
           round(col("tp").cast("double") / col("pp"), 6).as("pair_prec"),
           round(col("tp").cast("double") / col("tt"), 6).as("pair_recall"),
           round(lit(2.0) * col("tp") / (col("pp") + col("tt")), 6).as("pair_f1"))
+    }),
+
+    // ---- STREAMING cluster maintenance — q142's chain generalized to
+    //      a real stateful stream: the delta arrives as 4 micro-batches
+    //      and EACH batch (a) appends its banded signatures to the
+    //      versioned signature store (batch_id-partitioned, replay-
+    //      idempotent), (b) reads the label table AS OF the previous
+    //      batch, (c) contracted-supergraph-merges its delta-touching
+    //      candidates, and (d) writes label version N — sequential
+    //      state through the idempotent per-batch-id sink, so an
+    //      at-least-once replay of any batch recomputes the same
+    //      version from the same inputs. Per-batch work is
+    //      |batch|-proportional (cross equi-join + supergraph CC);
+    //      the final read-back is the highest label version. Gated on
+    //      the SAME one-shot rebuild oracle as q141: green = however
+    //      the corpus arrives, in however many batches, the maintained
+    //      table equals the from-scratch rebuild. ----
+    "q144_stream_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (baseSig, baseLab) = baseClusterArtifacts(s, d)
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q144_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q144_sclus_")
+      val sigRoot = s"$dir/sig"; val labRoot = s"$dir/lab"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val batchDF = batch.toDF()
+            graft.streaming.Streaming.writeBatch(
+              Dedup.bandedSignatures(batchDF, "text", "doc_id", k = 8),
+              id, sigRoot, append = true)
+            val bSig = s.read.parquet(s"$sigRoot/batch_id=$id")
+            val priorSig =
+              if (id == 0L) baseSig
+              else baseSig.unionByName(s.read.parquet(sigRoot)
+                .filter(col("batch_id") < id).drop("batch_id"))
+            val prevLab =
+              if (id == 0L) baseLab
+              else s.read.parquet(s"$labRoot/batch_id=${id - 1}")
+            graft.streaming.Streaming.writeBatch(
+              streamBatchClusterMerge(bSig, priorSig, prevLab,
+                batchDF.select(col("doc_id"))),
+              id, labRoot, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val versions = s.read.parquet(labRoot)
+      versions
+        .join(broadcast(versions.agg(max(col("batch_id")).as("m"))),
+          col("batch_id") === col("m"))
+        .select(col("doc_id"), col("lab").as("cluster_id"),
+          when(isDeltaDoc(col("doc_id")), lit("delta"))
+            .otherwise(lit("base")).as("src"))
+        .orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -4534,5 +4619,26 @@ object ExtQueries {
            round(CAST(tp AS DOUBLE) / pp, 6) AS pair_prec,
            round(CAST(tp AS DOUBLE) / tt, 6) AS pair_recall,
            round(2.0 * tp / (pp + tt), 6) AS pair_f1
-         FROM tp CROSS JOIN pp CROSS JOIN tt""")
+         FROM tp CROSS JOIN pp CROSS JOIN tt""",
+    // the streaming-maintained cluster table must equal the one-shot
+    // whole-corpus rebuild — the q141 oracle verbatim (same invariant,
+    // now through 4 sequential stateful micro-batches)
+    "q144_stream_clusters" -> s"""
+         WITH RECURSIVE $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         edges AS (SELECT a_id AS s, b_id AS t FROM cand
+           UNION SELECT b_id AS s, a_id AS t FROM cand),
+         reach AS (SELECT s AS id, s AS comp FROM edges
+           UNION SELECT e.t AS id, r.comp AS comp
+           FROM reach r JOIN edges e ON r.id = e.s),
+         comp AS (SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2')
+                THEN 'delta' ELSE 'base' END AS src
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+         ORDER BY d.doc_id""")
 }

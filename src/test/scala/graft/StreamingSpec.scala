@@ -320,6 +320,30 @@ class StreamingSpec extends SparkSpec {
     assert(back(20L) == 0.5 && back(21L) == 0.25)
   }
 
+  test("q144 stream cluster merge absorbs an at-least-once replay") {
+    // the stateful twin of the q115/q123/q135/q137 replay tests: a
+    // replayed batch recomputes the SAME label version from the same
+    // (prior-version) inputs through the per-batch-id sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_q144_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val prevLab = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "lab")
+    val batch = Seq((30L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batchSig = graft.ext.Dedup.bandedSignatures(batch, "text", "doc_id", k = 8)
+    val priorSig = graft.ext.Dedup.bandedSignatures(
+      Seq((1L, "wholly unrelated text one two three")).toDF("doc_id", "text"),
+      "text", "doc_id", k = 8)
+    val merged = graft.queries.ExtQueries.streamBatchClusterMerge(
+      batchSig, priorSig, prevLab, batch.select(col("doc_id")))
+    Streaming.writeBatch(merged, 1L, path, append = true)
+    Streaming.writeBatch(merged, 1L, path, append = true) // replay
+    val back = spark.read.parquet(s"$path/batch_id=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no candidate overlap: 30 stays a singleton, base labels ride through
+    assert(back == Map(1L -> 1L, 2L -> 1L, 30L -> 30L), back.toString)
+  }
+
   test("q137 incremental index (base ∪ per-batch deltas) equals a full batch rebuild") {
     // the invariant the q137 oracle gates at the fixture scales,
     // asserted here on a local frame: appending per-batch index slices
