@@ -43,7 +43,9 @@ object PlanAudit {
     "q136_pq_trained_recall" -> "brute-force exact-IP truth side (q128's fenced design) + bounded centroid assignment for the trained-codebook ADC side",
     "q138_dedup_token_impact" -> "one-row broadcast of the corpus-token-total scalar (q48's pattern) + q86's bounded centroid BNLJ via dedupDropSets (same as q113/q117)",
     "q140_token_budget_mix" -> "one-row broadcast of the source-count scalar against the source-cardinality-bounded per-source frame (q48's pattern)",
-    "q143_cluster_purity" -> "two one-row broadcast scalars (P and T pair totals) joined to the one-row TP frame (q48's pattern; the metric row is 1x1x1)")
+    "q143_cluster_purity" -> "two one-row broadcast scalars (P and T pair totals) joined to the one-row TP frame (q48's pattern; the metric row is 1x1x1)",
+    "q146_index_cell_stats" -> "16-row broadcast centroid frame inside quantizedIndex (q94's fan-out); the stats reduce to one row",
+    "q147_source_mix_drift" -> "two one-row broadcast side-total scalars against source-cardinality-bounded frames (q48's pattern)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

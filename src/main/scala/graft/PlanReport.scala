@@ -81,7 +81,10 @@ object PlanReport {
     "q141_incremental_clusters" -> "incremental cluster maintenance — contracted-supergraph CC: nodes are delta doc ids + persisted base cluster LABELS (min doc_ids), edges are the delta-touching candidate pairs only (cross via the persisted q95 signature table, delta x delta from the batch); min-propagation over this |delta|-proportional graph reproduces exactly a from-scratch CC's labels, including delta-bridge merges of two base clusters (unit-spec'd). Oracle gates maintenance == rebuild over the whole corpus; base side reads two persisted artifacts, never recomputes base x base",
     "q142_cluster_ingest_chain" -> "the q141 loop run TWICE in sequence (q112's two-run capstone discipline): ingest 1 merges delta1 and persists the label table; ingest 2 reads it back and merges delta2 against the grown signature table (delta2 x delta1 bridges resolve through run-1 labels — chained-bridge case unit-spec'd). Oracle is still the ONE-SHOT whole-corpus rebuild: green = the contracted merge is associative across runs, i.e. the maintained table equals the rebuild however the corpus arrives",
     "q143_cluster_purity" -> "cluster-level truth eval — pair-counting precision/recall/F1 of the minhash clustering (q45's artifact) vs the planted md5-root families, computed from CONTINGENCY CELLS (sum n(n-1)/2 over (cluster,family)/cluster/family counts, F1 = 2TP/(P+T)) — three keyed aggregates, zero per-pair work at any corpus size. Measured at sf0.001: prec 0.67 / recall 1.00 / F1 0.80 — the clustering catches every planted pair and over-merges organic near-dups, the cluster-level view of q124's minhash row (0.65/1.0)",
-    "q144_stream_clusters" -> "STREAMING cluster maintenance — q142's chain generalized to a stateful 4-micro-batch stream: each batch appends its signatures to a versioned store, reads the label table AS OF the previous batch, contracted-supergraph-merges, writes label version N through the idempotent per-batch-id sink (replay recomputes the same version — spec'd). Gated on the q141 one-shot-rebuild oracle: green = maintained table == rebuild however many batches the corpus arrives in; per-batch cost |batch|-proportional")
+    "q144_stream_clusters" -> "STREAMING cluster maintenance — q142's chain generalized to a stateful 4-micro-batch stream: each batch appends its signatures to a versioned store, reads the label table AS OF the previous batch, contracted-supergraph-merges, writes label version N through the idempotent per-batch-id sink (replay recomputes the same version — spec'd). Gated on the q141 one-shot-rebuild oracle: green = maintained table == rebuild however many batches the corpus arrives in; per-batch cost |batch|-proportional",
+    "q145_vocab_drift" -> "vocabulary drift monitor — OOV rate of the incoming delta slice against the BASE-trained top-k vocab, side by side with the base's own rate (the tokenizer-retraining trigger). Measured at sf0.001: base 0.319 -> delta 0.346. k-bounded vocab broadcast, one scan, 2-row aggregate",
+    "q146_index_cell_stats" -> "index cell-skew report — the hotCells/SCALE_LADDER pre-flight audit as a gated query: per-cell occupancy of the quantized IVF index reduced to count/min/max/avg/skew (measured at sf0.001: 16 cells, max/avg 1.6 — far from the 10k cap; skew creeping up = retrain trigger for q130's Lloyd step). Cell-cardinality-bounded aggregate",
+    "q147_source_mix_drift" -> "source-mix drift monitor — per-source doc share of the delta vs the base corpus with the drift ratio a pipeline alarms on; FULL-OUTER on source so a source appearing only in the delta (the classic upstream incident) still surfaces. One scan, source-bounded aggregates, two one-row total broadcasts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

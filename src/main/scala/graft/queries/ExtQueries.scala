@@ -2720,6 +2720,88 @@ object ExtQueries {
           when(isDeltaDoc(col("doc_id")), lit("delta"))
             .otherwise(lit("base")).as("src"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- vocabulary DRIFT monitor: OOV rate of the incoming delta
+    //      slice against the BASE-trained top-k vocabulary, side by
+    //      side with the base's own rate — the retraining trigger a
+    //      tokenizer deployment watches (rising delta OOV = the corpus
+    //      outgrew the frozen vocab; q88 is the per-doc view against
+    //      the whole-corpus vocab, this is the monitoring aggregate
+    //      against the base-only vocab). k-bounded vocab broadcast
+    //      (TakeOrderedAndProject), one scan, one 2-row aggregate. ----
+    "q145_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val baseVocab = docs.filter(!isDeltaDoc(col("doc_id")))
+        .select(explode(TA.wsTokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(20)
+        .select(col("term"), lit(true).as("in_vocab"))
+      docs.select(
+          when(isDeltaDoc(col("doc_id")), lit("delta"))
+            .otherwise(lit("base")).as("side"),
+          explode(TA.wsTokens(lower(col("text")))).as("term"))
+        .join(broadcast(baseVocab), Seq("term"), "left")
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+        .select(col("side"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy(col("side"))
+    }),
+
+    // ---- index cell-SKEW report: the hotCells/SCALE_LADDER pre-flight
+    //      audit as a first-class gated query — per-cell row counts of
+    //      the quantized IVF index reduced to the numbers a deployment
+    //      alarms on (cell count, min/max/avg occupancy, max/avg
+    //      skew). A skew creeping toward the 10k cap means the
+    //      centroids no longer fit the data (retrain trigger, q130's
+    //      Lloyd step). Cell-cardinality-bounded aggregate; one-row
+    //      output. ----
+    "q146_index_cell_stats" -> ((s, d) => {
+      val cellCnt = Similarity.quantizedIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      cellCnt.agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_cell"), max(col("n")).as("max_cell"),
+          round(avg(col("n")), 6).as("avg_cell"))
+        .select(col("n_cells"), col("n_rows"), col("min_cell"),
+          col("max_cell"), col("avg_cell"),
+          round(col("max_cell") / col("avg_cell"), 6).as("skew"))
+    }),
+
+    // ---- source-mix DRIFT monitor: the q145 discipline for the
+    //      ingest mix — per-source document share of the delta slice
+    //      vs the base corpus, with the ratio a pipeline alarms on
+    //      when a source's share jumps (upstream crawler change,
+    //      partner feed breakage). One scan, source-cardinality-
+    //      bounded aggregates, full-outer on source so a source
+    //      APPEARING only in the delta (the classic incident) still
+    //      surfaces. ----
+    "q147_source_mix_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def share(side: DataFrame): DataFrame = {
+        val n = side.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        n.crossJoin(broadcast(n.agg(sum(col("cnt")).as("tot"))))
+          .select(col("source"), col("cnt"),
+            round(col("cnt").cast("double") / col("tot"), 6).as("frac"))
+      }
+      val b = share(docs.filter(!isDeltaDoc(col("doc_id"))))
+        .select(col("source"), col("cnt").as("base_docs"),
+          col("frac").as("base_frac"))
+      val dl = share(docs.filter(isDeltaDoc(col("doc_id"))))
+        .select(col("source"), col("cnt").as("delta_docs"),
+          col("frac").as("delta_frac"))
+      b.join(dl, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("base_docs"), lit(0L)).as("base_docs"),
+          coalesce(col("base_frac"), lit(0.0)).as("base_frac"),
+          coalesce(col("delta_docs"), lit(0L)).as("delta_docs"),
+          coalesce(col("delta_frac"), lit(0.0)).as("delta_frac"),
+          when(col("base_frac").isNotNull && col("base_frac") > 0,
+            round(coalesce(col("delta_frac"), lit(0.0)) / col("base_frac"), 6))
+            .as("drift_ratio"))
+        .orderBy(col("source"))
     }))
 
   private def duckToks(expr: String) =
@@ -4640,5 +4722,71 @@ object ExtQueries {
                   IN ('0', '1', '2')
                 THEN 'delta' ELSE 'base' END AS src
          FROM documents d LEFT JOIN comp c USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q145_vocab_drift" -> s"""
+         WITH t AS (SELECT doc_id, unnest(${duckToks("text")}) AS term
+           FROM documents),
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
+           FROM documents),
+         f AS (SELECT term, COUNT(*) AS freq FROM t JOIN sd USING (doc_id)
+           WHERE sd.side = 'base' GROUP BY 1),
+         v AS (SELECT term FROM f ORDER BY freq DESC, term LIMIT 20)
+         SELECT sd.side, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS oov_rate
+         FROM t JOIN sd USING (doc_id) LEFT JOIN v ON t.term = v.term
+         GROUP BY sd.side ORDER BY sd.side""",
+    "q146_index_cell_stats" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         s AS (SELECT vec_id, embedding,
+             coalesce(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale0
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         qz AS (SELECT vec_id,
+             CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+           FROM s),
+         cd AS (SELECT vec_id,
+             list_transform(code, x -> CAST(x AS DOUBLE)) AS dcode FROM qz),
+         nn AS (SELECT vec_id, dcode FROM cd
+           WHERE list_inner_product(dcode, dcode) > 0),
+         ca AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
+             FROM nn, cent) t WHERE rn = 1),
+         cc AS (SELECT cell, COUNT(*) AS n FROM ca GROUP BY 1)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           round(AVG(n), 6) AS avg_cell,
+           round(MAX(n) / round(AVG(n), 6), 6) AS skew
+         FROM cc""",
+    "q147_source_mix_drift" -> s"""
+         WITH sd AS (SELECT doc_id, source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
+           FROM documents),
+         b AS (SELECT source, COUNT(*) AS cnt FROM sd WHERE side = 'base'
+           GROUP BY 1),
+         bt AS (SELECT SUM(cnt) AS tot FROM b),
+         dl AS (SELECT source, COUNT(*) AS cnt FROM sd WHERE side = 'delta'
+           GROUP BY 1),
+         dt AS (SELECT SUM(cnt) AS tot FROM dl)
+         SELECT source,
+           CAST(COALESCE(b.cnt, 0) AS BIGINT) AS base_docs,
+           COALESCE(round(b.cnt::DOUBLE / bt.tot, 6), 0.0) AS base_frac,
+           CAST(COALESCE(dl.cnt, 0) AS BIGINT) AS delta_docs,
+           COALESCE(round(dl.cnt::DOUBLE / dt.tot, 6), 0.0) AS delta_frac,
+           CASE WHEN b.cnt IS NOT NULL AND b.cnt > 0
+             THEN round(COALESCE(round(dl.cnt::DOUBLE / dt.tot, 6), 0.0)
+               / round(b.cnt::DOUBLE / bt.tot, 6), 6) END AS drift_ratio
+         FROM b FULL OUTER JOIN dl USING (source)
+         CROSS JOIN bt CROSS JOIN dt ORDER BY source""")
 }
