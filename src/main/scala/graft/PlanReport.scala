@@ -84,7 +84,9 @@ object PlanReport {
     "q144_stream_clusters" -> "STREAMING cluster maintenance — q142's chain generalized to a stateful 4-micro-batch stream: each batch appends its signatures to a versioned store, reads the label table AS OF the previous batch, contracted-supergraph-merges, writes label version N through the idempotent per-batch-id sink (replay recomputes the same version — spec'd). Gated on the q141 one-shot-rebuild oracle: green = maintained table == rebuild however many batches the corpus arrives in; per-batch cost |batch|-proportional",
     "q145_vocab_drift" -> "vocabulary drift monitor — OOV rate of the incoming delta slice against the BASE-trained top-k vocab, side by side with the base's own rate (the tokenizer-retraining trigger). Measured at sf0.001: base 0.319 -> delta 0.346. k-bounded vocab broadcast, one scan, 2-row aggregate",
     "q146_index_cell_stats" -> "index cell-skew report — the hotCells/SCALE_LADDER pre-flight audit as a gated query: per-cell occupancy of the quantized IVF index reduced to count/min/max/avg/skew (measured at sf0.001: 16 cells, max/avg 1.6 — far from the 10k cap; skew creeping up = retrain trigger for q130's Lloyd step). Cell-cardinality-bounded aggregate",
-    "q147_source_mix_drift" -> "source-mix drift monitor — per-source doc share of the delta vs the base corpus with the drift ratio a pipeline alarms on; FULL-OUTER on source so a source appearing only in the delta (the classic upstream incident) still surfaces. One scan, source-bounded aggregates, two one-row total broadcasts")
+    "q147_source_mix_drift" -> "source-mix drift monitor — per-source doc share of the delta vs the base corpus with the drift ratio a pipeline alarms on; FULL-OUTER on source so a source appearing only in the delta (the classic upstream incident) still surfaces. One scan, source-bounded aggregates, two one-row total broadcasts",
+    "q148_incremental_spans" -> "incremental span dedup — the span family's q95: the base corpus' distinct span keys are a persisted owner SET; the delta anti-joins it (one keyed join, base never re-exploded) and resolves within-delta contention with q92's min-(doc_id,span_idx) window. Per-ingest cost is delta-proportional",
+    "q149_stream_spans" -> "STREAMING span dedup — the fourth detector family's streaming loop, stateful like q144: each micro-batch claims non-base-owned span keys and MIN-MERGES into the versioned owner table (replay recomputes the same version — spec'd; a later batch with a smaller doc_id takes the key over an earlier claimant). min is associative+commutative, so q149 gates on the SAME oracle as q148 — order-independence proven by the shared green row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -313,6 +313,56 @@ object ExtQueries {
     (baseSig.unionByName(deltaSig), merged)
   }
 
+  /** The (doc_id, n_spans, span_idx, k) frame of q92's 8-token span
+    * keys (16-hex md5), shared by q148/q149.
+    */
+  private def spanFrame(side: DataFrame): DataFrame = side
+    .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+    .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+    .filter(col("n_spans") >= 1)
+    .select(col("doc_id"), col("n_spans"),
+      posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+        i => substring(md5(array_join(
+          slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")), 1, 16)))
+        .as(Seq("span_idx", "k")))
+
+  /** The persisted base span-owner SET (distinct span keys of the base
+    * corpus) q148/q149 anti-join — the span family's q95-style
+    * artifact.
+    */
+  private def baseSpanOwners(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_q148_own_${new java.io.File(d).getName}") { p =>
+      spanFrame(Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))))
+        .select(col("k")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** q149's per-micro-batch owner-merge body: the batch's span claims
+    * (base-owned keys excluded, min-(doc_id, span_idx) owner within
+    * the batch) min-merged into the owner table AS OF the previous
+    * batch. min is associative+commutative, so the final owner table
+    * is independent of how the delta was batched — which is exactly
+    * why q149 gates on the SAME oracle as q148.
+    */
+  private[graft] def streamBatchSpanOwners(batch: DataFrame,
+      baseOwn: DataFrame, prevOwners: Option[DataFrame]): DataFrame = {
+    val cand = spanFrame(batch)
+      .join(baseOwn, Seq("k"), "left_anti")
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+      .select(col("k"), col("o.doc_id").as("doc_id"),
+        col("o.span_idx").as("span_idx"))
+    prevOwners.fold(cand)(prev =>
+      prev.unionByName(cand)
+        .groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+        .select(col("k"), col("o.doc_id").as("doc_id"),
+          col("o.span_idx").as("span_idx")))
+  }
+
   /** q144's per-micro-batch merge body: the batch's signatures against
     * the signature table AS OF the previous batch (base + all earlier
     * batches), contracted-supergraph merge into the label table AS OF
@@ -2802,6 +2852,100 @@ object ExtQueries {
             round(coalesce(col("delta_frac"), lit(0.0)) / col("base_frac"), 6))
             .as("drift_ratio"))
         .orderBy(col("source"))
+    }),
+
+    // ---- INCREMENTAL span dedup — the span family's q95: the base
+    //      corpus' distinct 8-token span keys are a PERSISTED owner
+    //      set ("the existing corpus owns its spans"); the delta batch
+    //      anti-joins it and resolves within-delta contention with
+    //      q92's first-owner window. Per-ingest cost: delta spans +
+    //      one keyed anti-join against the owner table — the base
+    //      corpus is never re-exploded. This is the deployment rule a
+    //      nightly CCNet-style boilerplate pass actually runs (new
+    //      docs dedup against what the corpus already contains);
+    //      within-delta the rule is q92's min-(doc_id, span_idx)
+    //      owner, so the result is batch-arrival-independent. ----
+    "q148_incremental_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val baseOwn = baseSpanOwners(s, d)
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+      val dsp = spanFrame(delta)
+      val kept = dsp
+        .join(baseOwn, Seq("k"), "left_anti")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"))
+            .orderBy(col("doc_id"), col("span_idx"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      delta.select(col("doc_id"),
+          ceil(size(TA.wsTokens(lower(col("text")))) / lit(8.0)).cast("long")
+            .as("n_spans"))
+        .filter(col("n_spans") >= 1)
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_spans"), 6).as("keep_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- STREAMING span dedup — the fourth detector family's
+    //      streaming loop (MinHash q115, SimHash q123, semantic q135,
+    //      spans here), and like q144 a STATEFUL one: each micro-batch
+    //      claims the span keys not owned by the base set, resolves
+    //      its own winner per key, and MIN-MERGES into the owner table
+    //      as of the previous batch (batch_id-versioned store, replay
+    //      recomputes the same version). min is associative and
+    //      commutative, so the final owner table — and therefore every
+    //      per-doc keep count — is independent of how the delta was
+    //      batched: q149 gates on the SAME oracle as q148, which is
+    //      the proof. ----
+    "q149_stream_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val baseOwn = baseSpanOwners(s, d)
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q149_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q149_sspan_")
+      val ownRoot = s"$dir/own"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val prev =
+              if (id == 0L) None
+              else Some(s.read.parquet(s"$ownRoot/batch_id=${id - 1}"))
+            graft.streaming.Streaming.writeBatch(
+              streamBatchSpanOwners(batch.toDF(), baseOwn, prev),
+              id, ownRoot, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val versions = s.read.parquet(ownRoot)
+      val owners = versions
+        .join(broadcast(versions.agg(max(col("batch_id")).as("m"))),
+          col("batch_id") === col("m"))
+      val kept = owners.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      delta.select(col("doc_id"),
+          ceil(size(TA.wsTokens(lower(col("text")))) / lit(8.0)).cast("long")
+            .as("n_spans"))
+        .filter(col("n_spans") >= 1)
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_spans"), 6).as("keep_frac"))
+        .orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -4788,5 +4932,41 @@ object ExtQueries {
              THEN round(COALESCE(round(dl.cnt::DOUBLE / dt.tot, 6), 0.0)
                / round(b.cnt::DOUBLE / bt.tot, 6), 6) END AS drift_ratio
          FROM b FULL OUTER JOIN dl USING (source)
-         CROSS JOIN bt CROSS JOIN dt ORDER BY source""")
+         CROSS JOIN bt CROSS JOIN dt ORDER BY source""",
+    "q148_incremental_spans" -> incrementalSpanSql,
+    // the streaming min-merged owner table must equal the batch
+    // incremental rule (one oracle pins both — order-independence of
+    // the min-merge IS the claim)
+    "q149_stream_spans" -> incrementalSpanSql)
+
+  private lazy val incrementalSpanSql: String = s"""
+         WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
+           FROM documents),
+         pn AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM tk),
+         sp AS (SELECT doc_id, i AS span_idx,
+             substr(md5(array_to_string(toks[i*8+1 : i*8+8], ' ')), 1, 16) AS k
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM pn WHERE n_spans >= 1)),
+         bk AS (SELECT DISTINCT k FROM sp JOIN sd USING (doc_id)
+           WHERE sd.side = 'base'),
+         dsp AS (SELECT sp.doc_id, sp.span_idx, sp.k
+           FROM sp JOIN sd USING (doc_id) WHERE sd.side = 'delta'),
+         kp AS (SELECT doc_id, k, ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY doc_id, span_idx) AS rn
+           FROM (SELECT dsp.* FROM dsp LEFT JOIN bk ON dsp.k = bk.k
+             WHERE bk.k IS NULL) x),
+         cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kp WHERE rn = 1 GROUP BY 1)
+         SELECT pn.doc_id, pn.n_spans,
+           COALESCE(cnt.n_kept, 0) AS n_kept,
+           round(CAST(COALESCE(cnt.n_kept, 0) AS DOUBLE) / pn.n_spans, 6)
+             AS keep_frac
+         FROM pn JOIN sd USING (doc_id) LEFT JOIN cnt ON pn.doc_id = cnt.doc_id
+         WHERE sd.side = 'delta' AND pn.n_spans >= 1
+         ORDER BY pn.doc_id"""
 }

@@ -344,6 +344,30 @@ class StreamingSpec extends SparkSpec {
     assert(back == Map(1L -> 1L, 2L -> 1L, 30L -> 30L), back.toString)
   }
 
+  test("q149 stream span owners: min-merge is order-independent and absorbs replay") {
+    // two batches containing claimants of the SAME span key in
+    // opposite arrival orders must converge to the same (min) owner,
+    // and replaying a merge recomputes the same version
+    val dir = java.nio.file.Files.createTempDirectory("graft_q149_replay_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val text = "one two three four five six seven eight"
+    val baseOwn = Seq("ffff").toDF("k").limit(0) // empty owner set
+    val b1 = Seq((20L, text)).toDF("doc_id", "text")
+    val b2 = Seq((10L, text)).toDF("doc_id", "text") // same span, smaller id, LATER batch
+    val q = graft.queries.ExtQueries
+    val v0 = q.streamBatchSpanOwners(b1, baseOwn, None)
+    Streaming.writeBatch(v0, 0L, path, append = true)
+    val v1 = q.streamBatchSpanOwners(b2, baseOwn,
+      Some(spark.read.parquet(s"$path/batch_id=0")))
+    Streaming.writeBatch(v1, 1L, path, append = true)
+    Streaming.writeBatch(v1, 1L, path, append = true) // replay
+    val owner = spark.read.parquet(s"$path/batch_id=1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the later-arriving smaller doc_id wins the key — global-min rule
+    assert(owner.values.toSet == Set(10L), owner.toString)
+  }
+
   test("q137 incremental index (base ∪ per-batch deltas) equals a full batch rebuild") {
     // the invariant the q137 oracle gates at the fixture scales,
     // asserted here on a local frame: appending per-batch index slices
