@@ -86,7 +86,8 @@ object PlanReport {
     "q146_index_cell_stats" -> "index cell-skew report — the hotCells/SCALE_LADDER pre-flight audit as a gated query: per-cell occupancy of the quantized IVF index reduced to count/min/max/avg/skew (measured at sf0.001: 16 cells, max/avg 1.6 — far from the 10k cap; skew creeping up = retrain trigger for q130's Lloyd step). Cell-cardinality-bounded aggregate",
     "q147_source_mix_drift" -> "source-mix drift monitor — per-source doc share of the delta vs the base corpus with the drift ratio a pipeline alarms on; FULL-OUTER on source so a source appearing only in the delta (the classic upstream incident) still surfaces. One scan, source-bounded aggregates, two one-row total broadcasts",
     "q148_incremental_spans" -> "incremental span dedup — the span family's q95: the base corpus' distinct span keys are a persisted owner SET; the delta anti-joins it (one keyed join, base never re-exploded) and resolves within-delta contention with q92's min-(doc_id,span_idx) window. Per-ingest cost is delta-proportional",
-    "q149_stream_spans" -> "STREAMING span dedup — the fourth detector family's streaming loop, stateful like q144: each micro-batch claims non-base-owned span keys and MIN-MERGES into the versioned owner table (replay recomputes the same version — spec'd; a later batch with a smaller doc_id takes the key over an earlier claimant). min is associative+commutative, so q149 gates on the SAME oracle as q148 — order-independence proven by the shared green row")
+    "q149_stream_spans" -> "STREAMING span dedup — the fourth detector family's streaming loop, stateful like q144: each micro-batch claims non-base-owned span keys and MIN-MERGES into the versioned owner table (replay recomputes the same version — spec'd; a later batch with a smaller doc_id takes the key over an earlier claimant). min is associative+commutative, so q149 gates on the SAME oracle as q148 — order-independence proven by the shared green row",
+    "q150_release_report" -> "release-report capstone — the dataset-card numbers a corpus release publishes as one (metric, value) artifact: doc/source/char/word counts, exact-dup fraction, trained-BPE token total + fertility, top-20 OOV rate. One corpus scan + the memoized BPE encode + the k-bounded vocab broadcast; three one-row scalar joins and an 8-row stack. Measured at sf0.001: 500 docs / 20 sources / 109,845 BPE tokens / fertility 3.93 / exact-dup 4.8% / OOV@20 0.323")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

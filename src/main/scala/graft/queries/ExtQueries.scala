@@ -2946,6 +2946,48 @@ object ExtQueries {
           round(coalesce(col("n_kept"), lit(0L)).cast("double") /
             col("n_spans"), 6).as("keep_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- RELEASE report capstone: the dataset-card numbers a corpus
+    //      release publishes, as one long-form (metric, value)
+    //      artifact — doc/source/char/word counts, exact-dup fraction
+    //      (q21's key), trained-BPE token total + fertility (q122's
+    //      currency), and top-20 OOV rate (q63/q88's vocab rule).
+    //      One corpus scan for the base stats, the memoized BPE encode
+    //      for the token row, the k-bounded vocab broadcast for OOV;
+    //      three one-row scalar joins, then an 8-row stack. ----
+    "q150_release_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(col("source")).cast("double").as("n_sources"),
+        avg(length(col("text"))).as("avg_doc_chars"),
+        sum(size(TA.wsTokens(lower(col("text"))))).cast("double").as("n_words"),
+        countDistinct(md5(lower(substring(col("text"), 1, 40))))
+          .cast("double").as("n_keys"))
+      val bpe = bpeEncoded(s, d)
+        .agg(sum(col("n_tokens")).cast("double").as("n_bpe_tokens"))
+      val vocab = corpusVocab(s, d, k = 20)
+        .select(col("term"), lit(true).as("in_vocab"))
+      val oov = docs
+        .select(explode(TA.wsTokens(lower(col("text")))).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .agg((sum(when(col("in_vocab"), 0L).otherwise(1L)).cast("double") /
+          count(lit(1))).as("oov_rate_top20"))
+      base.crossJoin(broadcast(bpe)).crossJoin(broadcast(oov))
+        .select(expr(
+          """stack(8,
+             'avg_doc_chars', avg_doc_chars,
+             'bpe_fertility', n_bpe_tokens / n_words,
+             'exact_dup_frac', 1.0 - n_keys / n_docs,
+             'n_bpe_tokens', n_bpe_tokens,
+             'n_docs', n_docs,
+             'n_sources', n_sources,
+             'n_words', n_words,
+             'oov_rate_top20', oov_rate_top20)""")
+          .as(Seq("metric", "value")))
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy(col("metric"))
     }))
 
   private def duckToks(expr: String) =
@@ -4937,7 +4979,36 @@ object ExtQueries {
     // the streaming min-merged owner table must equal the batch
     // incremental rule (one oracle pins both — order-independence of
     // the min-merge IS the claim)
-    "q149_stream_spans" -> incrementalSpanSql)
+    "q149_stream_spans" -> incrementalSpanSql,
+    "q150_release_report" -> s"""
+         WITH $bpeEncodeCtes,
+         bt AS (SELECT CAST(SUM(coalesce(n_tokens, 0)) AS DOUBLE) AS nbpe
+           FROM enc),
+         tt AS (SELECT unnest(${duckToks("text")}) AS term FROM documents),
+         fq AS (SELECT term, COUNT(*) AS freq FROM tt GROUP BY 1),
+         vv AS (SELECT term FROM fq ORDER BY freq DESC, term LIMIT 20),
+         ov AS (SELECT CAST(SUM(CASE WHEN vv.term IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS oov
+           FROM tt LEFT JOIN vv ON tt.term = vv.term),
+         bs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+             AVG(len(text)) AS avg_chars,
+             CAST((SELECT COUNT(*) FROM tt) AS DOUBLE) AS n_words,
+             CAST(COUNT(DISTINCT md5(lower(substr(text, 1, 40)))) AS DOUBLE)
+               AS n_keys
+           FROM documents)
+         SELECT metric, round(value, 6) AS value FROM (
+           SELECT 'avg_doc_chars' AS metric, avg_chars AS value
+             FROM bs
+           UNION ALL SELECT 'bpe_fertility', nbpe / n_words
+             FROM bs CROSS JOIN bt
+           UNION ALL SELECT 'exact_dup_frac', 1.0 - n_keys / n_docs FROM bs
+           UNION ALL SELECT 'n_bpe_tokens', nbpe FROM bt
+           UNION ALL SELECT 'n_docs', n_docs FROM bs
+           UNION ALL SELECT 'n_sources', n_sources FROM bs
+           UNION ALL SELECT 'n_words', n_words FROM bs
+           UNION ALL SELECT 'oov_rate_top20', oov FROM ov) u
+         ORDER BY metric""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
