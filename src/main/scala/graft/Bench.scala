@@ -108,12 +108,33 @@ object Bench {
     // decimals (two values, and the ~0.1 s nominal needs the digit).
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmtD1(v: Double): String = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + fmt2(med(ts)) }
+    // Next size step (r9): the 2-decimal line measured 1,833 chars at
+    // 150 queries — ~5 queries of headroom to the 1,900 safety mark.
+    // Above 155 registered queries, per-query values drop to 1 decimal
+    // (~1 char/entry, the line stays under the window to ~175 queries);
+    // full 3-decimal medians are ALWAYS also written to
+    // bench_detail.json in the working dir, so no resolution is ever
+    // lost to the tail window — the line is the transport, the file is
+    // the record.
+    def fmtQ(v: Double): String =
+      if (results.size > 155) fmtD1(v) else fmt2(v)
+    val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + fmtQ(med(ts)) }
       .mkString("{", ",", "}")
     // Sum the ROUNDED values so the printed total equals the sum of the
     // printed per-query times exactly (consumer-side consistency).
-    val total = results.map(r => BigDecimal(fmt2(med(r._2)))).sum.toDouble
+    val total = results.map(r => BigDecimal(fmtQ(med(r._2)))).sum.toDouble
+    try {
+      val detail = results
+        .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
+        .mkString("{", ",", "}")
+      val total3 = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        (s"""{"total":${fmt(total3)},"queries":$detail}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // forensics only — never fail the bench
     // [min,max] across runs for the 5 slowest queries only (was 10;
     // trimmed to make room for the calibration fields inside the
     // driver's 2000-char tail window — the parsed r7 line was 1913
