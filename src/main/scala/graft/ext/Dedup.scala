@@ -253,12 +253,18 @@ object Dedup {
       // labels[x] is always in x's component, so adopting it is sound;
       // at fixpoint comp(id) == comp(comp(id)) and no neighbor improves,
       // which forces comp constant per component.
-      val next = graft.util.Checkpoints(m1
+      val next = graft.util.Checkpoints.lazily(m1
         .join(labels.select(col("id").as("pk"), col("comp").as("pc")),
           col("m1") === col("pk"), "left")
         .select(col("id"), col("old"),
           least(col("m1"), coalesce(col("pc"), col("m1"))).as("comp")))
-      changed = next.filter(col("comp") < col("old")).count()
+      // ONE action per iteration: the ungrouped aggregate computes every
+      // partition of `next` (materializing the lazy truncation's blocks)
+      // and returns the convergence count in the same job — previously
+      // eager-checkpoint + count = 2 scheduled jobs per iteration, pure
+      // fixed overhead for a loop whose per-iteration data is small
+      changed = next.agg(count(when(col("comp") < col("old"), lit(1))))
+        .head.getLong(0)
       labels = next.drop("old")
     }
     labels

@@ -35,4 +35,27 @@ object Checkpoints {
       case None => df.localCheckpoint()
     }
   }
+
+  /** LAZY variant: marks the frame for truncation but defers
+    * materialization to the caller's next action over the returned
+    * frame — so an iterative loop can fuse "materialize the new
+    * labels" and "compute the convergence aggregate" into ONE Spark
+    * action per iteration instead of checkpoint-then-count (the CC
+    * loop's fixed per-iteration scheduling overhead was the dominant
+    * cost of q144's four sequential merges). The caller MUST run an
+    * action that computes every partition (an ungrouped aggregate
+    * does) before relying on the truncation. Under the reliable-
+    * checkpoint deploy switch the checkpoint write still happens at
+    * that first job's end, exactly as the eager form's `count()` did.
+    */
+  def lazily(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case None => df.localCheckpoint(eager = false)
+    }
+  }
 }
