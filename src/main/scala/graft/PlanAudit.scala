@@ -46,7 +46,11 @@ object PlanAudit {
     "q143_cluster_purity" -> "two one-row broadcast scalars (P and T pair totals) joined to the one-row TP frame (q48's pattern; the metric row is 1x1x1)",
     "q146_index_cell_stats" -> "16-row broadcast centroid frame inside quantizedIndex (q94's fan-out); the stats reduce to one row",
     "q147_source_mix_drift" -> "two one-row broadcast side-total scalars against source-cardinality-bounded frames (q48's pattern)",
-    "q150_release_report" -> "one-row scalar joins (BPE total, OOV rate) into the one-row base-stats frame; the report is an 8-row stack (q48's pattern)")
+    "q150_release_report" -> "one-row scalar joins (BPE total, OOV rate) into the one-row base-stats frame; the report is an 8-row stack (q48's pattern)",
+    "q152_temperature_mix" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the source-cardinality-bounded per-source frame (q48's pattern)",
+    "q154_centroid_drift" -> "two 16-row broadcast centroid frames inside quantizedIndex (q94's fan-out, once per side); everything after is (cell, pos)-bounded",
+    "q155_release_diff" -> "one-row BPE-total scalar joined into each side's one-row card frame (q150's pattern); the diff join is 7x7 metric rows",
+    "q157_source_fertility" -> "one-row broadcast of the corpus-token-total scalar against the source-cardinality-bounded per-source frame (q48/q140's pattern)")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

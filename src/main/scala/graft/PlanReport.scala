@@ -87,7 +87,14 @@ object PlanReport {
     "q147_source_mix_drift" -> "source-mix drift monitor — per-source doc share of the delta vs the base corpus with the drift ratio a pipeline alarms on; FULL-OUTER on source so a source appearing only in the delta (the classic upstream incident) still surfaces. One scan, source-bounded aggregates, two one-row total broadcasts",
     "q148_incremental_spans" -> "incremental span dedup — the span family's q95: the base corpus' distinct span keys are a persisted owner SET; the delta anti-joins it (one keyed join, base never re-exploded) and resolves within-delta contention with q92's min-(doc_id,span_idx) window. Per-ingest cost is delta-proportional",
     "q149_stream_spans" -> "STREAMING span dedup — the fourth detector family's streaming loop, stateful like q144: each micro-batch claims non-base-owned span keys and MIN-MERGES into the versioned owner table (replay recomputes the same version — spec'd; a later batch with a smaller doc_id takes the key over an earlier claimant). min is associative+commutative, so q149 gates on the SAME oracle as q148 — order-independence proven by the shared green row",
-    "q150_release_report" -> "release-report capstone — the dataset-card numbers a corpus release publishes as one (metric, value) artifact: doc/source/char/word counts, exact-dup fraction, trained-BPE token total + fertility, top-20 OOV rate. One corpus scan + the memoized BPE encode + the k-bounded vocab broadcast; three one-row scalar joins and an 8-row stack. Measured at sf0.001: 500 docs / 20 sources / 109,845 BPE tokens / fertility 3.93 / exact-dup 4.8% / OOV@20 0.323")
+    "q150_release_report" -> "release-report capstone — the dataset-card numbers a corpus release publishes as one (metric, value) artifact: doc/source/char/word counts, exact-dup fraction, trained-BPE token total + fertility, top-20 OOV rate. One corpus scan + the memoized BPE encode + the k-bounded vocab broadcast; three one-row scalar joins and an 8-row stack. Measured at sf0.001: 500 docs / 20 sources / 109,845 BPE tokens / fertility 3.93 / exact-dup 4.8% / OOV@20 0.323",
+    "q151_classifier_calibration" -> "classifier calibration curve — q116's AUC says the q108 scorer RANKS correctly (0.82); this reliability diagram says whether the score VALUES are probabilities (they gate q119/q120 sampling weights). Measured at sf0.001: scores occupy only deciles 6-8, and bin 6 predicts 0.68 while observing a 0.0 pass rate (gap 0.68) — ranked well, calibrated badly, exactly the distinction a curator needs before using scores as weights. Pure scan-stage features + a 10-row-bounded aggregate — nothing sees corpus cardinality",
+    "q152_temperature_mix" -> "temperature-scaled language mixing — the multilingual sampling rule w_i proportional to share^alpha at alpha 0.3/0.7 with the boost factor over proportional sampling; p^alpha/sum p^alpha == n^alpha/sum n^alpha, so the whole query is one lang-bounded aggregate + a one-row normalizer broadcast. Measured at sf0.001 (en 0.386 of docs, four tail langs ~0.15 each): alpha=0.7 takes en to w 0.32 (boost 0.84) and lifts each tail lang ~1.1x; alpha=0.3 flattens en to 0.25 — the dial between proportional and uniform",
+    "q153_corpus_quantiles" -> "exact per-source length quantiles via distributed value-counts — group to (source, n_chars) counts, per-source window over DISTINCT values (bounded by length resolution, never corpus rows), R-7 interpolation from the two covering rows per quantile. DuckDB quantile_cont is the oracle: green means the distributed form IS the textbook exact quantile — the dataset-card distribution table with no approx_percentile caveat and no corpus-sized sort",
+    "q154_centroid_drift" -> "semantic-index centroid drift — completes the monitoring wall (q145 vocab / q146 occupancy / q147 source mix): per IVF cell, cosine distance between base-slice and delta-slice member centroids in CODE space (the index stores only int8 codes at scale — q94's posture). Per-side cost is the quantizedIndex scan + a (cell,pos)-keyed aggregate bounded by 16 x dim; integer code sums are exact in doubles, so both engines agree before the final round. Measured at sf0.001: drift 0.40–0.76 across the 16 cells — the isotropic fixture's ~25-member cell means are noise-dominated, so HIGH drift is this fixture's baseline and a production index alarms on drift rising above its own trailing band, not an absolute",
+    "q155_release_diff" -> "release diff — q150's dataset card computed for the previous release (base slice) and the new one (base + delta), emitted as (metric, base, new, delta): the change-log a release publishes next to its card. Tokenizer HELD FIXED across sides (full-corpus merge table; fertility drift is corpus drift, not tokenizer drift). Two bounded scans + one-row scalar joins; the diff join is 7x7 metric rows",
+    "q156_containment_dedup" -> "asymmetric containment near-dup — the case Jaccard families are blind to: a short doc quoted inside a long one (containment |A∩B|/|A| ≈ 1, Jaccard small). Per LSH candidate pair only (q24's discipline): distinct char-8-gram counts, intersection via one set op, both directed containments, keep when either >= 0.5. Documented divergence: the MinHash generator is Jaccard-biased, so a production containment pass bands on the short side's gram sample; the rescoring semantics gated here are identical",
+    "q157_source_fertility" -> "per-source tokenizer fertility — the tokenizer-equity table of a multilingual release: a source with fertility far above the mean is under-served by the trained vocab and silently doc-down-sampled by token-denominated budgets (q140). Memoized q122 encode + source-bounded aggregate + one-row corpus-total broadcast. Measured at sf0.001: fertility 3.89–4.02 across the 20 sources (near-identical generators — the query's value is the production case where they diverge)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

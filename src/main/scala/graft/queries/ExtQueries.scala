@@ -429,22 +429,20 @@ object ExtQueries {
       .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
       .select(col("b_id").as("doc_id")).distinct()
       .select(lit("simhash").as("det"), col("doc_id"))
-    val toks = docs.select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
-      .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
-    val spans = toks.filter(col("n_spans") >= 1)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
-          i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
-          .as(Seq("span_idx", "span")))
-    val keptCount = spans
+    // span branch rides the shared spanFrame (q92's 16-hex keys —
+    // identical key rule: md5 of the space-joined 8-token slice); one
+    // window + one per-doc aggregate replaces the old explode + kept
+    // count + join-back (rows per doc == n_spans, so count(*) IS
+    // n_spans and no join against a per-doc token frame is needed).
+    // Docs with zero kept spans aggregate to n_kept = 0 here, exactly
+    // what the old left-join's coalesce produced
+    val sp = spanFrame(docs)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(substring(md5(col("span")), 1, 16))
-          .orderBy(col("doc_id"), col("span_idx"))))
-      .filter(col("rn") === 1)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-    val sp = toks.select(col("doc_id"), col("n_spans"))
-      .join(keptCount, Seq("doc_id"), "left")
-      .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
+        Window.partitionBy(col("k")).orderBy(col("doc_id"), col("span_idx"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"))
+      .filter(col("n_kept") * 2 < col("n_spans"))
       .select(lit("span").as("det"), col("doc_id"))
     val se = Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
         "embedding", tau = 0.4, nCells = 16)
@@ -2988,6 +2986,281 @@ object ExtQueries {
           .as(Seq("metric", "value")))
         .select(col("metric"), round(col("value"), 6).as("value"))
         .orderBy(col("metric"))
+    }),
+
+    // ---- classifier CALIBRATION curve: the reliability diagram that
+    //      complements q116's AUC — AUC says the scorer RANKS
+    //      rule-passing docs above failing ones (0.82), this says
+    //      whether the score VALUES are trustworthy as probabilities:
+    //      per predicted-score decile, mean predicted score vs
+    //      observed rule-pass rate and the |gap| a curator reads
+    //      before using the score as a sampling weight (q119/q120
+    //      both do exactly that). Same frozen q108 scorer and q100
+    //      label battery as q116, so the three classifier queries
+    //      stay in lockstep. Pure scan-stage features + a 10-row
+    //      aggregate — nothing here sees corpus cardinality ----
+    "q151_classifier_calibration" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("double").as("n_words"),
+          size(col("toks")).cast("long").as("n_words_l"),
+          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+          TA.punctRatio(col("text")).as("punct"),
+          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"),
+          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+            / size(col("ltoks")).cast("double"), 6).as("dup_frac"))
+      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+        lit(0.4) * abs(col("mwl") - lit(5.0)) +
+        lit(0.15) * log(lit(1.0) + col("n_words"))
+      val scored = f.select(
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (col("n_words_l") >= 50 && col("n_words_l") <= 100000 &&
+          round(col("mwl"), 6) >= 3.0 && round(col("mwl"), 6) <= 10.0 &&
+          round(col("stop"), 6) >= 0.02 &&
+          col("dup_frac") <= 0.9).cast("long").as("label"))
+      scored
+        .withColumn("bin", least(floor(col("score") * 10), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("score")), 6).as("mean_score"),
+          round(avg(col("label").cast("double")), 6).as("pos_rate"))
+        .select(col("bin"), col("n"), col("mean_score"), col("pos_rate"),
+          round(abs(col("mean_score") - col("pos_rate")), 6).as("gap"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- TEMPERATURE-scaled language mixing: the multilingual-corpus
+    //      sampling rule w_i ∝ share_i^α — α=1 is proportional (head
+    //      languages dominate), α→0 is uniform (tail languages
+    //      overfit); the 0.3/0.7 columns bracket the standard
+    //      operating range, and boost_a07 is the head-suppression /
+    //      tail-amplification factor a curator applies on top of the
+    //      q140 budget or the q133 per-source sampler. Grouped by
+    //      LANG, the axis the temperature rule exists for (the
+    //      fixture's sources are exactly uniform — boost ≡ 1, a
+    //      degenerate sweep). Since p_i^α/Σp_j^α = n_i^α/Σn_j^α, the
+    //      whole query is one lang-cardinality-bounded aggregate + a
+    //      one-row scalar broadcast — no corpus-sized anything ----
+    "q152_temperature_mix" -> ((s, d) => {
+      val n = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val t = n.agg(sum(col("n_docs")).as("tot"),
+        sum(pow(col("n_docs").cast("double"), lit(0.3))).as("z03"),
+        sum(pow(col("n_docs").cast("double"), lit(0.7))).as("z07"))
+      n.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("tot"), 6).as("share"),
+          round(pow(col("n_docs").cast("double"), lit(0.3)) / col("z03"), 6)
+            .as("w_a03"),
+          round(pow(col("n_docs").cast("double"), lit(0.7)) / col("z07"), 6)
+            .as("w_a07"),
+          round(pow(col("n_docs").cast("double"), lit(0.7)) / col("z07") /
+            (col("n_docs").cast("double") / col("tot")), 6).as("boost_a07"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- corpus DISTRIBUTION quantiles: exact per-source p25/p50/
+    //      p75/p95 of doc length — the dataset-card distribution table
+    //      — via the distributed-quantile-by-value-counts shape (q99's
+    //      discipline): group to (source, n_chars) counts, one
+    //      per-source window over DISTINCT values (bounded by length
+    //      resolution, not corpus rows), then the R-7 interpolation
+    //      v_lo + frac·(v_hi − v_lo) computed from the two covering
+    //      rows per quantile. DuckDB's quantile_cont is the oracle, so
+    //      green means the distributed form IS the textbook exact
+    //      quantile — no approx_percentile divergence to explain.
+    //      NEVER a corpus-sized sort: the only row-cardinality work is
+    //      the (source, n_chars) group-by ----
+    "q153_corpus_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = vc
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+          bySrc.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(bySrc))
+      val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      // per quantile: the value at rank floor(h) and ceil(h), where
+      // h = (n-1)·p over 0-based ranks; a (source, n_chars) row covers
+      // ranks [cum_before, cum_before + cnt)
+      val aggCols = qs.flatMap { case (p, nm) =>
+        val h = (col("n") - 1).cast("double") * lit(p)
+        val lo = floor(h); val hi = ceil(h)
+        Seq(
+          max(when(col("cum_before") <= lo &&
+            lo < col("cum_before") + col("cnt"), col("n_chars")))
+            .as(s"${nm}_lo"),
+          max(when(col("cum_before") <= hi &&
+            hi < col("cum_before") + col("cnt"), col("n_chars")))
+            .as(s"${nm}_hi"))
+      }
+      val agg = cum.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), aggCols: _*)
+      val out = qs.foldLeft(agg) { case (df, (p, nm)) =>
+        val h = (col("n_docs") - 1).cast("double") * lit(p)
+        df.withColumn(nm, round(col(s"${nm}_lo").cast("double") +
+          (h - floor(h).cast("double")) *
+          (col(s"${nm}_hi") - col(s"${nm}_lo")).cast("double"), 6))
+      }
+      out.select(col("source"), col("n_docs"), col("p25"), col("p50"),
+        col("p75"), col("p95")).orderBy(col("source"))
+    }),
+
+    // ---- index centroid DRIFT monitor: the semantic-index companion
+    //      to q145 (vocab drift) / q146 (occupancy skew) / q147
+    //      (source mix): per IVF cell, the cosine distance between the
+    //      base slice's member centroid and the delta slice's — the
+    //      number that says the embedding DISTRIBUTION moved inside a
+    //      cell even when occupancy looks stable, i.e. the coarse
+    //      centroids no longer summarize the data (retrain trigger for
+    //      q130's Lloyd step, upstream-encoder-change alarm). Member
+    //      means are computed in code space (the index stores only
+    //      int8 codes at scale — q94's posture); per-side cost is the
+    //      quantizedIndex scan + a (cell, pos)-keyed aggregate bounded
+    //      by 16·dim, and the drift join is 16·dim rows. Integer code
+    //      sums are exact in doubles, so both engines agree bit-for-
+    //      bit before the final round ----
+    "q154_centroid_drift" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      def cellMeans(side: DataFrame): DataFrame =
+        Similarity.quantizedIndex(side, "vec_id", "embedding")
+          .select(col("cell"), posexplode(col("code")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("v").cast("double")).as("m"), count(lit(1)).as("n"))
+      val b = cellMeans(emb.filter(!isDelta(col("vec_id"))))
+        .select(col("cell"), col("pos"), col("m").as("bm"), col("n").as("bn"))
+      val dl = cellMeans(emb.filter(isDelta(col("vec_id"))))
+        .select(col("cell"), col("pos"), col("m").as("dm"), col("n").as("dn"))
+      b.join(dl, Seq("cell", "pos"), "full_outer")
+        .groupBy(col("cell"))
+        .agg(max(col("bn")).as("nb"), max(col("dn")).as("nd"),
+          sum(col("bm") * col("dm")).as("bd"),
+          sum(col("bm") * col("bm")).as("bb"),
+          sum(col("dm") * col("dm")).as("dd"))
+        .select(col("cell"),
+          coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nd"), lit(0L)).as("n_delta"),
+          when(col("bb") > 0 && col("dd") > 0,
+            round(lit(1.0) - col("bd") / sqrt(col("bb") * col("dd")), 6))
+            .as("drift"))
+        .orderBy(col("cell"))
+    }),
+
+    // ---- RELEASE diff: q150's dataset card computed for the PREVIOUS
+    //      release (the base slice) and the NEW release (base + delta
+    //      ingested), emitted as (metric, base, new, delta) — the
+    //      change-log table a corpus release publishes next to its
+    //      card, and the last artifact of the monitoring layer
+    //      (q145/q147 watch the delta arriving; this records what it
+    //      did to the released numbers). The tokenizer is HELD FIXED
+    //      across both sides (the full-corpus trained merge table, the
+    //      deployment rule — you don't retrain the tokenizer per
+    //      nightly ingest), so bpe_fertility drift is corpus drift,
+    //      not tokenizer drift. Two bounded scans + one-row scalar
+    //      joins; the diff join is 7×7 rows ----
+    "q155_release_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = bpeEncoded(s, d)
+      def card(dd: DataFrame, ee: DataFrame): DataFrame = {
+        val base = dd.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          countDistinct(col("source")).cast("double").as("n_sources"),
+          avg(length(col("text"))).as("avg_doc_chars"),
+          sum(size(TA.wsTokens(lower(col("text"))))).cast("double")
+            .as("n_words"),
+          countDistinct(md5(lower(substring(col("text"), 1, 40))))
+            .cast("double").as("n_keys"))
+        val bpe = ee.agg(sum(col("n_tokens")).cast("double").as("n_bpe"))
+        base.crossJoin(broadcast(bpe)).select(expr(
+          """stack(7,
+             'avg_doc_chars', avg_doc_chars,
+             'bpe_fertility', n_bpe / n_words,
+             'exact_dup_frac', 1.0 - n_keys / n_docs,
+             'n_bpe_tokens', n_bpe,
+             'n_docs', n_docs,
+             'n_sources', n_sources,
+             'n_words', n_words)""")
+          .as(Seq("metric", "value")))
+      }
+      val b = card(docs.filter(!isDeltaDoc(col("doc_id"))),
+          enc.filter(!isDeltaDoc(col("doc_id"))))
+        .select(col("metric"), col("value").as("base_value"))
+      val n = card(docs, enc).select(col("metric"), col("value").as("new_value"))
+      b.join(n, Seq("metric"))
+        .select(col("metric"),
+          round(col("base_value"), 6).as("base_value"),
+          round(col("new_value"), 6).as("new_value"),
+          round(col("new_value") - col("base_value"), 6).as("delta"))
+        .orderBy(col("metric"))
+    }),
+
+    // ---- asymmetric CONTAINMENT near-dup: the detector Jaccard-based
+    //      families are blind to — a short doc QUOTED inside a longer
+    //      one has tiny Jaccard (union is the long doc) but
+    //      containment |A∩B|/|A| ≈ 1. Per LSH candidate pair: distinct
+    //      char-8-gram counts, the intersection, Jaccard and BOTH
+    //      directed containments; kept where either containment ≥ 0.5.
+    //      Candidates-only discipline (q24's rule): the gram-set
+    //      intersection runs per LSH pair, never per corpus pair.
+    //      DIVERGENCE NOTE (documented, inherent): the MinHash
+    //      candidate generator is itself Jaccard-biased, so a
+    //      containment pass at production scale would band on the
+    //      SHORT side's gram sample instead; the rescoring semantics
+    //      gated here are identical either way ----
+    "q156_containment_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+      val gr = docs.select(col("doc_id"),
+        array_distinct(Dedup.charShingles(col("text"), 8)).as("g"))
+      cand
+        .join(gr.select(col("doc_id").as("a_id"), col("g").as("ga")), Seq("a_id"))
+        .join(gr.select(col("doc_id").as("b_id"), col("g").as("gb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(col("ga")).cast("long").as("na"),
+          size(col("gb")).cast("long").as("nb"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long")
+            .as("n_common"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("a_id"), col("b_id"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 6).as("jaccard"),
+          round(col("n_common").cast("double") / col("na"), 6).as("cont_a"),
+          round(col("n_common").cast("double") / col("nb"), 6).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- per-source tokenizer FERTILITY: q150's corpus-wide
+    //      fertility row broken out by source — the tokenizer-equity
+    //      table a multilingual release publishes (a source whose
+    //      fertility is far above the corpus mean is under-served by
+    //      the trained vocab: its docs cost more tokens per word, so
+    //      a token-denominated budget like q140's silently
+    //      down-samples it in DOCUMENTS even at equal token share).
+    //      Memoized q122 encode + one source-bounded aggregate + the
+    //      one-row corpus-total broadcast (q48's pattern) ----
+    "q157_source_fertility" -> ((s, d) => {
+      val enc = bpeEncoded(s, d)
+      val t = enc.agg(sum(col("n_tokens")).as("tot"))
+      enc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_tokens").cast("double") / col("tot"), 6)
+            .as("token_share"))
+        .orderBy(col("source"))
     }))
 
   private def duckToks(expr: String) =
@@ -3245,6 +3518,61 @@ object ExtQueries {
     * the Spark side's fold over collected merges), then count
     * non-empty symbols and sum per doc.
     */
+  /** q154 oracle helper: one side's quantize → code-space cell
+    * assignment → per-(cell, pos) member-mean chain (the q146/q94 CTE
+    * chain with a side predicate, carrying dcode through to the mean).
+    * `p` prefixes the CTE names; `where` is the side predicate on
+    * vec_id.
+    */
+  private def quantCellMeanCtes(p: String, where: String): String = s"""
+         ${p}s AS (SELECT vec_id, embedding,
+             coalesce(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale0
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND $where),
+         ${p}qz AS (SELECT vec_id,
+             CASE WHEN scale0 > 0 THEN list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale0) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+           FROM ${p}s),
+         ${p}cd AS (SELECT vec_id,
+             list_transform(code, x -> CAST(x AS DOUBLE)) AS dcode FROM ${p}qz),
+         ${p}nn AS (SELECT vec_id, dcode FROM ${p}cd
+           WHERE list_inner_product(dcode, dcode) > 0),
+         ${p}ca AS (SELECT vec_id, cell, dcode FROM (
+             SELECT vec_id, cell, dcode,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
+             FROM ${p}nn, cent) t WHERE rn = 1),
+         ${p}m AS (SELECT cell, pos, AVG(v) AS m, COUNT(*) AS n FROM (
+             SELECT cell, generate_subscripts(dcode, 1) AS pos,
+               unnest(dcode) AS v FROM ${p}ca) u GROUP BY 1, 2)"""
+
+  /** q155 oracle helper: one side's dataset-card scalar CTEs (`p`
+    * prefixes names, `pred` is the side predicate on doc_id; the BPE
+    * totals filter the SHARED full-corpus-trained `enc` — the
+    * tokenizer is held fixed across releases).
+    */
+  private def releaseCardCtes(p: String, pred: String): String = s"""
+         ${p}bs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+             AVG(len(text)) AS avg_chars,
+             CAST(SUM(len(${duckToks("text")})) AS DOUBLE) AS n_words,
+             CAST(COUNT(DISTINCT md5(lower(substr(text, 1, 40)))) AS DOUBLE)
+               AS n_keys
+           FROM documents WHERE $pred),
+         ${p}bt AS (SELECT CAST(SUM(coalesce(n_tokens, 0)) AS DOUBLE) AS nbpe
+           FROM enc WHERE $pred),
+         ${p}u AS (SELECT metric, value FROM (
+           SELECT 'avg_doc_chars' AS metric, avg_chars AS value FROM ${p}bs
+           UNION ALL SELECT 'bpe_fertility', nbpe / n_words
+             FROM ${p}bs CROSS JOIN ${p}bt
+           UNION ALL SELECT 'exact_dup_frac', 1.0 - n_keys / n_docs FROM ${p}bs
+           UNION ALL SELECT 'n_bpe_tokens', nbpe FROM ${p}bt
+           UNION ALL SELECT 'n_docs', n_docs FROM ${p}bs
+           UNION ALL SELECT 'n_sources', n_sources FROM ${p}bs
+           UNION ALL SELECT 'n_words', n_words FROM ${p}bs) v)"""
+
   private lazy val bpeEncodeCtes: String = {
     val S = "\u0001"; val SS = S + S
     val rep0 = s"'$SS' || regexp_replace(w, '(.)', '\\1$SS', 'g')"
@@ -5008,7 +5336,121 @@ object ExtQueries {
            UNION ALL SELECT 'n_sources', n_sources FROM bs
            UNION ALL SELECT 'n_words', n_words FROM bs
            UNION ALL SELECT 'oov_rate_top20', oov FROM ov) u
-         ORDER BY metric""")
+         ORDER BY metric""",
+    "q151_classifier_calibration" -> s"""
+         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks,
+             ${duckToks("lower(text)")} AS ltoks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(len(toks) AS BIGINT) AS n_words_l,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop,
+             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS dup_frac
+           FROM t),
+         scored AS (SELECT
+             round(1.0 / (1.0 + exp(-(0.5 + 4.0 * stop - 6.0 * punct
+               - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words)))), 6) AS score,
+             CAST(n_words_l >= 50 AND n_words_l <= 100000
+               AND round(mwl, 6) >= 3.0 AND round(mwl, 6) <= 10.0
+               AND round(stop, 6) >= 0.02 AND dup_frac <= 0.9 AS BIGINT) AS label
+           FROM f),
+         b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             score, label FROM scored),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             round(AVG(score), 6) AS mean_score,
+             round(AVG(CAST(label AS DOUBLE)), 6) AS pos_rate
+           FROM b GROUP BY 1)
+         SELECT bin, n, mean_score, pos_rate,
+           round(abs(mean_score - pos_rate), 6) AS gap
+         FROM g ORDER BY bin""",
+    "q152_temperature_mix" -> """
+         WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT SUM(n_docs) AS tot,
+             SUM(pow(n_docs, 0.3)) AS z03, SUM(pow(n_docs, 0.7)) AS z07
+           FROM n)
+         SELECT lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) / tot, 6) AS share,
+           round(pow(n_docs, 0.3) / z03, 6) AS w_a03,
+           round(pow(n_docs, 0.7) / z07, 6) AS w_a07,
+           round(pow(n_docs, 0.7) / z07 / (CAST(n_docs AS DOUBLE) / tot), 6)
+             AS boost_a07
+         FROM n CROSS JOIN t ORDER BY lang""",
+    "q153_corpus_quantiles" -> """
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+         FROM documents GROUP BY source ORDER BY source""",
+    "q154_centroid_drift" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         ${quantCellMeanCtes("b",
+           "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${quantCellMeanCtes("d",
+           "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')")},
+         j AS (SELECT COALESCE(bm.cell, dm.cell) AS cell,
+             bm.m AS bmv, bm.n AS bn, dm.m AS dmv, dm.n AS dn
+           FROM bm FULL OUTER JOIN dm
+             ON bm.cell = dm.cell AND bm.pos = dm.pos),
+         g AS (SELECT cell, MAX(bn) AS nb, MAX(dn) AS nd,
+             SUM(bmv * dmv) AS bd, SUM(bmv * bmv) AS bb, SUM(dmv * dmv) AS dd
+           FROM j GROUP BY 1)
+         SELECT cell, CAST(COALESCE(nb, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(nd, 0) AS BIGINT) AS n_delta,
+           CASE WHEN bb > 0 AND dd > 0
+             THEN round(1.0 - bd / sqrt(bb * dd), 6) END AS drift
+         FROM g ORDER BY cell""",
+    "q155_release_diff" -> s"""
+         WITH $bpeEncodeCtes,
+         ${releaseCardCtes("b",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${releaseCardCtes("n", "TRUE")}
+         SELECT metric, round(b.value, 6) AS base_value,
+           round(n.value, 6) AS new_value,
+           round(n.value - b.value, 6) AS delta
+         FROM bu b JOIN nu n USING (metric) ORDER BY metric""",
+    "q156_containment_dedup" -> s"""
+         WITH $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM sh GROUP BY 1),
+         ix AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM cand c JOIN sh x ON x.doc_id = c.a_id
+             JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+         m AS (SELECT c.a_id, c.b_id, ga.ng AS na, gb.ng AS nb,
+             COALESCE(ix.n_common, 0) AS n_common
+           FROM cand c JOIN gr ga ON ga.doc_id = c.a_id
+             JOIN gr gb ON gb.doc_id = c.b_id
+             LEFT JOIN ix ON ix.a_id = c.a_id AND ix.b_id = c.b_id)
+         SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard,
+           round(CAST(n_common AS DOUBLE) / na, 6) AS cont_a,
+           round(CAST(n_common AS DOUBLE) / nb, 6) AS cont_b
+         FROM m WHERE na > 0 AND nb > 0
+           AND greatest(round(CAST(n_common AS DOUBLE) / na, 6),
+                        round(CAST(n_common AS DOUBLE) / nb, 6)) >= 0.5
+         ORDER BY a_id, b_id""",
+    "q157_source_fertility" -> s"""
+         WITH $bpeEncodeCtes,
+         g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens
+           FROM enc GROUP BY 1),
+         t AS (SELECT SUM(n_tokens) AS tot FROM g)
+         SELECT source, n_docs, n_words, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+           round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share
+         FROM g CROSS JOIN t ORDER BY source""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
