@@ -31,17 +31,17 @@ object PlanAudit {
     "q99_ccnet_buckets" -> "one-row broadcast of the vocab-size scalar inside bigramLmScore (q87's pattern)",
     "q104_hard_negatives" -> "16-row broadcast centroid frame (IVF cell assignment, q44's fan-out)",
     "q105_label_balance" -> "one-row broadcast of the max label count (epoch computation)",
-    "q113_dedup_agreement" -> "q86's bounded 16-row centroid-assignment BNLJ inside the semantic drop set (q44's fan-out)",
+    "q113_dedup_agreement" -> "dropsets consumers now SCAN the persisted drop-set artifact; kept allowlisted for the artifact-write path (q86's bounded 16-row centroid BNLJ inside the semantic pipeline) when a cold session materializes it at plan time",
     "q114_lsh_recall" -> "brute-force exact truth side: bounded ~3.4% doc sample broadcast against the prefix projection (q25/q76's fenced design)",
-    "q117_source_dedup_report" -> "q86's bounded 16-row centroid-assignment BNLJ via dedupDropSets (same as q113)",
+    "q117_source_dedup_report" -> "scans the persisted drop-set artifact (see q113); allowlisted for the cold-session artifact-write path",
     "q118_semantic_tau_sweep" -> "q86's bounded 16-row centroid-assignment BNLJ inside semanticMaxSim (q44's fan-out)",
     "q121_ivf_probe_sweep" -> "q76's fenced exact side + five q44 centroid-assignment BNLJs (one per probe level)",
-    "q124_detector_truth_eval" -> "one-row broadcast of the truth-set-size scalar (q48's pattern) + q86's bounded centroid BNLJ via dedupDropSets (same as q113)",
+    "q124_detector_truth_eval" -> "one-row broadcast of the truth-set-size scalar (q48's pattern); drop sets read from the persisted artifact (see q113)",
     "q127_pq_ann" -> "16-row broadcast centroid frame (IVF cell assignment feeding the PQ candidate join, q44's fan-out)",
     "q128_pq_recall" -> "brute-force exact-IP truth side (q25/q76's fenced design) + q127's bounded centroid assignment",
     "q134_truncation_recall" -> "fenced eval: bounded-query brute force on both the exact side and the four prefix-truncation sides (q25/q76's design)",
     "q136_pq_trained_recall" -> "brute-force exact-IP truth side (q128's fenced design) + bounded centroid assignment for the trained-codebook ADC side",
-    "q138_dedup_token_impact" -> "one-row broadcast of the corpus-token-total scalar (q48's pattern) + q86's bounded centroid BNLJ via dedupDropSets (same as q113/q117)",
+    "q138_dedup_token_impact" -> "one-row broadcast of the corpus-token-total scalar (q48's pattern); drop sets read from the persisted artifact (see q113)",
     "q140_token_budget_mix" -> "one-row broadcast of the source-count scalar against the source-cardinality-bounded per-source frame (q48's pattern)",
     "q143_cluster_purity" -> "two one-row broadcast scalars (P and T pair totals) joined to the one-row TP frame (q48's pattern; the metric row is 1x1x1)",
     "q146_index_cell_stats" -> "16-row broadcast centroid frame inside quantizedIndex (q94's fan-out); the stats reduce to one row",

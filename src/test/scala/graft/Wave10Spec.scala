@@ -162,4 +162,37 @@ class Wave10Spec extends SparkSpec {
     val nW = rows.map(_._3).sum
     assert(enc > nW, "BPE tokens should exceed whitespace words")
   }
+
+  test("q158 incremental containment: pairs are strictly cross-side") {
+    def isDelta(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "012".contains(f"${hex(0) & 0xff}%02x".charAt(0))
+    }
+    val rows = SparkEntry.queries("q158_incremental_containment")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty, "no cross-side containment pairs at sf0.001")
+    for (r <- rows) {
+      assert(isDelta(r.getLong(0)), s"delta_id ${r.getLong(0)} is not delta-side")
+      assert(!isDelta(r.getLong(1)), s"base_id ${r.getLong(1)} is not base-side")
+      val (j, cd, cb) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(j <= cd + 1e-9 && j <= cb + 1e-9)
+      assert(math.max(cd, cb) >= 0.5 - 1e-9)
+    }
+  }
+
+  test("q159 trim: the [p05, p95] cut keeps the expected central mass") {
+    val rows = SparkEntry.queries("q159_length_trim")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    for ((src, nDocs, nKept, frac, lo, hi) <- rows) {
+      assert(lo <= hi, s"$src cuts inverted")
+      assert(nKept <= nDocs)
+      // an exact [p05, p95] interval holds ~90% of the mass; at 25
+      // docs/source the discrete cut rounds down to 21/25 = 0.84
+      // (measured 0.84–0.88 at sf0.001, 0.896–0.904 at sf0.1)
+      assert(frac >= 0.80 && frac < 1.0, s"$src keeps $frac")
+      assert(math.abs(frac - nKept.toDouble / nDocs) < 1e-6)
+    }
+  }
 }
