@@ -96,7 +96,8 @@ object PlanReport {
     "q156_containment_dedup" -> "asymmetric containment near-dup — the case Jaccard families are blind to: a short doc quoted inside a long one (containment |A∩B|/|A| ≈ 1, Jaccard small). Per LSH candidate pair only (q24's discipline): distinct char-8-gram counts, intersection via one set op, both directed containments, keep when either >= 0.5. Documented divergence: the MinHash generator is Jaccard-biased, so a production containment pass bands on the short side's gram sample; the rescoring semantics gated here are identical",
     "q157_source_fertility" -> "per-source tokenizer fertility — the tokenizer-equity table of a multilingual release: a source with fertility far above the mean is under-served by the trained vocab and silently doc-down-sampled by token-denominated budgets (q140). Memoized q122 encode + source-bounded aggregate + one-row corpus-total broadcast. Measured at sf0.001: fertility 3.89–4.02 across the 20 sources (near-identical generators — the query's value is the production case where they diverge)",
     "q158_incremental_containment" -> "incremental containment — q156's asymmetric detector in the nightly-ingest direction (q91's cross-side discipline): only delta x base candidate pairs are rescored, the question a corpus build asks per ingest; gram sets join candidates-keyed, the base corpus is scanned once and never self-paired. Per-ingest cost proportional to the delta's candidates",
-    "q159_length_trim" -> "distribution-trimmed corpus — the ACTION q153's quantile table exists for: per-source [p05, p95] robust length trim (cut per SOURCE so a global cut can't amputate legitimately-long sources). Shares sourceQuantiles; the cut table is source-cardinality-bounded and broadcast, so the trim is a scan-stage filter at any corpus size. Measured: keep_frac 0.84-0.88 at sf0.001 (25 docs/source — the discrete cut rounds down) converging to 0.896-0.904 at sf0.1, exactly the ~90% central mass the interval promises")
+    "q159_length_trim" -> "distribution-trimmed corpus — the ACTION q153's quantile table exists for: per-source [p05, p95] robust length trim (cut per SOURCE so a global cut can't amputate legitimately-long sources). Shares sourceQuantiles; the cut table is source-cardinality-bounded and broadcast, so the trim is a scan-stage filter at any corpus size. Measured: keep_frac 0.84-0.88 at sf0.001 (25 docs/source — the discrete cut rounds down) converging to 0.896-0.904 at sf0.1, exactly the ~90% central mass the interval promises",
+    "q160_stream_containment" -> "STREAMING containment — the containment family's streaming loop, making it the FIFTH detector family with the full batch (q156) / incremental (q158) / streaming lifecycle: per-micro-batch signatures equi-join the persisted base signature table (q95's artifact + count table), candidate pairs rescore with directed containment against gram sets of exactly the candidate base docs, flagged pairs append through the idempotent batch_id-partitioned sink. Gated on the SAME oracle as q158 (q115/q149's value-identity proof pattern); interior batch plan CI-audited keyed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -222,6 +222,41 @@ object ExtQueries {
       .select(col("delta_id"), col("base_id"), col("hamming"))
   }
 
+  /** q160's per-micro-batch body: the batch's LSH candidates against
+    * the persisted base signature table ([[streamBatchCandidates]]
+    * verbatim), rescored with q156/q158's directed containment — gram
+    * sets computed for the batch rows and for exactly the candidate
+    * base docs (candidates-keyed join into the base corpus scan; the
+    * base side is never self-paired and never fully gram-exploded).
+    * Factored so the replay spec and the interior-plan audit drive
+    * the same frame the query appends.
+    */
+  private[graft] def streamBatchContainment(batch: DataFrame,
+      baseSig: DataFrame, baseDocs: DataFrame, maxBucket: Int = 10000,
+      baseCounts: Option[DataFrame] = None): DataFrame = {
+    val cand = streamBatchCandidates(batch, baseSig, maxBucket, baseCounts)
+      .select(col("delta_id"), col("base_id"))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      array_distinct(Dedup.charShingles(col("text"), 8)).as("g"))
+    cand
+      .join(grams(batch).select(col("doc_id").as("delta_id"),
+        col("g").as("gd")), Seq("delta_id"))
+      .join(grams(baseDocs).select(col("doc_id").as("base_id"),
+        col("g").as("gb")), Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        size(col("gd")).cast("long").as("nd"),
+        size(col("gb")).cast("long").as("nb"),
+        size(array_intersect(col("gd"), col("gb"))).cast("long")
+          .as("n_common"))
+      .filter(col("nd") > 0 && col("nb") > 0)
+      .select(col("delta_id"), col("base_id"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("nd") + col("nb") - col("n_common")), 6).as("jaccard"),
+        round(col("n_common").cast("double") / col("nd"), 6).as("cont_delta"),
+        round(col("n_common").cast("double") / col("nb"), 6).as("cont_base"))
+      .filter(greatest(col("cont_delta"), col("cont_base")) >= 0.5)
+  }
+
   /** q135's per-micro-batch body: the batch's cell index against the
     * persisted base cell index, cross-side in-threshold pairs only —
     * the semantic family's [[streamBatchCandidates]] twin, factored so
@@ -3370,6 +3405,63 @@ object ExtQueries {
             .as("keep_frac"),
           col("lo_cut"), col("hi_cut"))
         .orderBy(col("source"))
+    }),
+
+    // ---- STREAMING containment — the containment family's streaming
+    //      loop, making it the FIFTH detector family with the full
+    //      batch (q156) / incremental (q158) / streaming (here)
+    //      lifecycle: delta docs arrive as a 4-micro-batch file
+    //      stream; each batch's banded signatures equi-join the
+    //      PERSISTED base signature table (q95's artifact + count
+    //      table — no base×base work, no corpus signature rescan),
+    //      candidate pairs rescore with the directed containment
+    //      against gram sets computed for exactly the candidate base
+    //      docs, and flagged pairs append through the idempotent
+    //      batch_id-partitioned K2 sink. Gated on the SAME oracle as
+    //      q158 — the streaming path must be value-identical to the
+    //      batch incremental path (q115/q91's proof pattern).
+    //      (Divergence note, as q115: the bucket cap applies per
+    //      base+batch bucket here vs the whole-corpus bucket in
+    //      q156/q158 — identical below the cap.) ----
+    "q160_stream_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
+      val sigDir = CoreQueries.sharedInputDir(
+        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        Dedup.bandedSignatures(baseDocs, "text", "doc_id", k = 8)
+          .write.mode("overwrite").parquet(p)
+      }
+      val baseSig = s.read.parquet(sigDir)
+      val baseCnt = sigCountArtifact(s,
+        s"graft_q95cnt_${new java.io.File(d).getName}", baseSig)
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q160_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q160_scont_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              streamBatchContainment(batch.toDF(), baseSig, baseDocs,
+                baseCounts = Some(baseCnt)), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("delta_id"), col("base_id"), col("n_common"),
+          col("jaccard"), col("cont_delta"), col("cont_base"))
+        .orderBy(col("delta_id"), col("base_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -3627,6 +3719,48 @@ object ExtQueries {
     * the Spark side's fold over collected merges), then count
     * non-empty symbols and sum per doc.
     */
+  /** The q158/q160 shared oracle: cross-side (delta×base) LSH
+    * candidate pairs rescored with directed containment — one SQL pins
+    * both the batch incremental path and the streaming path (q148/q149's
+    * proof pattern: the shared green row IS the value-identity claim).
+    */
+  private lazy val incrementalContainmentSql: String = s"""
+         WITH $bandedSigSql,
+         sd AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
+           FROM documents),
+         cand0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         cand AS (SELECT
+             CASE WHEN sa.side = 'delta' THEN a_id ELSE b_id END AS delta_id,
+             CASE WHEN sa.side = 'delta' THEN b_id ELSE a_id END AS base_id
+           FROM cand0 JOIN sd sa ON sa.doc_id = a_id
+             JOIN sd sb ON sb.doc_id = b_id
+           WHERE sa.side <> sb.side),
+         gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+           FROM sh GROUP BY 1),
+         ix AS (SELECT c.delta_id, c.base_id, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM cand c JOIN sh x ON x.doc_id = c.delta_id
+             JOIN sh y ON y.doc_id = c.base_id AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+         m AS (SELECT c.delta_id, c.base_id, gd.ng AS nd, gb.ng AS nb,
+             COALESCE(ix.n_common, 0) AS n_common
+           FROM cand c JOIN gr gd ON gd.doc_id = c.delta_id
+             JOIN gr gb ON gb.doc_id = c.base_id
+             LEFT JOIN ix ON ix.delta_id = c.delta_id
+               AND ix.base_id = c.base_id)
+         SELECT delta_id, base_id, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / (nd + nb - n_common), 6) AS jaccard,
+           round(CAST(n_common AS DOUBLE) / nd, 6) AS cont_delta,
+           round(CAST(n_common AS DOUBLE) / nb, 6) AS cont_base
+         FROM m WHERE nd > 0 AND nb > 0
+           AND greatest(round(CAST(n_common AS DOUBLE) / nd, 6),
+                        round(CAST(n_common AS DOUBLE) / nb, 6)) >= 0.5
+         ORDER BY delta_id, base_id"""
+
   /** q154 oracle helper: one side's quantize → code-space cell
     * assignment → per-(cell, pos) member-mean chain (the q146/q94 CTE
     * chain with a side predicate, carrying dcode through to the mean).
@@ -5560,42 +5694,10 @@ object ExtQueries {
            round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
            round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share
          FROM g CROSS JOIN t ORDER BY source""",
-    "q158_incremental_containment" -> s"""
-         WITH $bandedSigSql,
-         sd AS (SELECT doc_id,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
-           FROM documents),
-         cand0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
-             AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         cand AS (SELECT
-             CASE WHEN sa.side = 'delta' THEN a_id ELSE b_id END AS delta_id,
-             CASE WHEN sa.side = 'delta' THEN b_id ELSE a_id END AS base_id
-           FROM cand0 JOIN sd sa ON sa.doc_id = a_id
-             JOIN sd sb ON sb.doc_id = b_id
-           WHERE sa.side <> sb.side),
-         gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
-           FROM sh GROUP BY 1),
-         ix AS (SELECT c.delta_id, c.base_id, CAST(COUNT(*) AS BIGINT) AS n_common
-           FROM cand c JOIN sh x ON x.doc_id = c.delta_id
-             JOIN sh y ON y.doc_id = c.base_id AND y.shingle = x.shingle
-           GROUP BY 1, 2),
-         m AS (SELECT c.delta_id, c.base_id, gd.ng AS nd, gb.ng AS nb,
-             COALESCE(ix.n_common, 0) AS n_common
-           FROM cand c JOIN gr gd ON gd.doc_id = c.delta_id
-             JOIN gr gb ON gb.doc_id = c.base_id
-             LEFT JOIN ix ON ix.delta_id = c.delta_id
-               AND ix.base_id = c.base_id)
-         SELECT delta_id, base_id, CAST(n_common AS BIGINT) AS n_common,
-           round(CAST(n_common AS DOUBLE) / (nd + nb - n_common), 6) AS jaccard,
-           round(CAST(n_common AS DOUBLE) / nd, 6) AS cont_delta,
-           round(CAST(n_common AS DOUBLE) / nb, 6) AS cont_base
-         FROM m WHERE nd > 0 AND nb > 0
-           AND greatest(round(CAST(n_common AS DOUBLE) / nd, 6),
-                        round(CAST(n_common AS DOUBLE) / nb, 6)) >= 0.5
-         ORDER BY delta_id, base_id""",
+    "q158_incremental_containment" -> incrementalContainmentSql,
+    // the streaming min-batched containment path must equal the batch
+    // incremental rule — one oracle pins both (q149/q148's pattern)
+    "q160_stream_containment" -> incrementalContainmentSql,
     "q159_length_trim" -> """
          WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              round(quantile_cont(n_chars, 0.05), 6) AS lo_cut,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * registered query's physical plan must be free of cartesian products
   * and non-allowlisted BroadcastNestedLoopJoins. Plans are only BUILT
   * (never executed) — with known exceptions: q112, the streaming
-  * ingest queries (q115/q123/q135/q137/q144/q149), the
+  * ingest queries (q115/q123/q135/q137/q144/q149/q160), the
   * cluster-maintenance queries (q141/q142, whose CC loop iterates
   * eagerly), and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkSpec {
         docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
         graft.queries.ExtQueries.simhashBaseSig(
           docs.filter(col("doc_id") % 2 === 0))))
+    // q160's interior plan: candidates keyed on (band, minhash), gram
+    // rescore keyed on delta_id/base_id — no unkeyed join anywhere
+    assertKeyed("streamBatchContainment",
+      graft.queries.ExtQueries.streamBatchContainment(
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        baseSig, docs.filter(col("doc_id") % 2 === 0)))
     assertKeyed("normalizedRunE1",
       graft.queries.CoreQueries.normalizedRunE1(spark, sf0001, "r1", 0, false))
     // q135's interior batch plan legitimately carries the DESIGNED

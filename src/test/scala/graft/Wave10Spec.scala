@@ -181,6 +181,18 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("q160 streaming containment == q158 batch incremental, row for row") {
+    // the shared DuckDB oracle already pins both; this is the direct
+    // in-engine statement of the same claim (q149/q148's pattern)
+    val stream = SparkEntry.queries("q160_stream_containment")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q158_incremental_containment")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"stream-only: ${stream.diff(batch)}; batch-only: ${batch.diff(stream)}")
+    assert(stream.nonEmpty)
+  }
+
   test("q159 trim: the [p05, p95] cut keeps the expected central mass") {
     val rows = SparkEntry.queries("q159_length_trim")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
