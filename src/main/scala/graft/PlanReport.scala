@@ -93,7 +93,7 @@ object PlanReport {
     "q153_corpus_quantiles" -> "exact per-source length quantiles via distributed value-counts — group to (source, n_chars) counts, per-source window over DISTINCT values (bounded by length resolution, never corpus rows), R-7 interpolation from the two covering rows per quantile. DuckDB quantile_cont is the oracle: green means the distributed form IS the textbook exact quantile — the dataset-card distribution table with no approx_percentile caveat and no corpus-sized sort",
     "q154_centroid_drift" -> "semantic-index centroid drift — completes the monitoring wall (q145 vocab / q146 occupancy / q147 source mix): per IVF cell, cosine distance between base-slice and delta-slice member centroids in CODE space (the index stores only int8 codes at scale — q94's posture). Per-side cost is the quantizedIndex scan + a (cell,pos)-keyed aggregate bounded by 16 x dim; integer code sums are exact in doubles, so both engines agree before the final round. Measured at sf0.001: drift 0.40–0.76 across the 16 cells — the isotropic fixture's ~25-member cell means are noise-dominated, so HIGH drift is this fixture's baseline and a production index alarms on drift rising above its own trailing band, not an absolute",
     "q155_release_diff" -> "release diff — q150's dataset card computed for the previous release (base slice) and the new one (base + delta), emitted as (metric, base, new, delta): the change-log a release publishes next to its card. Tokenizer HELD FIXED across sides (full-corpus merge table; fertility drift is corpus drift, not tokenizer drift). Two bounded scans + one-row scalar joins; the diff join is 7x7 metric rows",
-    "q156_containment_dedup" -> "asymmetric containment near-dup — the case Jaccard families are blind to: a short doc quoted inside a long one (containment |A∩B|/|A| ≈ 1, Jaccard small). Per LSH candidate pair only (q24's discipline): distinct char-8-gram counts, intersection via one set op, both directed containments, keep when either >= 0.5. Documented divergence: the MinHash generator is Jaccard-biased, so a production containment pass bands on the short side's gram sample; the rescoring semantics gated here are identical",
+    "q156_containment_dedup" -> "asymmetric containment near-dup — the case Jaccard families are blind to: a short doc quoted inside a long one (containment |A∩B|/|A| ≈ 1, Jaccard small). Per LSH candidate pair only (q24's discipline), with both doc sides broadcast-semi PRUNED to candidate ids before any shingle work — gram arrays are built for and shuffled with candidate docs only, never the corpus (a fused per-pair rescore measured 2.5x slower: pair multiplicity re-shingles each doc per pair; the prune bounds the array shuffle instead). Keep when either directed containment >= 0.5. Documented divergence: the MinHash generator is Jaccard-biased, so a production containment pass bands on the short side's gram sample; the rescoring semantics gated here are identical",
     "q157_source_fertility" -> "per-source tokenizer fertility — the tokenizer-equity table of a multilingual release: a source with fertility far above the mean is under-served by the trained vocab and silently doc-down-sampled by token-denominated budgets (q140). Memoized q122 encode + source-bounded aggregate + one-row corpus-total broadcast. Measured at sf0.001: fertility 3.89–4.02 across the 20 sources (near-identical generators — the query's value is the production case where they diverge)",
     "q158_incremental_containment" -> "incremental containment — q156's asymmetric detector in the nightly-ingest direction (q91's cross-side discipline): only delta x base candidate pairs are rescored, the question a corpus build asks per ingest; gram sets join candidates-keyed, the base corpus is scanned once and never self-paired. Per-ingest cost proportional to the delta's candidates",
     "q159_length_trim" -> "distribution-trimmed corpus — the ACTION q153's quantile table exists for: per-source [p05, p95] robust length trim (cut per SOURCE so a global cut can't amputate legitimately-long sources). Shares sourceQuantiles; the cut table is source-cardinality-bounded and broadcast, so the trim is a scan-stage filter at any corpus size. Measured: keep_frac 0.84-0.88 at sf0.001 (25 docs/source — the discrete cut rounds down) converging to 0.896-0.904 at sf0.1, exactly the ~90% central mass the interval promises",
