@@ -57,7 +57,19 @@ object ScaleLadder {
           .select(posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
             i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
             .as(Seq("i", "span")))
-          .select(substring(md5(col("span")), 1, 16).as("k"))))
+          .select(substring(md5(col("span")), 1, 16).as("k"))),
+      // q156/q158/q160's prune evidence: keys = the distinct candidate
+      // ids the containment rescore BROADCASTS (its semi-join build
+      // side), n = each id's pair degree (the multiplicity that made
+      // the fused per-pair rescore 2.5x slower — a hub doc re-shingled
+      // once per pair). Bounded by construction: pairs come from the
+      // capped minhash buckets above
+      "containment-pair-degree" -> keyedSizes(
+        Dedup.minhashCandidates(
+            Dedup.bandedSignatures(docs, "text", "doc_id", k = 8))
+          .filter(col("n_bands") >= 2)
+          .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+          .select(col("id").cast("string").as("k"))))
   }
 
   /** Distribution stats over a (k, n) sizes frame: (keys, max bucket,
