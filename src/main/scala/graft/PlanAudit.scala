@@ -50,7 +50,8 @@ object PlanAudit {
     "q152_temperature_mix" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the source-cardinality-bounded per-source frame (q48's pattern)",
     "q154_centroid_drift" -> "two 16-row broadcast centroid frames inside quantizedIndex (q94's fan-out, once per side); everything after is (cell, pos)-bounded",
     "q155_release_diff" -> "one-row BPE-total scalar joined into each side's one-row card frame (q150's pattern); the diff join is 7x7 metric rows",
-    "q157_source_fertility" -> "one-row broadcast of the corpus-token-total scalar against the source-cardinality-bounded per-source frame (q48/q140's pattern)")
+    "q157_source_fertility" -> "one-row broadcast of the corpus-token-total scalar against the source-cardinality-bounded per-source frame (q48/q140's pattern)",
+    "q161_temperature_sample" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q152's pattern); the draw join is a lang-keyed broadcast")
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /

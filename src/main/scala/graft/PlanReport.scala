@@ -97,7 +97,8 @@ object PlanReport {
     "q157_source_fertility" -> "per-source tokenizer fertility — the tokenizer-equity table of a multilingual release: a source with fertility far above the mean is under-served by the trained vocab and silently doc-down-sampled by token-denominated budgets (q140). Memoized q122 encode + source-bounded aggregate + one-row corpus-total broadcast. Measured at sf0.001: fertility 3.89–4.02 across the 20 sources (near-identical generators — the query's value is the production case where they diverge)",
     "q158_incremental_containment" -> "incremental containment — q156's asymmetric detector in the nightly-ingest direction (q91's cross-side discipline): only delta x base candidate pairs are rescored, the question a corpus build asks per ingest; gram sets join candidates-keyed, the base corpus is scanned once and never self-paired. Per-ingest cost proportional to the delta's candidates",
     "q159_length_trim" -> "distribution-trimmed corpus — the ACTION q153's quantile table exists for: per-source [p05, p95] robust length trim (cut per SOURCE so a global cut can't amputate legitimately-long sources). Shares sourceQuantiles; the cut table is source-cardinality-bounded and broadcast, so the trim is a scan-stage filter at any corpus size. Measured: keep_frac 0.84-0.88 at sf0.001 (25 docs/source — the discrete cut rounds down) converging to 0.896-0.904 at sf0.1, exactly the ~90% central mass the interval promises",
-    "q160_stream_containment" -> "STREAMING containment — the containment family's streaming loop, making it the FIFTH detector family with the full batch (q156) / incremental (q158) / streaming lifecycle: per-micro-batch signatures equi-join the persisted base signature table (q95's artifact + count table), candidate pairs rescore with directed containment against gram sets of exactly the candidate base docs, flagged pairs append through the idempotent batch_id-partitioned sink. Gated on the SAME oracle as q158 (q115/q149's value-identity proof pattern); interior batch plan CI-audited keyed")
+    "q160_stream_containment" -> "STREAMING containment — the containment family's streaming loop, making it the FIFTH detector family with the full batch (q156) / incremental (q158) / streaming lifecycle: per-micro-batch signatures equi-join the persisted base signature table (q95's artifact + count table), candidate pairs rescore with directed containment against gram sets of exactly the candidate base docs, flagged pairs append through the idempotent batch_id-partitioned sink. Gated on the SAME oracle as q158 (q115/q149's value-identity proof pattern); interior batch plan CI-audited keyed",
+    "q161_temperature_sample" -> "temperature sampling APPLIED — q152's alpha=0.7 weights turned into the executable per-lang plan for a half-size target corpus (q159's close-the-knob pattern on the mixing axis): want = w*N/2, sample_frac/epochs per q140's emission convention, and the count actually kept by q119's deterministic md5-uniform draw. Lang-bounded aggregates + one-row normalizer broadcast; the draw is scan-stage arithmetic. Measured at sf0.001: en (193 docs) downsampled at frac 0.42, tail langs at 0.54-0.56 — the head-suppression the temperature exists for, now executable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

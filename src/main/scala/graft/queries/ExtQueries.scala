@@ -3406,6 +3406,45 @@ object ExtQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- temperature sampling APPLIED: q152 computes the α=0.7
+    //      language weights; this turns them into the executable
+    //      per-lang plan (q159's close-the-knob pattern, on the
+    //      mixing axis) for a half-size target corpus: per lang, the
+    //      target doc count want = w₀.₇·N/2, the keep rule
+    //      (sample_frac = min(1, want/n) for downsample, epochs =
+    //      ceil(want/n) for upsample — q140's emission convention),
+    //      and the count actually kept by q119's deterministic
+    //      md5-uniform draw u < sample_frac. Lang-bounded aggregates +
+    //      one-row normalizer broadcast; the draw is scan-stage
+    //      arithmetic ----
+    "q161_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val t = n.agg(sum(col("n_docs")).as("tot"),
+        sum(pow(col("n_docs").cast("double"), lit(0.7))).as("z07"))
+      val plan = n.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"),
+          (pow(col("n_docs").cast("double"), lit(0.7)) / col("z07") *
+            col("tot").cast("double") / lit(2.0)).as("want"))
+        .select(col("lang"), col("n_docs"), col("want"),
+          round(least(lit(1.0), col("want") / col("n_docs")), 6)
+            .as("sample_frac"),
+          ceil(round(col("want") / col("n_docs"), 6)).cast("long")
+            .as("epochs"))
+      val u = round(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("double") / lit(16777215.0), 6)
+      val kept = docs.select(col("lang"), u.as("u"))
+        .join(broadcast(plan.select(col("lang"), col("sample_frac"))),
+          Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("u") < col("sample_frac"), lit(1))).as("n_kept"))
+      plan.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"),
+          round(col("want"), 6).as("target_docs"),
+          col("sample_frac"), col("epochs"), col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- STREAMING containment — the containment family's streaming
     //      loop, making it the FIFTH detector family with the full
     //      batch (q156) / incremental (q158) / streaming (here)
@@ -5697,6 +5736,28 @@ object ExtQueries {
     // the streaming min-batched containment path must equal the batch
     // incremental rule — one oracle pins both (q149/q148's pattern)
     "q160_stream_containment" -> incrementalContainmentSql,
+    "q161_temperature_sample" -> """
+         WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT SUM(n_docs) AS tot, SUM(pow(n_docs, 0.7)) AS z07 FROM n),
+         p AS (SELECT lang, n_docs,
+             pow(n_docs, 0.7) / z07 * tot / 2.0 AS want
+           FROM n CROSS JOIN t),
+         pl AS (SELECT lang, n_docs, want,
+             round(least(1.0, want / n_docs), 6) AS sample_frac,
+             CAST(ceil(round(want / n_docs, 6)) AS BIGINT) AS epochs
+           FROM p),
+         uu AS (SELECT lang,
+             round(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) AS DOUBLE) / 16777215.0, 6) AS u
+           FROM documents),
+         k AS (SELECT uu.lang,
+             CAST(SUM(CASE WHEN u < sample_frac THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+           FROM uu JOIN pl ON uu.lang = pl.lang GROUP BY 1)
+         SELECT pl.lang, pl.n_docs, round(want, 6) AS target_docs,
+           sample_frac, epochs, n_kept
+         FROM pl JOIN k ON pl.lang = k.lang ORDER BY pl.lang""",
     "q159_length_trim" -> """
          WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              round(quantile_cont(n_chars, 0.05), 6) AS lo_cut,

@@ -163,6 +163,29 @@ class Wave10Spec extends SparkSpec {
     assert(enc > nW, "BPE tokens should exceed whitespace words")
   }
 
+  test("q161 applied temperature sampling: plan consistent, draw tracks the plan") {
+    val rows = SparkEntry.queries("q161_temperature_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    val totalDocs = rows.map(_._2).sum
+    // targets sum to the half-size corpus (w weights sum to 1)
+    assert(math.abs(rows.map(_._3).sum - totalDocs / 2.0) < 1e-3)
+    for ((lang, n, want, frac, epochs, kept) <- rows) {
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(epochs >= 1L)
+      if (want <= n) assert(epochs == 1L, s"$lang epochs on a downsample")
+      // the deterministic uniform draw keeps ~frac of the lang; at
+      // 71-193 docs/lang a +-0.15 band is comfortably outside noise
+      assert(math.abs(kept.toDouble / n - frac) < 0.15,
+        s"$lang kept ${kept.toDouble / n} vs frac $frac")
+    }
+    // temperature: the head language is downsampled strictly harder
+    // than every tail language
+    val byN = rows.sortBy(_._2)
+    assert(byN.last._4 < byN.head._4,
+      "head lang should get a smaller sample_frac than the tail")
+  }
+
   test("q158 incremental containment: pairs are strictly cross-side") {
     def isDelta(id: Long): Boolean = {
       val hex = java.security.MessageDigest.getInstance("MD5")
