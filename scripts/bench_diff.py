@@ -29,8 +29,12 @@ def main():
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
     common = sorted(set(old) & set(new))
     so, sn = sum(old[k] for k in common), sum(new[k] for k in common)
-    print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
-          f"(ratio {sn / so:.2f})" if so else "no common queries")
+    if not common:
+        print("no common queries")
+    else:
+        ratio = f"{sn / so:.2f}" if so else "n/a (zero baseline total)"
+        print(f"common {len(common)} queries: {so:.1f}s -> {sn:.1f}s "
+              f"(ratio {ratio})")
     print(f"only-old: {sorted(set(old) - set(new))}")
     print(f"only-new: {sorted(set(new) - set(old))}")
     moved = []

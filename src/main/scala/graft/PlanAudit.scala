@@ -51,11 +51,30 @@ object PlanAudit {
     "q154_centroid_drift" -> "two 16-row broadcast centroid frames inside quantizedIndex (q94's fan-out, once per side); everything after is (cell, pos)-bounded",
     "q155_release_diff" -> "one-row BPE-total scalar joined into each side's one-row card frame (q150's pattern); the diff join is 7x7 metric rows",
     "q157_source_fertility" -> "one-row broadcast of the corpus-token-total scalar against the source-cardinality-bounded per-source frame (q48/q140's pattern)",
-    "q161_temperature_sample" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q152's pattern); the draw join is a lang-keyed broadcast")
+    "q161_temperature_sample" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q152's pattern); the draw join is a lang-keyed broadcast",
+    "q164_lang_fertility" -> "one-row broadcast of the corpus-token-total scalar against the (source, lang)-cardinality-bounded per-group frame (q48/q157's pattern)")
+
+  /** The driver's verifier compares query outputs through pandas
+    * `sort_values`, which crashes on unhashable cells — so NO
+    * registered query may output an Array/Map/Binary column (or a
+    * struct containing one). q81 hit this in round 6 and q137 in
+    * round 10; both times the discipline lived only in comments.
+    * This makes it a sweep verdict (`COMPLEX-OUTPUT`) so it fails CI
+    * (VERDICT r10 #2). Render lists as CSV strings instead
+    * (`array_join(transform(c, _.cast("string")), ",")`).
+    */
+  private[graft] def hasComplexType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ArrayType | _: MapType | BinaryType => true
+      case s: StructType => s.fields.exists(f => hasComplexType(f.dataType))
+      case _ => false
+    }
+  }
 
   /** One sweep result: (query, verdict, detail). Verdicts: `ok`,
     * `bnlj-allowed`, and the failures `CARTESIAN` / `UNEXPECTED-BNLJ` /
-    * `ERROR`.
+    * `COMPLEX-OUTPUT` / `ERROR`.
     */
   private[graft] def sweep(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -64,11 +83,16 @@ object PlanAudit {
       try {
         // plan construction only — no execution; sf0.001 keeps any
         // plan-time input materialization (sharedInputDir) trivial
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        val p = df.queryExecution.executedPlan.toString
         val cart = p.contains("CartesianProduct")
         val bnlj = p.contains("BroadcastNestedLoopJoin")
+        val complexCols =
+          df.schema.fields.filter(f => hasComplexType(f.dataType)).map(_.name)
         if (cart) (name, "CARTESIAN", "")
         else if (bnlj && !allowedBnlj.contains(name)) (name, "UNEXPECTED-BNLJ", "")
+        else if (complexCols.nonEmpty)
+          (name, "COMPLEX-OUTPUT", complexCols.mkString(","))
         else if (bnlj) (name, "bnlj-allowed", allowedBnlj(name))
         else (name, "ok", "")
       } catch { case scala.util.control.NonFatal(e) =>

@@ -98,7 +98,11 @@ object PlanReport {
     "q158_incremental_containment" -> "incremental containment — q156's asymmetric detector in the nightly-ingest direction (q91's cross-side discipline): only delta x base candidate pairs are rescored, the question a corpus build asks per ingest; gram sets join candidates-keyed, the base corpus is scanned once and never self-paired. Per-ingest cost proportional to the delta's candidates",
     "q159_length_trim" -> "distribution-trimmed corpus — the ACTION q153's quantile table exists for: per-source [p05, p95] robust length trim (cut per SOURCE so a global cut can't amputate legitimately-long sources). Shares sourceQuantiles; the cut table is source-cardinality-bounded and broadcast, so the trim is a scan-stage filter at any corpus size. Measured: keep_frac 0.84-0.88 at sf0.001 (25 docs/source — the discrete cut rounds down) converging to 0.896-0.904 at sf0.1, exactly the ~90% central mass the interval promises",
     "q160_stream_containment" -> "STREAMING containment — the containment family's streaming loop, making it the FIFTH detector family with the full batch (q156) / incremental (q158) / streaming lifecycle: per-micro-batch signatures equi-join the persisted base signature table (q95's artifact + count table), candidate pairs rescore with directed containment against gram sets of exactly the candidate base docs, flagged pairs append through the idempotent batch_id-partitioned sink. Gated on the SAME oracle as q158 (q115/q149's value-identity proof pattern); interior batch plan CI-audited keyed",
-    "q161_temperature_sample" -> "temperature sampling APPLIED — q152's alpha=0.7 weights turned into the executable per-lang plan for a half-size target corpus (q159's close-the-knob pattern on the mixing axis): want = w*N/2, sample_frac/epochs per q140's emission convention, and the count actually kept by q119's deterministic md5-uniform draw. Lang-bounded aggregates + one-row normalizer broadcast; the draw is scan-stage arithmetic. Measured at sf0.001: en (193 docs) downsampled at frac 0.42, tail langs at 0.54-0.56 — the head-suppression the temperature exists for, now executable")
+    "q161_temperature_sample" -> "temperature sampling APPLIED — q152's alpha=0.7 weights turned into the executable per-lang plan for a half-size target corpus (q159's close-the-knob pattern on the mixing axis): want = w*N/2, sample_frac/epochs per q140's emission convention, and the count actually kept by q119's deterministic md5-uniform draw. Lang-bounded aggregates + one-row normalizer broadcast; the draw is scan-stage arithmetic. Measured at sf0.001: en (193 docs) downsampled at frac 0.42, tail langs at 0.54-0.56 — the head-suppression the temperature exists for, now executable",
+    "q162_curated_corpus" -> "the RELEASE ledger — every document with a per-doc drop_reason composing ALL curation stages under a fixed precedence: heldout split, quality floor (q100's Gopher rules), decontamination (q59), then the five dedup detector families — minhash/simhash/span/semantic read from the PERSISTED drop-set artifact, containment from the persisted pair artifact (drop rule: the containED side — higher containment fraction, ties to the larger id). Unlike q64 (packed sequences over survivors) this is the per-doc audit table a curation run ships. One quality scan + one gram scan + doc_id-keyed left joins against three persisted artifacts; no detector re-runs, no new corpus-wide shuffle — at 100 TB this is artifact-join cost, not detector cost",
+    "q163_lang_quantiles" -> "q153's distribution table split by DETECTED language (q26's langId, not the metadata column — production is exactly the case where they disagree): exact per-(source, lang) length quantiles via the same value-count + R-7 interpolation shape; windows stay bounded by DISTINCT lengths per key group, never corpus rows. The table a per-language mixing recipe (q152/q161) reads when lengths differ by language within one source",
+    "q164_lang_fertility" -> "q157's tokenizer-fertility table split by DETECTED language — the per-language equity view a temperature-mix recipe needs: a language with fertility far above the corpus mean is silently down-weighted by token-denominated budgets even at equal doc share. Memoized q122 encode (scan, zero shuffles) + one doc_id-keyed join to the langId scan + a (source, lang)-bounded aggregate; corpus-total divisor is q48's one-row broadcast scalar",
+    "q165_artifact_versioning" -> "artifact VERSIONING across releases: v1 = the base release's persisted signature table (q95's artifact, shared key), v2 = the next release built by DELTA MAINTENANCE ONLY (v1 read back + delta signatures appended; base never rescanned). Oracle re-derives both versions by full recompute, so green proves v2-by-maintenance ≡ v2-by-rebuild (q141's invariant lifted to release artifacts); removed_rows computed as a real per-row anti-join and gated = 0 proves append-only. Per-band summary keeps the frame 8 rows at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

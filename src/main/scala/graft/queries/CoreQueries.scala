@@ -91,6 +91,15 @@ object CoreQueries {
     * the shared shutdown cleanup but exempt from eager per-run
     * deletion.
     */
+  /** Path-unique session-artifact key token for an input dir: basename
+    * (human-readable: `sf0.01`) plus a full-path hash. Basename alone
+    * is ambiguous — two corpora named `sf0.01` under different parents
+    * in one session would silently serve the first corpus' artifact to
+    * the second (ADVICE r10).
+    */
+  private[queries] def dirToken(d: String): String =
+    s"${new java.io.File(d).getName}_${(d.hashCode & 0x7fffffff).toHexString}"
+
   private[queries] def sharedInputDir(key: String)(write: String => Unit): String = {
     tempDirHook
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),

@@ -81,7 +81,7 @@ object ExtQueries {
     */
   private def corpusSignatures(s: SparkSession, d: String): DataFrame = {
     val dir = CoreQueries.sharedInputDir(
-      s"graft_sig8_${new java.io.File(d).getName}") { p =>
+      s"graft_sig8_${CoreQueries.dirToken(d)}") { p =>
       // overwrite: a failed partial first write leaves the directory
       // behind, and ErrorIfExists would then fail every retry for the
       // rest of the session instead of clobbering the partial output
@@ -237,8 +237,13 @@ object ExtQueries {
     */
   private def containmentRescore(cand: DataFrame, leftId: String,
       rightId: String, leftDocs: DataFrame, rightDocs: DataFrame,
-      leftCont: String, rightCont: String): DataFrame = {
+      leftCont: String, rightCont: String,
+      onPersist: DataFrame => Unit = _ => ()): DataFrame = {
+    // onPersist hands the cached frame to per-micro-batch callers
+    // (q160) so they can unpersist after the batch action — otherwise
+    // one cached candidate frame per batch accumulates for the session
     val candP = graft.util.Persist(cand)
+    onPersist(candP)
     def grams(df: DataFrame, idCol: String) = df
       .join(broadcast(candP.select(col(idCol).as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
@@ -273,7 +278,8 @@ object ExtQueries {
     */
   private[graft] def streamBatchContainment(batch: DataFrame,
       baseSig: DataFrame, baseDocs: DataFrame, maxBucket: Int = 10000,
-      baseCounts: Option[DataFrame] = None): DataFrame =
+      baseCounts: Option[DataFrame] = None,
+      onPersist: DataFrame => Unit = _ => ()): DataFrame =
     // containmentRescore prunes the base side to the batch's candidate
     // ids (delta-proportional) before any shingle work, so the
     // per-batch base cost is the candidate lookup, never a corpus-wide
@@ -281,7 +287,8 @@ object ExtQueries {
     containmentRescore(
       streamBatchCandidates(batch, baseSig, maxBucket, baseCounts)
         .select(col("delta_id"), col("base_id")),
-      "delta_id", "base_id", batch, baseDocs, "cont_delta", "cont_base")
+      "delta_id", "base_id", batch, baseDocs, "cont_delta", "cont_base",
+      onPersist)
 
   /** q135's per-micro-batch body: the batch's cell index against the
     * persisted base cell index, cross-side in-threshold pairs only —
@@ -332,13 +339,13 @@ object ExtQueries {
   private def baseClusterArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val sigDir = CoreQueries.sharedInputDir(
-      s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+      s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
       Dedup.bandedSignatures(docs.filter(!isDeltaDoc(col("doc_id"))),
         "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
     }
     val baseSig = s.read.parquet(sigDir)
     val compDir = CoreQueries.sharedInputDir(
-      s"graft_q141_comp_${new java.io.File(d).getName}") { p =>
+      s"graft_q141_comp_${CoreQueries.dirToken(d)}") { p =>
       val baseCand = graft.util.Persist(Dedup.minhashCandidates(baseSig)
         .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id")))
       val comp = Dedup.connectedComponents(baseCand, "a_id", "b_id")
@@ -393,7 +400,7 @@ object ExtQueries {
     */
   private def baseSpanOwners(s: SparkSession, d: String): DataFrame = {
     val dir = CoreQueries.sharedInputDir(
-      s"graft_q148_own_${new java.io.File(d).getName}") { p =>
+      s"graft_q148_own_${CoreQueries.dirToken(d)}") { p =>
       spanFrame(Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))))
         .select(col("k")).distinct()
         .write.mode("overwrite").parquet(p)
@@ -476,22 +483,26 @@ object ExtQueries {
     * at h = (n−1)·p from the two covering rows per quantile —
     * DuckDB's quantile_cont definition exactly (gated by q153's
     * oracle; unit-spec'd against Spark's in-memory percentile
-    * aggregate). Returns one row per source: (source, n_docs,
-    * <name> per requested quantile).
+    * aggregate). Returns one row per key group: (keys..., n_docs,
+    * <name> per requested quantile). `keys` defaults to the q153/q159
+    * per-source shape; q163 passes (source, lang_guess) — the window
+    * stays bounded by DISTINCT lengths per key group either way.
     */
   private def sourceQuantiles(docs: DataFrame,
-      qs: Seq[(Double, String)]): DataFrame = {
+      qs: Seq[(Double, String)],
+      keys: Seq[String] = Seq("source")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vc = docs.groupBy(col("source"), col("n_chars"))
+    val keyCols = keys.map(col)
+    val vc = docs.groupBy(keyCols :+ col("n_chars"): _*)
       .agg(count(lit(1)).as("cnt"))
-    val bySrc = Window.partitionBy(col("source"))
+    val bySrc = Window.partitionBy(keyCols: _*)
     val cum = vc
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(
         bySrc.orderBy(col("n_chars"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(bySrc))
     // per quantile: the value at rank floor(h) and ceil(h) over
-    // 0-based ranks; a (source, n_chars) row covers ranks
+    // 0-based ranks; a (keys..., n_chars) row covers ranks
     // [cum_before, cum_before + cnt)
     val aggCols = qs.flatMap { case (p, nm) =>
       val h = (col("n") - 1).cast("double") * lit(p)
@@ -504,7 +515,7 @@ object ExtQueries {
           hi < col("cum_before") + col("cnt"), col("n_chars")))
           .as(s"${nm}_hi"))
     }
-    val agg = cum.groupBy(col("source"))
+    val agg = cum.groupBy(keyCols: _*)
       .agg(max(col("n")).as("n_docs"), aggCols: _*)
     qs.foldLeft(agg) { case (df, (p, nm)) =>
       val h = (col("n_docs") - 1).cast("double") * lit(p)
@@ -532,8 +543,30 @@ object ExtQueries {
     */
   private def dedupDropSets(s: SparkSession, d: String): DataFrame = {
     val dir = CoreQueries.sharedInputDir(
-      s"graft_dropsets_${new java.io.File(d).getName}") { p =>
+      s"graft_dropsets_${CoreQueries.dirToken(d)}") { p =>
       dropSetsRecompute(s, d).repartition(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The batch containment detector's rescored pairs (q156's frame) as
+    * a session-persisted parquet artifact — the [[dedupDropSets]]
+    * discipline applied to the fifth detector family: at 100 TB the
+    * containment pairs are a build OUTPUT; q156 (the detector report)
+    * and q162 (the release artifact) both SCAN the persisted table
+    * instead of re-running the candidate + gram rescore per query.
+    * Value-identity is inherent (write + read-back) and q156's
+    * unchanged DuckDB oracle gates it.
+    */
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_contpairs_${CoreQueries.dirToken(d)}") { p =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+      containmentRescore(cand, "a_id", "b_id", docs, docs,
+          "cont_a", "cont_b")
+        .repartition(1).write.mode("overwrite").parquet(p)
     }
     s.read.parquet(dir)
   }
@@ -797,7 +830,7 @@ object ExtQueries {
         substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val docs = Tables.documents(s, d)
       val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
         Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
           "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
       }
@@ -1008,13 +1041,13 @@ object ExtQueries {
       // — at 100 TB this is the last corpus build's fingerprint index,
       // ~4 narrow rows per doc
       val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q123_sig_${new java.io.File(d).getName}") { p =>
+        s"graft_q123_sig_${CoreQueries.dirToken(d)}") { p =>
         simhashBaseSig(docs.filter(!isDelta(col("doc_id"))))
           .write.mode("overwrite").parquet(p)
       }
       val baseSig = s.read.parquet(sigDir)
       val baseCnt = sigCountArtifact(s,
-        s"graft_q123cnt_${new java.io.File(d).getName}", baseSig)
+        s"graft_q123cnt_${CoreQueries.dirToken(d)}", baseSig)
       val delta = docs.filter(isDelta(col("doc_id")))
         .select(col("doc_id"), col("text"))
       val in = CoreQueries.sharedInputDir(
@@ -2141,7 +2174,7 @@ object ExtQueries {
       // the same persisted base-signature table q95 reads (shared key,
       // so one materialization serves both consumers per session)
       val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
         Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
           "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
       }
@@ -2149,7 +2182,7 @@ object ExtQueries {
       // persisted bucket-count artifact: the per-batch cap reads this
       // instead of re-aggregating the signature table 4 times
       val baseCnt = sigCountArtifact(s,
-        s"graft_q95cnt_${new java.io.File(d).getName}", baseSig)
+        s"graft_q95cnt_${CoreQueries.dirToken(d)}", baseSig)
       val delta = docs.filter(isDelta(col("doc_id")))
         .select(col("doc_id"), col("text"))
       val in = CoreQueries.sharedInputDir(
@@ -2494,7 +2527,7 @@ object ExtQueries {
       // persisted base cell index: (cell, id, vec, nrm) — the corpus
       // build's embedding-index output at 100 TB
       val idxDir = CoreQueries.sharedInputDir(
-        s"graft_q135_idx_${new java.io.File(d).getName}") { p =>
+        s"graft_q135_idx_${CoreQueries.dirToken(d)}") { p =>
         Similarity.cellIndex(emb.filter(!isDelta(col("vec_id"))),
           "vec_id", "embedding").write.mode("overwrite").parquet(p)
       }
@@ -2502,7 +2535,7 @@ object ExtQueries {
       // persisted (cell, cn) count artifact: the per-batch cell cap
       // reads this instead of re-aggregating the base index 4 times
       val cntDir = CoreQueries.sharedInputDir(
-        s"graft_q135cnt_${new java.io.File(d).getName}") { p =>
+        s"graft_q135cnt_${CoreQueries.dirToken(d)}") { p =>
         baseIdx.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
           .write.mode("overwrite").parquet(p)
       }
@@ -2585,7 +2618,7 @@ object ExtQueries {
         substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val emb = Tables.embeddings(s, d)
       val idxDir = CoreQueries.sharedInputDir(
-        s"graft_q137_idx_${new java.io.File(d).getName}") { p =>
+        s"graft_q137_idx_${CoreQueries.dirToken(d)}") { p =>
         Similarity.quantizedIndex(emb.filter(!isDelta(col("vec_id"))),
           "vec_id", "embedding").write.mode("overwrite").parquet(p)
       }
@@ -2620,7 +2653,12 @@ object ExtQueries {
           .select(col("cell"), col("id"), col("code"), col("scale"),
             col("cnorm"))
           .withColumn("src", lit("base")))
-        .select(col("cell"), col("id").as("vec_id"), col("code"),
+        .select(col("cell"), col("id").as("vec_id"),
+          // list-typed columns crash the driver's pandas sort_values
+          // (unhashable ndarray) — compare the codes as a CSV string
+          // (q81/q31 discipline)
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code"),
           round(col("scale"), 6).as("scale"),
           round(col("cnorm"), 6).as("cnorm"), col("src"))
         .orderBy(col("vec_id"))
@@ -2743,7 +2781,7 @@ object ExtQueries {
         baseSig.select(col("band"), col("minhash"), col("doc_id").as("base_id")),
         minBands = 2,
         baseCounts = Some(sigCountArtifact(s,
-          s"graft_q95cnt_${new java.io.File(d).getName}", baseSig)))
+          s"graft_q95cnt_${CoreQueries.dirToken(d)}", baseSig)))
         .select(col("delta_id"), col("base_id"))
       val dd = Dedup.minhashCandidates(deltaSig)
         .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
@@ -2772,10 +2810,10 @@ object ExtQueries {
         .select(col("doc_id"), col("text"))
       val (sig1, lab1raw) = clusterIngestStep(sig0, lab0, d1,
         baseCounts = Some(sigCountArtifact(s,
-          s"graft_q95cnt_${new java.io.File(d).getName}", sig0)))
+          s"graft_q95cnt_${CoreQueries.dirToken(d)}", sig0)))
       // run-1 output is a PERSISTED artifact run 2 reads back
       val lab1Dir = CoreQueries.sharedInputDir(
-        s"graft_q142_lab1_${new java.io.File(d).getName}") { p =>
+        s"graft_q142_lab1_${CoreQueries.dirToken(d)}") { p =>
         lab1raw.write.mode("overwrite").parquet(p)
       }
       val (_, lab2) = clusterIngestStep(sig1, s.read.parquet(lab1Dir), d2)
@@ -3310,14 +3348,11 @@ object ExtQueries {
     //      containment pass at production scale would band on the
     //      SHORT side's gram sample instead; the rescoring semantics
     //      gated here are identical either way ----
-    "q156_containment_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
-        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
-      containmentRescore(cand, "a_id", "b_id", docs, docs,
-          "cont_a", "cont_b")
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    "q156_containment_dedup" -> ((s, d) =>
+      containmentPairs(s, d)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"),
+          col("cont_a"), col("cont_b"))
+        .orderBy(col("a_id"), col("b_id"))),
 
     // ---- per-source tokenizer FERTILITY: q150's corpus-wide
     //      fertility row broken out by source — the tokenizer-equity
@@ -3445,6 +3480,185 @@ object ExtQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- the RELEASE artifact a curation run ships: every document
+    //      with a per-doc drop_reason composing ALL curation stages in
+    //      a fixed precedence — held-out split, quality floor (q100's
+    //      Gopher rules), decontamination (q59's held-gram overlap),
+    //      then the FIVE dedup detector families (minhash / simhash /
+    //      span / semantic from the PERSISTED drop-set artifact,
+    //      containment from the persisted pair artifact — the
+    //      containment drop rule keeps the containER and drops the
+    //      containED side: the doc with the higher containment
+    //      fraction, tie-broken to the larger id). Unlike q64 (which
+    //      reports packed sequences over the survivors) this is the
+    //      per-doc ledger: `kept` marks the training corpus, the rest
+    //      carry WHY they were cut — the table a curation audit reads.
+    //      Plan shape: one quality scan + one gram scan + doc_id-keyed
+    //      left joins against three bounded persisted artifacts; no
+    //      detector pipeline re-runs, no new corpus-wide shuffle ----
+    "q162_curated_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // quality floor + meta in one codegen'd scan (q100's rules,
+      // identical rounding so the rule evaluates on the same values)
+      val qual = docs.select(col("doc_id"), col("source"), col("lang"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"), col("source"), col("lang"), col("hb"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+            .as("mwl"),
+          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
+          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+            / size(col("ltoks")).cast("double"), 6).as("df"))
+        .withColumn("q_keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+          col("sr") >= 0.02 && col("df") <= 0.9)
+      // decontamination: train docs sharing any 8-gram with the
+      // held-out split (q59's broadcast-held-set shape)
+      val grams = splitGrams(s, d)
+      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+      val contam = grams.filter(col("hb") =!= "0")
+        .join(broadcast(held), Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
+      // four persisted detector families pivoted to per-doc flags
+      val dr = dedupDropSets(s, d)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
+          max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
+          max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
+          max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"))
+      // fifth family: containment drops the contained side
+      val cdrop = containmentPairs(s, d)
+        .select(when(col("cont_a") > col("cont_b"), col("a_id"))
+          .when(col("cont_b") > col("cont_a"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct().withColumn("d_ct", lit(1L))
+      qual.join(contam, Seq("doc_id"), "left")
+        .join(dr, Seq("doc_id"), "left")
+        .join(cdrop, Seq("doc_id"), "left")
+        .withColumn("drop_reason",
+          when(col("hb") === "0", "heldout")
+            .when(!col("q_keep"), "quality")
+            .when(col("c_hit") === 1L, "decontaminated")
+            .when(col("d_mh") === 1L, "minhash")
+            .when(col("d_sh") === 1L, "simhash")
+            .when(col("d_sp") === 1L, "span")
+            .when(col("d_se") === 1L, "semantic")
+            .when(col("d_ct") === 1L, "containment")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+          col("drop_reason"),
+          (col("drop_reason") === "kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q153's distribution table split by DETECTED language
+    //      (q26's n-gram langId, not the metadata column — the
+    //      production case is exactly that the two disagree): exact
+    //      per-(source, lang) length quantiles via the same
+    //      value-count + R-7 interpolation shape, windows still
+    //      bounded by DISTINCT lengths per key group. This is the
+    //      table a per-language mixing recipe (q152/q161) reads when
+    //      lengths differ by language within one source ----
+    "q163_lang_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          TA.langIdFromTokens(TA.wsTokens(lower(col("text"))))
+            .as("lang_guess"))
+      sourceQuantiles(docs,
+          Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95"),
+          Seq("source", "lang_guess"))
+        .select(col("source"), col("lang_guess"), col("n_docs"),
+          col("p25"), col("p50"), col("p75"), col("p95"))
+        .orderBy(col("source"), col("lang_guess"))
+    }),
+
+    // ---- q157's tokenizer-fertility table split by DETECTED
+    //      language: the per-language equity view a temperature-mix
+    //      recipe needs — a language with fertility far above the
+    //      corpus mean is silently down-weighted by token-denominated
+    //      budgets even at equal doc share. Memoized q122 encode
+    //      (scan, zero shuffles) + one doc_id-keyed join to the
+    //      langId scan + a (source, lang)-bounded aggregate; the
+    //      corpus-total divisor is q48's one-row broadcast scalar ----
+    "q164_lang_fertility" -> ((s, d) => {
+      val enc = bpeEncoded(s, d)
+      val lang = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TA.langIdFromTokens(TA.wsTokens(lower(col("text"))))
+            .as("lang_guess"))
+      val t = enc.agg(sum(col("n_tokens")).as("tot"))
+      enc.join(lang, Seq("doc_id"))
+        .groupBy(col("source"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(t))
+        .select(col("source"), col("lang_guess"), col("n_docs"),
+          col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_tokens").cast("double") / col("tot"), 6)
+            .as("token_share"))
+        .orderBy(col("source"), col("lang_guess"))
+    }),
+
+    // ---- artifact VERSIONING across releases: the signature table as
+    //      a versioned build artifact. v1 = the base release's persisted
+    //      signatures (the SAME parquet table the incremental family
+    //      reads — q95's artifact, shared key); v2 = the next release,
+    //      built by DELTA MAINTENANCE ONLY: v1 read back + the delta
+    //      slice's signatures appended — base docs are never rescanned
+    //      (signatures are per-doc, so append IS the correct
+    //      maintenance, which is exactly why the artifact design works
+    //      at 100 TB: a release never rebuilds what the last release
+    //      computed). The gate: the oracle derives BOTH versions from a
+    //      full recompute over `documents`, so a green row proves
+    //      v2-by-maintenance ≡ v2-by-rebuild (the q141 invariant lifted
+    //      from cluster labels to release artifacts), and removed_rows
+    //      = 0 proves the maintenance is append-only — v1 rows survive
+    //      into v2 verbatim (computed as a real per-row anti-join on
+    //      both sides, not assumed). Per-band summary keeps the gated
+    //      frame 8 rows at any corpus size ----
+    "q165_artifact_versioning" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1Dir = CoreQueries.sharedInputDir(
+        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
+        Dedup.bandedSignatures(docs.filter(!isDeltaDoc(col("doc_id"))),
+          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
+      }
+      val v2Dir = CoreQueries.sharedInputDir(
+        s"graft_q165_sigv2_${CoreQueries.dirToken(d)}") { p =>
+        s.read.parquet(v1Dir).unionByName(
+          Dedup.bandedSignatures(docs.filter(isDeltaDoc(col("doc_id"))),
+            "text", "doc_id", k = 8))
+          .write.mode("overwrite").parquet(p)
+      }
+      val v1 = s.read.parquet(v1Dir)
+      val v2 = s.read.parquet(v2Dir)
+      def summ(df: DataFrame, pre: String) = df.groupBy(col("band"))
+        .agg(count(lit(1)).as(s"${pre}_rows"),
+          countDistinct(col("doc_id")).as(s"${pre}_docs"))
+      val sigKey = Seq("doc_id", "band", "minhash")
+      val added = v2.join(v1, sigKey, "left_anti")
+        .groupBy(col("band")).agg(count(lit(1)).as("added_rows"))
+      val removed = v1.join(v2, sigKey, "left_anti")
+        .groupBy(col("band")).agg(count(lit(1)).as("removed_rows"))
+      summ(v2, "v2")
+        .join(summ(v1, "v1"), Seq("band"), "left")
+        .join(added, Seq("band"), "left")
+        .join(removed, Seq("band"), "left")
+        .select(col("band").cast("long").as("band"),
+          coalesce(col("v1_rows"), lit(0L)).as("v1_rows"),
+          coalesce(col("v1_docs"), lit(0L)).as("v1_docs"),
+          col("v2_rows"), col("v2_docs"),
+          coalesce(col("added_rows"), lit(0L)).as("added_rows"),
+          coalesce(col("removed_rows"), lit(0L)).as("removed_rows"))
+        .orderBy(col("band"))
+    }),
+
     // ---- STREAMING containment — the containment family's streaming
     //      loop, making it the FIFTH detector family with the full
     //      batch (q156) / incremental (q158) / streaming (here)
@@ -3465,13 +3679,13 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
       val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${new java.io.File(d).getName}") { p =>
+        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
         Dedup.bandedSignatures(baseDocs, "text", "doc_id", k = 8)
           .write.mode("overwrite").parquet(p)
       }
       val baseSig = s.read.parquet(sigDir)
       val baseCnt = sigCountArtifact(s,
-        s"graft_q95cnt_${new java.io.File(d).getName}", baseSig)
+        s"graft_q95cnt_${CoreQueries.dirToken(d)}", baseSig)
       val delta = docs.filter(isDeltaDoc(col("doc_id")))
         .select(col("doc_id"), col("text"))
       val in = CoreQueries.sharedInputDir(
@@ -3490,9 +3704,16 @@ object ExtQueries {
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              id: Long) =>
-            graft.streaming.Streaming.writeBatch(
+            // capture the batch's cached candidate frame and drop it
+            // once the append action completes (ADVICE r10: without
+            // this, one cached frame per micro-batch accumulates
+            // across batches and repeated bench runs in one session)
+            var cached: Option[DataFrame] = None
+            try graft.streaming.Streaming.writeBatch(
               streamBatchContainment(batch.toDF(), baseSig, baseDocs,
-                baseCounts = Some(baseCnt)), id, out, append = true)
+                baseCounts = Some(baseCnt),
+                onPersist = f => cached = Some(f)), id, out, append = true)
+            finally cached.foreach(_.unpersist())
           }.start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -3521,6 +3742,28 @@ object ExtQueries {
     """list_filter(string_split_regex(
        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
        x -> x <> '')""".replaceAll("\n\\s*", " ")
+
+  /** q26's n-gram langId rule as oracle CTEs ending in
+    * `lg(doc_id, source, n_chars, lang_guess)` — shared by the
+    * per-language distribution splits (q163/q164) so the detected-
+    * language rule cannot desynchronize from the q26-gated original.
+    */
+  private lazy val duckLangCtes: String = s"""
+       lt AS (SELECT doc_id, source, n_chars, ${duckToks("text")} AS lgtoks
+         FROM documents),
+       lsc AS (SELECT doc_id, source, n_chars,
+         len(list_filter(lgtoks, t -> list_contains(['the','and','of','is','with'], t))) AS en,
+         len(list_filter(lgtoks, t -> list_contains(['le','la','les','et','des'], t))) AS fr,
+         len(list_filter(lgtoks, t -> list_contains(['der','die','und','ist','von'], t))) AS de,
+         len(list_filter(lgtoks, t -> list_contains(['el','los','las','y','es'], t))) AS es
+         FROM lt),
+       lg AS (SELECT doc_id, source, n_chars,
+         CASE WHEN en = greatest(en, fr, de, es) AND en > 0 THEN 'en'
+              WHEN fr = greatest(en, fr, de, es) AND fr > 0 THEN 'fr'
+              WHEN de = greatest(en, fr, de, es) AND de > 0 THEN 'de'
+              WHEN es = greatest(en, fr, de, es) AND es > 0 THEN 'es'
+              ELSE 'und' END AS lang_guess
+         FROM lsc)"""
 
   /** Shared oracle CTEs for the r=2 banded MinHash signature,
     * mirroring `Dedup.bandedSignatures` + `minhashCandidates` exactly:
@@ -5376,7 +5619,9 @@ object ExtQueries {
                ROW_NUMBER() OVER (PARTITION BY vec_id
                  ORDER BY round(list_inner_product(dcode, cvec), 6) DESC, cell) AS rn
              FROM nn, cent) t WHERE rn = 1)
-         SELECT CAST(cell AS BIGINT) AS cell, vec_id, code,
+         SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+           array_to_string(list_transform(code,
+             v -> CAST(v AS VARCHAR)), ',') AS code,
            round(scale, 6) AS scale, round(cnorm, 6) AS cnorm,
            CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
                 THEN 'delta' ELSE 'base' END AS src
@@ -5771,7 +6016,131 @@ object ExtQueries {
            c.lo_cut, c.hi_cut
          FROM documents d JOIN c USING (source)
          GROUP BY d.source, c.n_docs, c.lo_cut, c.hi_cut
-         ORDER BY d.source""")
+         ORDER BY d.source""",
+    // the release ledger: the five detector families' own fragments
+    // (drops + the q156 containment chain) + q100's quality rule +
+    // q59's decontamination, composed under the fixed drop precedence
+    "q162_curated_corpus" -> s"""
+         WITH $dedupDropsCtes,
+         cgr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+           FROM sh GROUP BY 1),
+         cix AS (SELECT cc.a_id, cc.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM mhp cc JOIN sh x ON x.doc_id = cc.a_id
+             JOIN sh y ON y.doc_id = cc.b_id AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+         cm AS (SELECT cc.a_id, cc.b_id, ga.ng AS na, gb.ng AS nb,
+             COALESCE(cix.n_common, 0) AS n_common
+           FROM mhp cc JOIN cgr ga ON ga.doc_id = cc.a_id
+             JOIN cgr gb ON gb.doc_id = cc.b_id
+             LEFT JOIN cix ON cix.a_id = cc.a_id AND cix.b_id = cc.b_id),
+         cdrop AS (SELECT DISTINCT CASE WHEN ca > cb THEN a_id
+             WHEN cb > ca THEN b_id ELSE greatest(a_id, b_id) END AS doc_id
+           FROM (SELECT a_id, b_id,
+               round(CAST(n_common AS DOUBLE) / na, 6) AS ca,
+               round(CAST(n_common AS DOUBLE) / nb, 6) AS cb
+             FROM cm WHERE na > 0 AND nb > 0) tt
+           WHERE greatest(ca, cb) >= 0.5),
+         qt AS (SELECT doc_id, ${duckToks("text")} AS toks,
+             ${duckToks("lower(text)")} AS ltoks FROM documents),
+         qm AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS mwl,
+             round(CAST(len(list_filter(ltoks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS sr,
+             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS df
+           FROM qt),
+         dw AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         dgp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM dw WHERE len(words) >= 8),
+         dg AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM dgp),
+         dheld AS (SELECT DISTINCT gh FROM dg
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         dcon AS (SELECT DISTINCT doc_id FROM dg
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+             AND gh IN (SELECT gh FROM dheld)),
+         fin AS (SELECT d.doc_id, d.source, d.lang, qm.n_words,
+             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) = '0'
+                 THEN 'heldout'
+               WHEN NOT (qm.n_words >= 50 AND qm.n_words <= 100000
+                 AND qm.mwl >= 3.0 AND qm.mwl <= 10.0
+                 AND qm.sr >= 0.02 AND qm.df <= 0.9) THEN 'quality'
+               WHEN d.doc_id IN (SELECT doc_id FROM dcon)
+                 THEN 'decontaminated'
+               WHEN d.doc_id IN (SELECT doc_id FROM drops
+                 WHERE det = 'minhash') THEN 'minhash'
+               WHEN d.doc_id IN (SELECT doc_id FROM drops
+                 WHERE det = 'simhash') THEN 'simhash'
+               WHEN d.doc_id IN (SELECT doc_id FROM drops
+                 WHERE det = 'span') THEN 'span'
+               WHEN d.doc_id IN (SELECT doc_id FROM drops
+                 WHERE det = 'semantic') THEN 'semantic'
+               WHEN d.doc_id IN (SELECT doc_id FROM cdrop)
+                 THEN 'containment'
+               ELSE 'kept' END AS drop_reason
+           FROM documents d JOIN qm ON qm.doc_id = d.doc_id)
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM fin ORDER BY doc_id""",
+    "q163_lang_quantiles" -> s"""
+         WITH $duckLangCtes
+         SELECT source, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+         FROM lg GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q164_lang_fertility" -> s"""
+         WITH $bpeEncodeCtes,
+         $duckLangCtes,
+         lgg AS (SELECT e.source, lg.lang_guess,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(coalesce(e.n_tokens, 0)) AS BIGINT) AS n_tokens
+           FROM enc e JOIN lg ON lg.doc_id = e.doc_id GROUP BY 1, 2),
+         ttot AS (SELECT SUM(n_tokens) AS tot FROM lgg)
+         SELECT source, lang_guess, n_docs, n_words, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+           round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share
+         FROM lgg CROSS JOIN ttot ORDER BY source, lang_guess""",
+    // both versions re-derived by FULL recompute over documents: a
+    // green row proves the Spark side's delta-maintained v2 equals a
+    // from-scratch rebuild, and removed_rows = 0 proves append-only
+    "q165_artifact_versioning" -> s"""
+         WITH $bandedSigSql,
+         vraw AS (SELECT doc_id, band, sigkey FROM lng0
+           WHERE sigkey IS NOT NULL),
+         v1 AS (SELECT * FROM vraw
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         s1 AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS v1_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS v1_docs
+           FROM v1 GROUP BY 1),
+         s2 AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS v2_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS v2_docs
+           FROM vraw GROUP BY 1),
+         ad AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS added_rows
+           FROM vraw v2 WHERE NOT EXISTS (SELECT 1 FROM v1
+             WHERE v1.doc_id = v2.doc_id AND v1.band = v2.band
+               AND v1.sigkey = v2.sigkey)
+           GROUP BY 1),
+         rm AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS removed_rows
+           FROM v1 WHERE NOT EXISTS (SELECT 1 FROM vraw v2
+             WHERE v1.doc_id = v2.doc_id AND v1.band = v2.band
+               AND v1.sigkey = v2.sigkey)
+           GROUP BY 1)
+         SELECT CAST(s2.band AS BIGINT) AS band,
+           COALESCE(v1_rows, 0) AS v1_rows, COALESCE(v1_docs, 0) AS v1_docs,
+           v2_rows, v2_docs, COALESCE(added_rows, 0) AS added_rows,
+           COALESCE(removed_rows, 0) AS removed_rows
+         FROM s2 LEFT JOIN s1 ON s1.band = s2.band
+           LEFT JOIN ad ON ad.band = s2.band
+           LEFT JOIN rm ON rm.band = s2.band
+         ORDER BY band""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

@@ -128,4 +128,32 @@ class PlanAuditSpec extends SparkSpec {
         .contains(verdicts("zz_poison_cartesian")),
       s"poison query not flagged: $verdicts")
   }
+
+  test("sweep detects an injected array-typed output column (driver-verifier gate)") {
+    // the driver's pandas verifier crashes on unhashable cells
+    // (ndarray/dict/bytes) — q81 (r6) and q137 (r10) both shipped
+    // array outputs before this became a sweep verdict. Prove the
+    // COMPLEX-OUTPUT gate fires on each banned shape.
+    val poison: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "zz_poison_array" -> ((s, d) =>
+        graft.util.Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))),
+      "zz_poison_map" -> ((s, d) =>
+        graft.util.Tables.documents(s, d)
+          .select(col("doc_id"),
+            map(lit("k"), col("source")).as("m"))),
+      "zz_poison_binary" -> ((s, d) =>
+        graft.util.Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("b"))),
+      "zz_poison_nested" -> ((s, d) =>
+        graft.util.Tables.documents(s, d)
+          .select(col("doc_id"),
+            struct(split(col("text"), " ").as("toks")).as("st"))))
+    val verdicts = PlanAudit.sweep(spark, sf0001, poison)
+      .map(r => r._1 -> r._2).toMap
+    poison.keys.foreach { k =>
+      assert(verdicts(k) == "COMPLEX-OUTPUT", s"$k not flagged: $verdicts")
+    }
+  }
 }
