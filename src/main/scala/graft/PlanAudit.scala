@@ -52,7 +52,9 @@ object PlanAudit {
     "q155_release_diff" -> "one-row BPE-total scalar joined into each side's one-row card frame (q150's pattern); the diff join is 7x7 metric rows",
     "q157_source_fertility" -> "one-row broadcast of the corpus-token-total scalar against the source-cardinality-bounded per-source frame (q48/q140's pattern)",
     "q161_temperature_sample" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q152's pattern); the draw join is a lang-keyed broadcast",
-    "q164_lang_fertility" -> "one-row broadcast of the corpus-token-total scalar against the (source, lang)-cardinality-bounded per-group frame (q48/q157's pattern)")
+    "q164_lang_fertility" -> "one-row broadcast of the corpus-token-total scalar against the (source, lang)-cardinality-bounded per-group frame (q48/q157's pattern)",
+    "q166_token_temperature" -> "one-row broadcast of the (total-token, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q161's pattern in token currency); the draw join is a lang-keyed broadcast",
+    "q168_ledger_incremental" -> "16-row broadcast centroid frames inside the DELTA-side cell assignment (cellIndex/semanticDedup on the delta slice — q44/q86's allowlisted fan-out); every base-side structure is a persisted-artifact scan and every cross join is keyed")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

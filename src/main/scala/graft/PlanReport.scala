@@ -102,7 +102,10 @@ object PlanReport {
     "q162_curated_corpus" -> "the RELEASE ledger — every document with a per-doc drop_reason composing ALL curation stages under a fixed precedence: heldout split, quality floor (q100's Gopher rules), decontamination (q59), then the five dedup detector families — minhash/simhash/span/semantic read from the PERSISTED drop-set artifact, containment from the persisted pair artifact (drop rule: the containED side — higher containment fraction, ties to the larger id). Unlike q64 (packed sequences over survivors) this is the per-doc audit table a curation run ships. One quality scan + one gram scan + doc_id-keyed left joins against three persisted artifacts; no detector re-runs, no new corpus-wide shuffle — at 100 TB this is artifact-join cost, not detector cost",
     "q163_lang_quantiles" -> "q153's distribution table split by DETECTED language (q26's langId, not the metadata column — production is exactly the case where they disagree): exact per-(source, lang) length quantiles via the same value-count + R-7 interpolation shape; windows stay bounded by DISTINCT lengths per key group, never corpus rows. The table a per-language mixing recipe (q152/q161) reads when lengths differ by language within one source",
     "q164_lang_fertility" -> "q157's tokenizer-fertility table split by DETECTED language — the per-language equity view a temperature-mix recipe needs: a language with fertility far above the corpus mean is silently down-weighted by token-denominated budgets even at equal doc share. Memoized q122 encode (scan, zero shuffles) + one doc_id-keyed join to the langId scan + a (source, lang)-bounded aggregate; corpus-total divisor is q48's one-row broadcast scalar",
-    "q165_artifact_versioning" -> "artifact VERSIONING across releases: v1 = the base release's persisted signature table (q95's artifact, shared key), v2 = the next release built by DELTA MAINTENANCE ONLY (v1 read back + delta signatures appended; base never rescanned). Oracle re-derives both versions by full recompute, so green proves v2-by-maintenance ≡ v2-by-rebuild (q141's invariant lifted to release artifacts); removed_rows computed as a real per-row anti-join and gated = 0 proves append-only. Per-band summary keeps the frame 8 rows at any corpus size")
+    "q165_artifact_versioning" -> "artifact VERSIONING across releases: v1 = the base release's persisted signature table (q95's artifact, shared key), v2 = the next release built by DELTA MAINTENANCE ONLY (v1 read back + delta signatures appended; base never rescanned). Oracle re-derives both versions by full recompute, so green proves v2-by-maintenance ≡ v2-by-rebuild (q141's invariant lifted to release artifacts); removed_rows computed as a real per-row anti-join and gated = 0 proves append-only. Per-band summary keeps the frame 8 rows at any corpus size",
+    "q166_token_temperature" -> "temperature sampling in TOKEN currency — q161 balances languages by doc counts, but budgets are spent in tokens and fertility differences (q164) make the two disagree. Same alpha=0.7 half-size recipe with token mass everywhere docs were: weights over per-lang token sums (memoized encode), sample_frac = want/lang_tokens, kept docs AND kept tokens by the deterministic md5 draw. Lang-bounded aggregates + one-row normalizer broadcast; the draw stays scan-stage",
+    "q167_ledger_diff" -> "release-ledger DIFF — the drop-reason transition matrix for docs in BOTH releases: v1 = base slice with its own build artifacts (q95 signatures, v1 drop sets, v1 containment pairs — persisted, same discipline as the current release's), v2 = full corpus with current artifacts. Curation is non-monotone in the data: landing the delta changes verdicts on unchanged docs (new duplicates arrive; the held-out split arrives with the delta by the md5 geometry), while per-doc-stable reasons must sit on the diagonal. Both ledgers evaluate the SAME factored rules (curatedLedger / one SQL generator), so the matrix measures data movement, not rule drift; output bounded at 9x9 rows at any corpus size",
+    "q168_ledger_incremental" -> "the v2 ledger MAINTAINED, never rebuilt — q162's release ledger computed from the v1 release's persisted artifacts (ledger, drop sets, containment pairs, signature/simhash/cell-index tables + count artifacts, span owner + span-count tables) plus delta-proportional work only: cross candidates against each persisted index (q91/q123/q135/q158's ingest shapes), delta-internal candidates, span owner min-merge (a base doc loses kept-spans to smaller-id delta claims without its text being rescanned), quality from the v1 ledger for base docs + a fresh delta scan. The one corpus-wide pass is decontamination (the held split arrives WITH the delta — screening old docs against a new held set is inherently one scan; q84's Bloom is the degrade path). Gated by q162's OWN oracle — the one-oracle-pins-both proof that maintenance = rebuild at the full-ledger level, the claim that lets a 100 TB release never re-run detectors over the previous corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -571,11 +571,145 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
-  /** The four detector pipelines, verbatim — the artifact WRITE path. */
-  private def dropSetsRecompute(s: SparkSession, d: String): DataFrame = {
+  /** q162's per-doc release ledger over EXPLICIT inputs: every doc of
+    * `docs` with a drop_reason composing held-out split → quality
+    * floor (q100's rules, identical rounding) → decontamination
+    * (q59's held-gram overlap, held set derived from `docs` itself) →
+    * the five detector families under a fixed precedence (the four
+    * from `dropSets`, containment from `contPairs` with the
+    * contained-side drop rule). Factored so the current release
+    * (q162) and a past release's ledger (q167's v1: base docs +
+    * v1-build artifacts) evaluate the SAME rules — the transition
+    * matrix between them is then a statement about the DATA, not
+    * about rule drift.
+    */
+  private def curatedLedger(docs: DataFrame, dropSets: DataFrame,
+      contPairs: DataFrame): DataFrame = {
+    val qual = docs.select(col("doc_id"), col("source"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        TA.wsTokens(col("text")).as("toks"),
+        TA.wsTokens(lower(col("text"))).as("ltoks"))
+      .select(col("doc_id"), col("source"), col("lang"), col("hb"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+          .as("mwl"),
+        round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
+        round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+          / size(col("ltoks")).cast("double"), 6).as("df"))
+      .withColumn("q_keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+        col("sr") >= 0.02 && col("df") <= 0.9)
+    // decontamination: train docs sharing any 8-gram with the
+    // held-out split (q59's broadcast-held-set shape)
+    val grams = docs
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+    val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+    val contam = grams.filter(col("hb") =!= "0")
+      .join(broadcast(held), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
+    // four persisted detector families pivoted to per-doc flags
+    val dr = dropSets
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
+        max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
+        max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
+        max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"))
+    // fifth family: containment drops the contained side
+    val cdrop = contPairs
+      .select(when(col("cont_a") > col("cont_b"), col("a_id"))
+        .when(col("cont_b") > col("cont_a"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct().withColumn("d_ct", lit(1L))
+    qual.join(contam, Seq("doc_id"), "left")
+      .join(dr, Seq("doc_id"), "left")
+      .join(cdrop, Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("hb") === "0", "heldout")
+          .when(!col("q_keep"), "quality")
+          .when(col("c_hit") === 1L, "decontaminated")
+          .when(col("d_mh") === 1L, "minhash")
+          .when(col("d_sh") === 1L, "simhash")
+          .when(col("d_sp") === 1L, "span")
+          .when(col("d_se") === 1L, "semantic")
+          .when(col("d_ct") === 1L, "containment")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+        col("drop_reason"),
+        (col("drop_reason") === "kept").cast("long").as("kept"))
+  }
+
+  /** The v1 release's banded signature table (the SAME persisted
+    * artifact the incremental family reads — q95's key). */
+  private def v1SigArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
+      Dedup.bandedSignatures(
+        Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))),
+        "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release's four-family drop sets, persisted (q167/q168). */
+  private def v1DropsArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_dropsv1_${CoreQueries.dirToken(d)}") { p =>
+      dropSetsRecomputeFrom(
+        Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))),
+        v1SigArtifact(s, d),
+        Tables.embeddings(s, d).filter(!isDeltaDoc(col("vec_id"))))
+        .repartition(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release's containment pairs, persisted (q167/q168). */
+  private def v1PairsArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_contpv1_${CoreQueries.dirToken(d)}") { p =>
+      val baseDocs = Tables.documents(s, d)
+        .filter(!isDeltaDoc(col("doc_id")))
+      containmentRescore(
+        Dedup.minhashCandidates(v1SigArtifact(s, d))
+          .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id")),
+        "a_id", "b_id", baseDocs, baseDocs, "cont_a", "cont_b")
+        .repartition(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release LEDGER as a persisted artifact — what a real v1
+    * build ships; q167 diffs against it, q168 maintains FROM it. */
+  private def v1ReleaseLedger(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_ledgv1_${CoreQueries.dirToken(d)}") { p =>
+      curatedLedger(
+        Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))),
+        v1DropsArtifact(s, d), v1PairsArtifact(s, d))
+        .repartition(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The four detector pipelines, verbatim — the artifact WRITE path
+    * (full corpus). */
+  private def dropSetsRecompute(s: SparkSession, d: String): DataFrame =
+    dropSetsRecomputeFrom(Tables.documents(s, d), corpusSignatures(s, d),
+      Tables.embeddings(s, d))
+
+  /** The four detector pipelines over EXPLICIT inputs — the full-
+    * corpus artifact path above and the v1-release path (q167: base
+    * docs + the q95 base signature artifact + base embeddings) run the
+    * SAME code, so a release's ledger and the current ledger cannot
+    * desynchronize on detector rules.
+    */
+  private def dropSetsRecomputeFrom(docs: DataFrame, sig: DataFrame,
+      emb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val mh = Dedup.minhashCandidates(corpusSignatures(s, d))
+    val mh = Dedup.minhashCandidates(sig)
       .filter(col("n_bands") >= 2)
       .select(col("b_id").as("doc_id")).distinct()
       .select(lit("minhash").as("det"), col("doc_id"))
@@ -603,7 +737,7 @@ object ExtQueries {
         count(when(col("rn") === 1, lit(1))).as("n_kept"))
       .filter(col("n_kept") * 2 < col("n_spans"))
       .select(lit("span").as("det"), col("doc_id"))
-    val se = Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+    val se = Similarity.semanticDedup(emb, "vec_id",
         "embedding", tau = 0.4, nCells = 16)
       .select(col("dropped_id").as("doc_id")).distinct()
       .select(lit("semantic").as("det"), col("doc_id"))
@@ -3496,63 +3630,10 @@ object ExtQueries {
     //      Plan shape: one quality scan + one gram scan + doc_id-keyed
     //      left joins against three bounded persisted artifacts; no
     //      detector pipeline re-runs, no new corpus-wide shuffle ----
-    "q162_curated_corpus" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // quality floor + meta in one codegen'd scan (q100's rules,
-      // identical rounding so the rule evaluates on the same values)
-      val qual = docs.select(col("doc_id"), col("source"), col("lang"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-          TA.wsTokens(col("text")).as("toks"),
-          TA.wsTokens(lower(col("text"))).as("ltoks"))
-        .select(col("doc_id"), col("source"), col("lang"), col("hb"),
-          size(col("toks")).cast("long").as("n_words"),
-          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
-            .as("mwl"),
-          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
-          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
-            / size(col("ltoks")).cast("double"), 6).as("df"))
-        .withColumn("q_keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
-          col("sr") >= 0.02 && col("df") <= 0.9)
-      // decontamination: train docs sharing any 8-gram with the
-      // held-out split (q59's broadcast-held-set shape)
-      val grams = splitGrams(s, d)
-      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
-      val contam = grams.filter(col("hb") =!= "0")
-        .join(broadcast(held), Seq("gh"), "left_semi")
-        .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
-      // four persisted detector families pivoted to per-doc flags
-      val dr = dedupDropSets(s, d)
-        .groupBy(col("doc_id"))
-        .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
-          max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
-          max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
-          max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"))
-      // fifth family: containment drops the contained side
-      val cdrop = containmentPairs(s, d)
-        .select(when(col("cont_a") > col("cont_b"), col("a_id"))
-          .when(col("cont_b") > col("cont_a"), col("b_id"))
-          .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
-        .distinct().withColumn("d_ct", lit(1L))
-      qual.join(contam, Seq("doc_id"), "left")
-        .join(dr, Seq("doc_id"), "left")
-        .join(cdrop, Seq("doc_id"), "left")
-        .withColumn("drop_reason",
-          when(col("hb") === "0", "heldout")
-            .when(!col("q_keep"), "quality")
-            .when(col("c_hit") === 1L, "decontaminated")
-            .when(col("d_mh") === 1L, "minhash")
-            .when(col("d_sh") === 1L, "simhash")
-            .when(col("d_sp") === 1L, "span")
-            .when(col("d_se") === 1L, "semantic")
-            .when(col("d_ct") === 1L, "containment")
-            .otherwise("kept"))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
-          col("drop_reason"),
-          (col("drop_reason") === "kept").cast("long").as("kept"))
-        .orderBy(col("doc_id"))
-    }),
+    "q162_curated_corpus" -> ((s, d) =>
+      curatedLedger(Tables.documents(s, d), dedupDropSets(s, d),
+          containmentPairs(s, d))
+        .orderBy(col("doc_id"))),
 
     // ---- q153's distribution table split by DETECTED language
     //      (q26's n-gram langId, not the metadata column — the
@@ -3603,6 +3684,281 @@ object ExtQueries {
           round(col("n_tokens").cast("double") / col("tot"), 6)
             .as("token_share"))
         .orderBy(col("source"), col("lang_guess"))
+    }),
+
+    // ---- temperature sampling denominated in TOKENS: q161 balances
+    //      languages by DOC counts, but training budgets are spent in
+    //      tokens (q140), and fertility differences (q164) make the
+    //      two disagree — a lang whose docs are long or whose tokenizer
+    //      is inefficient eats more budget than its doc share shows.
+    //      Same α=0.7 / half-size-target recipe as q161 with token
+    //      mass everywhere docs were: weights over per-lang token
+    //      sums (memoized q122 encode), want in tokens, sample_frac =
+    //      want/lang_tokens, kept docs AND kept tokens by the same
+    //      deterministic md5 draw. Lang-bounded aggregates + one-row
+    //      normalizer broadcast; the draw stays scan-stage ----
+    "q166_token_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val enc = bpeEncoded(s, d).select(col("doc_id"), col("n_tokens"))
+      val dl = docs.join(enc, Seq("doc_id"))
+      val n = dl.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tk"))
+      val t = n.agg(sum(col("tk")).as("tot"),
+        sum(pow(col("tk").cast("double"), lit(0.7))).as("z07"))
+      val plan = n.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"), col("tk"),
+          (pow(col("tk").cast("double"), lit(0.7)) / col("z07") *
+            col("tot").cast("double") / lit(2.0)).as("want"))
+        .select(col("lang"), col("n_docs"), col("tk"), col("want"),
+          round(least(lit(1.0), col("want") / col("tk")), 6)
+            .as("sample_frac"),
+          ceil(round(col("want") / col("tk"), 6)).cast("long").as("epochs"))
+      val u = round(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("double") / lit(16777215.0), 6)
+      val kept = dl.select(col("lang"), col("n_tokens"), u.as("u"))
+        .join(broadcast(plan.select(col("lang"), col("sample_frac"))),
+          Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("u") < col("sample_frac"), lit(1))).as("n_kept"),
+          sum(when(col("u") < col("sample_frac"), col("n_tokens"))
+            .otherwise(lit(0L))).as("kept_tokens"))
+      plan.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("tk").as("n_tokens"),
+          round(col("want"), 6).as("target_tokens"),
+          col("sample_frac"), col("epochs"), col("n_kept"),
+          col("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- release-ledger DIFF: the drop-reason transition matrix for
+    //      the docs present in BOTH releases (v1 = base slice with its
+    //      own build artifacts — the q95 signature table, v1 drop sets,
+    //      v1 containment pairs; v2 = the full corpus with the current
+    //      artifacts). Curation is NON-MONOTONE in the data: landing
+    //      the delta changes verdicts on docs that didn't change — new
+    //      duplicates arrive (kept→minhash/containment), the held-out
+    //      split arrives with the delta slice (kept→decontaminated,
+    //      by the md5 geometry: head-0 docs are all delta), while
+    //      per-doc-stable reasons (quality) must sit on the diagonal.
+    //      This is the release-QA table reviewers read before shipping
+    //      v2: every off-diagonal cell is a doc whose fate the new
+    //      data changed. Both ledgers evaluate the SAME factored rules
+    //      (curatedLedger), so the matrix measures data movement, not
+    //      rule drift; output is ≤ 9×9 rows at any corpus size ----
+    "q167_ledger_diff" -> ((s, d) => {
+      val v1 = v1ReleaseLedger(s, d)
+      val v2 = curatedLedger(Tables.documents(s, d), dedupDropSets(s, d),
+        containmentPairs(s, d))
+      v1.select(col("doc_id"), col("drop_reason").as("reason_v1"))
+        .join(v2.select(col("doc_id"), col("drop_reason").as("reason_v2")),
+          Seq("doc_id"))
+        .groupBy(col("reason_v1"), col("reason_v2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reason_v1"), col("reason_v2"))
+    }),
+
+    // ---- the v2 ledger MAINTAINED, never rebuilt: q162's release
+    //      ledger computed from the v1 release's persisted artifacts
+    //      (ledger, drop sets, containment pairs, signature/simhash/
+    //      cell-index tables + their count artifacts, span owner +
+    //      per-doc span-count tables) plus DELTA-proportional work
+    //      only — cross candidates against each persisted index
+    //      (q91/q123/q135/q158's ingest shapes), delta-internal
+    //      candidates, span owner min-merge (q148's rule: n_kept(doc)
+    //      = #keys whose min-(doc_id, span_idx) owner is doc, so the
+    //      merged owner table IS the verdict input — a base doc LOSES
+    //      kept-spans to smaller-id delta claims without its text ever
+    //      being rescanned), quality from the v1 LEDGER for base docs
+    //      (reason='quality' ⟺ fails the floor, recoverable because
+    //      only empty-in-v1 'heldout' precedes it) + a fresh scan for
+    //      delta docs. The ONE corpus-wide pass is decontamination:
+    //      the held split arrives WITH the delta (md5 geometry), and
+    //      screening old docs against a brand-new held set is
+    //      inherently one scan (q59's broadcast shape; q84's Bloom is
+    //      the degrade path). Gated by q162's OWN oracle — the
+    //      one-oracle-pins-both proof (q91/q95/q115's pattern) that
+    //      maintenance ≡ rebuild, the claim that lets a 100 TB release
+    //      never re-run its detectors over the previous corpus.
+    //      Documented family-standard divergence: caps evaluate on
+    //      per-path bucket/cell sizes (never binding at fixture
+    //      scales — ScaleLadderSpec) ----
+    "q168_ledger_incremental" -> ((s, d) => {
+      val tok = CoreQueries.dirToken(d)
+      val docs = Tables.documents(s, d)
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+      val emb = Tables.embeddings(s, d)
+      // ---- v1-build artifacts (all shared keys with their families) ----
+      val v1Sig = v1SigArtifact(s, d)
+      val v1Cnt = sigCountArtifact(s, s"graft_q95cnt_$tok", v1Sig)
+      val v1ShSig = {
+        val p0 = CoreQueries.sharedInputDir(s"graft_q123_sig_$tok") { p =>
+          simhashBaseSig(docs.filter(!isDeltaDoc(col("doc_id"))))
+            .write.mode("overwrite").parquet(p)
+        }
+        s.read.parquet(p0)
+      }
+      val v1ShCnt = sigCountArtifact(s, s"graft_q123cnt_$tok", v1ShSig)
+      val v1Idx = {
+        val p0 = CoreQueries.sharedInputDir(s"graft_q135_idx_$tok") { p =>
+          Similarity.cellIndex(emb.filter(!isDeltaDoc(col("vec_id"))),
+            "vec_id", "embedding").write.mode("overwrite").parquet(p)
+        }
+        s.read.parquet(p0)
+      }
+      val v1CellCnt = {
+        val p0 = CoreQueries.sharedInputDir(s"graft_q135cnt_$tok") { p =>
+          v1Idx.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+            .write.mode("overwrite").parquet(p)
+        }
+        s.read.parquet(p0)
+      }
+      val v1Own = {
+        val p0 = CoreQueries.sharedInputDir(s"graft_spownv1_$tok") { p =>
+          spanFrame(docs.filter(!isDeltaDoc(col("doc_id"))))
+            .groupBy(col("k"))
+            .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+            .select(col("k"), col("o.doc_id").as("doc_id"),
+              col("o.span_idx").as("span_idx"))
+            .write.mode("overwrite").parquet(p)
+        }
+        s.read.parquet(p0)
+      }
+      val v1SpCnt = {
+        val p0 = CoreQueries.sharedInputDir(s"graft_spcntv1_$tok") { p =>
+          spanFrame(docs.filter(!isDeltaDoc(col("doc_id"))))
+            .groupBy(col("doc_id")).agg(max(col("n_spans")).as("n_spans"))
+            .write.mode("overwrite").parquet(p)
+        }
+        s.read.parquet(p0)
+      }
+      val v1Drops = v1DropsArtifact(s, d)
+      val v1Pairs = v1PairsArtifact(s, d)
+      val v1Led = v1ReleaseLedger(s, d)
+      def v1Det(det: String) =
+        v1Drops.filter(col("det") === det).select(col("doc_id"))
+      // ---- delta-proportional maintenance per family ----
+      val deltaSig = Dedup.bandedSignatures(delta, "text", "doc_id", k = 8)
+      val mhV2 = v1Det("minhash")
+        .unionByName(streamSigCandidates(
+            deltaSig.select(col("band"), col("minhash"),
+              col("doc_id").as("delta_id")),
+            v1Sig.select(col("band"), col("minhash"),
+              col("doc_id").as("base_id")),
+            minBands = 2, baseCounts = Some(v1Cnt))
+          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+        .unionByName(Dedup.minhashCandidates(deltaSig)
+          .filter(col("n_bands") >= 2).select(col("b_id").as("doc_id")))
+        .distinct().select(lit("minhash").as("det"), col("doc_id"))
+      val dShF = delta.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("sh"))
+      val shV2 = v1Det("simhash")
+        .unionByName(streamBatchSimhash(
+            delta.select(col("doc_id"), col("text")), v1ShSig,
+            baseCounts = Some(v1ShCnt))
+          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+        .unionByName(Dedup.minhashCandidates(sh64Sig(dShF).drop("sh"))
+          .filter(col("n_bands") >= 3)
+          .join(dShF.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            Seq("a_id"))
+          .join(dShF.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            Seq("b_id"))
+          .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
+          .select(col("b_id").as("doc_id")))
+        .distinct().select(lit("simhash").as("det"), col("doc_id"))
+      val deltaSpan = spanFrame(delta)
+      val v2Own = v1Own.unionByName(deltaSpan
+          .groupBy(col("k"))
+          .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+          .select(col("k"), col("o.doc_id").as("doc_id"),
+            col("o.span_idx").as("span_idx")))
+        .groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+        .select(col("o.doc_id").as("doc_id"))
+      val spV2 = v1SpCnt
+        .unionByName(deltaSpan.groupBy(col("doc_id"))
+          .agg(max(col("n_spans")).as("n_spans")))
+        .join(v2Own.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept")),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
+        .select(lit("span").as("det"), col("doc_id"))
+      val deltaEmb = emb.filter(isDeltaDoc(col("vec_id")))
+      val seV2 = v1Det("semantic")
+        .unionByName(Similarity.semanticCrossCandidates(
+            Similarity.cellIndex(deltaEmb, "vec_id", "embedding"),
+            v1Idx, tau = 0.4, baseCellCounts = Some(v1CellCnt))
+          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+        .unionByName(Similarity.semanticDedup(deltaEmb, "vec_id",
+            "embedding", tau = 0.4, nCells = 16)
+          .select(col("dropped_id").as("doc_id")))
+        .distinct().select(lit("semantic").as("det"), col("doc_id"))
+      def contDrop(df: DataFrame, aCol: String, bCol: String,
+          ca: String, cb: String) =
+        df.select(when(col(ca) > col(cb), col(aCol))
+          .when(col(cb) > col(ca), col(bCol))
+          .otherwise(greatest(col(aCol), col(bCol))).as("doc_id"))
+      val ctV2 = contDrop(v1Pairs, "a_id", "b_id", "cont_a", "cont_b")
+        .unionByName(contDrop(
+          streamBatchContainment(delta.select(col("doc_id"), col("text")),
+            v1Sig, docs.filter(!isDeltaDoc(col("doc_id"))),
+            baseCounts = Some(v1Cnt)),
+          "delta_id", "base_id", "cont_delta", "cont_base"))
+        .unionByName(contDrop(containmentRescore(
+            Dedup.minhashCandidates(deltaSig).filter(col("n_bands") >= 2)
+              .select(col("a_id"), col("b_id")),
+            "a_id", "b_id", delta, delta, "cont_a", "cont_b"),
+          "a_id", "b_id", "cont_a", "cont_b"))
+        .distinct().select(lit("containment").as("det"), col("doc_id"))
+      // ---- meta + quality: base rows from the v1 LEDGER, delta fresh ----
+      val deltaMeta = delta.select(col("doc_id"), col("source"), col("lang"),
+          TA.wsTokens(col("text")).as("toks"),
+          TA.wsTokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("toks")).cast("long").as("n_words"),
+          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+            .as("mwl"),
+          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
+          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+            / size(col("ltoks")).cast("double"), 6).as("df"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+            col("sr") >= 0.02 && col("df") <= 0.9).as("q_keep"))
+      val allMeta = v1Led.select(col("doc_id"), col("source"), col("lang"),
+          col("n_words"), (col("drop_reason") =!= "quality").as("q_keep"))
+        .unionByName(deltaMeta)
+        .withColumn("hb", substring(md5(col("doc_id").cast("string")), 1, 1))
+      // ---- decontamination: the one corpus-wide pass (new held set) ----
+      val grams = docs.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+      val contam = grams.filter(col("hb") =!= "0")
+        .join(broadcast(held), Seq("gh"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
+      val dr = mhV2.unionByName(shV2).unionByName(spV2).unionByName(seV2)
+        .unionByName(ctV2)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
+          max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
+          max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
+          max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"),
+          max(when(col("det") === "containment", 1L).otherwise(0L)).as("d_ct"))
+      allMeta.join(contam, Seq("doc_id"), "left")
+        .join(dr, Seq("doc_id"), "left")
+        .withColumn("drop_reason",
+          when(col("hb") === "0", "heldout")
+            .when(!col("q_keep"), "quality")
+            .when(col("c_hit") === 1L, "decontaminated")
+            .when(col("d_mh") === 1L, "minhash")
+            .when(col("d_sh") === 1L, "simhash")
+            .when(col("d_sp") === 1L, "span")
+            .when(col("d_se") === 1L, "semantic")
+            .when(col("d_ct") === 1L, "containment")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+          col("drop_reason"),
+          (col("drop_reason") === "kept").cast("long").as("kept"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- artifact VERSIONING across releases: the signature table as
@@ -3776,27 +4132,36 @@ object ExtQueries {
     * case at fixture scale, but the gate should not silently depend on
     * that).
     */
-  private val bandedSigSql: String = {
+  /** Prefixed/filtered variant of the banded-signature chain so a
+    * release-slice instance (q167's v1) can coexist with the full-
+    * corpus instance in one WITH list. `px` prefixes every CTE name;
+    * `pred` filters the seeding `documents` scan.
+    */
+  private def bandedSigSqlFor(px: String, pred: String): String = {
     val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
       s"MIN(minhash) FILTER (band = '$h') AS b$i"
     }.mkString(", ")
     val keys = (0 until 8).map(j => s"b$j || '#' || b${j + 8} AS k$j").mkString(", ")
     val karr = (0 until 8).map(j => s"k$j").mkString("[", ", ", "]")
-    s"""pos AS (SELECT doc_id, text,
-         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i FROM documents),
-       sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle FROM pos),
-       sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
-         MIN(md5(shingle)) AS minhash FROM sh GROUP BY 1, 2),
-       piv AS (SELECT doc_id, $cols FROM sig GROUP BY doc_id),
-       keyed AS (SELECT doc_id, $keys FROM piv),
-       lng0 AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
-         unnest($karr) AS sigkey FROM keyed),
-       lng AS (SELECT l.doc_id, l.band, l.sigkey FROM lng0 l
+    s"""${px}pos AS (SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+         FROM documents WHERE $pred),
+       ${px}sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+         FROM ${px}pos),
+       ${px}sig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+         MIN(md5(shingle)) AS minhash FROM ${px}sh GROUP BY 1, 2),
+       ${px}piv AS (SELECT doc_id, $cols FROM ${px}sig GROUP BY doc_id),
+       ${px}keyed AS (SELECT doc_id, $keys FROM ${px}piv),
+       ${px}lng0 AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
+         unnest($karr) AS sigkey FROM ${px}keyed),
+       ${px}lng AS (SELECT l.doc_id, l.band, l.sigkey FROM ${px}lng0 l
          JOIN (SELECT band, sigkey, COUNT(*) AS bs
-               FROM lng0 WHERE sigkey IS NOT NULL GROUP BY 1, 2) s
+               FROM ${px}lng0 WHERE sigkey IS NOT NULL GROUP BY 1, 2) s
          ON l.band = s.band AND l.sigkey = s.sigkey
          WHERE l.sigkey IS NOT NULL AND s.bs <= 10000)"""
   }
+
+  private val bandedSigSql: String = bandedSigSqlFor("", "TRUE")
 
   /** IVF centroid VALUES rows for the q44 oracle — the exact constants
     * the Spark side folds into its plan (test embeddings are 64-dim).
@@ -4222,26 +4587,31 @@ object ExtQueries {
     * centroids), cell-size cap, zero-norm filter, within-cell pairs,
     * best-witness window (`ev`, filter `rn = 1` to get the drop list).
     */
-  private val semanticPairCtes: String = s"""cents(cell, cvec) AS (VALUES $ivfCentroids),
-         a0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) > 0),
-         asg AS (SELECT id, vec, cell,
+  private def semanticPairCtesFor(px: String, pred: String): String =
+    s"""${px}cents(cell, cvec) AS (VALUES $ivfCentroids),
+         ${px}a0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0 AND $pred),
+         ${px}asg AS (SELECT id, vec, cell,
              ROW_NUMBER() OVER (PARTITION BY id
                ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
-           FROM a0, cents),
-         cl AS (SELECT id, vec, cell FROM asg WHERE rn = 1),
-         sz AS (SELECT cell, COUNT(*) AS cs FROM cl GROUP BY 1),
-         c AS (SELECT cl.id, cl.vec, cl.cell,
-             sqrt(list_inner_product(cl.vec, cl.vec)) AS nrm
-           FROM cl JOIN sz ON cl.cell = sz.cell
-           WHERE sz.cs <= 10000 AND list_inner_product(cl.vec, cl.vec) > 0),
-         pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
+           FROM ${px}a0, ${px}cents),
+         ${px}cl AS (SELECT id, vec, cell FROM ${px}asg WHERE rn = 1),
+         ${px}sz AS (SELECT cell, COUNT(*) AS cs FROM ${px}cl GROUP BY 1),
+         ${px}c AS (SELECT ${px}cl.id, ${px}cl.vec, ${px}cl.cell,
+             sqrt(list_inner_product(${px}cl.vec, ${px}cl.vec)) AS nrm
+           FROM ${px}cl JOIN ${px}sz ON ${px}cl.cell = ${px}sz.cell
+           WHERE ${px}sz.cs <= 10000
+             AND list_inner_product(${px}cl.vec, ${px}cl.vec) > 0),
+         ${px}pairs AS (SELECT a.cell, a.id AS kept_id, b.id AS dropped_id,
              list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
-           FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id),
-         ev AS (SELECT cell, dropped_id, kept_id, sim,
+           FROM ${px}c a JOIN ${px}c b ON a.cell = b.cell AND a.id < b.id),
+         ${px}ev AS (SELECT cell, dropped_id, kept_id, sim,
              ROW_NUMBER() OVER (PARTITION BY dropped_id
                ORDER BY round(sim, 6) DESC, kept_id) AS rn
-           FROM pairs WHERE round(sim, 6) >= 0.4)"""
+           FROM ${px}pairs WHERE round(sim, 6) >= 0.4)"""
+
+  private lazy val semanticPairCtes: String = semanticPairCtesFor("", "TRUE")
 
   /** The q90 window-hash terms: plain polynomial sum over the trailing
     * 8 chars, every term BIGINT (31^7 * max code point ~ 3e16 — exact
@@ -4275,7 +4645,10 @@ object ExtQueries {
     * q123's streaming twin. `p` prefixes every CTE name so two
     * instantiations can coexist in one WITH clause.
     */
-  private def simhashCandCtes(p: String): String = s"""${p}t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+  private def simhashCandCtes(p: String): String =
+    simhashCandCtesFor(p, "TRUE")
+
+  private def simhashCandCtesFor(p: String, pred: String): String = s"""${p}t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents WHERE $pred),
          ${p}s AS (SELECT doc_id, CAST($simhash64Terms AS BIGINT) AS sh FROM ${p}t),
          ${p}n AS (SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM ${p}s),
          ${p}nb0 AS (SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS nib FROM ${p}n),
@@ -4323,36 +4696,119 @@ object ExtQueries {
                   ELSE 'test' END AS cluster_split
            FROM hx)"""
 
-  private val dedupDropsCtes: String = s"""$bandedSigSql,
-         mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
-             AND a.doc_id < b.doc_id
+  /** Prefixed/filtered variant of the four-family drop-set chain so a
+    * release-slice instance (q167's v1 ledger) can coexist with the
+    * full-corpus instance in one WITH list. `docPred` filters the
+    * `documents` seeds, `embPred` the `embeddings` seed.
+    */
+  private def dedupDropsCtesFor(px: String, docPred: String,
+      embPred: String): String = s"""${bandedSigSqlFor(px, docPred)},
+         ${px}mhp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ${px}lng a JOIN ${px}lng b ON a.band = b.band
+             AND a.sigkey = b.sigkey AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         ${simhashCandCtes("x")},
-         pn AS (SELECT doc_id, toks,
-             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM xt),
-         psp AS (SELECT doc_id, i AS span_idx,
+         ${simhashCandCtesFor(px + "x", docPred)},
+         ${px}pn AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM ${px}xt),
+         ${px}psp AS (SELECT doc_id, i AS span_idx,
              array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
            FROM (SELECT doc_id, toks,
                unnest(generate_series(0, n_spans - 1)) AS i
-             FROM pn WHERE n_spans >= 1)),
-         pk AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
+             FROM ${px}pn WHERE n_spans >= 1)),
+         ${px}pk AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
              PARTITION BY substr(md5(span), 1, 16)
-             ORDER BY doc_id, span_idx) AS rn FROM psp),
-         pr AS (SELECT doc_id, COUNT(*) AS n_kept FROM pk WHERE rn = 1
-           GROUP BY doc_id),
-         $semanticPairCtes,
-         drops AS (
-           SELECT DISTINCT 'minhash' AS det, b_id AS doc_id FROM mhp
+             ORDER BY doc_id, span_idx) AS rn FROM ${px}psp),
+         ${px}pr AS (SELECT doc_id, COUNT(*) AS n_kept FROM ${px}pk
+           WHERE rn = 1 GROUP BY doc_id),
+         ${semanticPairCtesFor(px, embPred)},
+         ${px}drops AS (
+           SELECT DISTINCT 'minhash' AS det, b_id AS doc_id FROM ${px}mhp
            UNION ALL
-           SELECT DISTINCT 'simhash' AS det, b_id AS doc_id FROM xcand
+           SELECT DISTINCT 'simhash' AS det, b_id AS doc_id FROM ${px}xcand
              WHERE bit_count(xor(ash, bsh)) <= 3
            UNION ALL
-           SELECT 'span' AS det, pn.doc_id FROM pn LEFT JOIN pr USING (doc_id)
-             WHERE COALESCE(pr.n_kept, 0) * 2 < pn.n_spans
+           SELECT 'span' AS det, ${px}pn.doc_id FROM ${px}pn
+             LEFT JOIN ${px}pr USING (doc_id)
+             WHERE COALESCE(${px}pr.n_kept, 0) * 2 < ${px}pn.n_spans
            UNION ALL
-           SELECT DISTINCT 'semantic' AS det, dropped_id AS doc_id FROM ev
-             WHERE rn = 1)"""
+           SELECT DISTINCT 'semantic' AS det, dropped_id AS doc_id
+             FROM ${px}ev WHERE rn = 1)"""
+
+  private lazy val dedupDropsCtes: String =
+    dedupDropsCtesFor("", "TRUE", "TRUE")
+
+  /** q162's full ledger rule as prefixed CTEs ending in
+    * `${px}led(doc_id, source, lang, n_words, drop_reason)` — ONE
+    * generator, so q162's oracle and both release instances inside
+    * q167's oracle evaluate literally the same SQL rule text.
+    */
+  private def ledgerCtesFor(px: String, docPred: String,
+      embPred: String): String = s"""${dedupDropsCtesFor(px, docPred, embPred)},
+         ${px}cgr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+           FROM ${px}sh GROUP BY 1),
+         ${px}cix AS (SELECT cc.a_id, cc.b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM ${px}mhp cc JOIN ${px}sh x ON x.doc_id = cc.a_id
+             JOIN ${px}sh y ON y.doc_id = cc.b_id AND y.shingle = x.shingle
+           GROUP BY 1, 2),
+         ${px}cm AS (SELECT cc.a_id, cc.b_id, ga.ng AS na, gb.ng AS nb,
+             COALESCE(${px}cix.n_common, 0) AS n_common
+           FROM ${px}mhp cc JOIN ${px}cgr ga ON ga.doc_id = cc.a_id
+             JOIN ${px}cgr gb ON gb.doc_id = cc.b_id
+             LEFT JOIN ${px}cix ON ${px}cix.a_id = cc.a_id
+               AND ${px}cix.b_id = cc.b_id),
+         ${px}cdrop AS (SELECT DISTINCT CASE WHEN ca > cb THEN a_id
+             WHEN cb > ca THEN b_id ELSE greatest(a_id, b_id) END AS doc_id
+           FROM (SELECT a_id, b_id,
+               round(CAST(n_common AS DOUBLE) / na, 6) AS ca,
+               round(CAST(n_common AS DOUBLE) / nb, 6) AS cb
+             FROM ${px}cm WHERE na > 0 AND nb > 0) tt
+           WHERE greatest(ca, cb) >= 0.5),
+         ${px}qt AS (SELECT doc_id, ${duckToks("text")} AS toks,
+             ${duckToks("lower(text)")} AS ltoks FROM documents
+           WHERE $docPred),
+         ${px}qm AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS mwl,
+             round(CAST(len(list_filter(ltoks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS sr,
+             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
+               / CAST(len(ltoks) AS DOUBLE), 6) AS df
+           FROM ${px}qt),
+         ${px}dw AS (SELECT doc_id, $duckNormWords AS words FROM documents
+           WHERE $docPred),
+         ${px}dgp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM ${px}dw WHERE len(words) >= 8),
+         ${px}dg AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM ${px}dgp),
+         ${px}dheld AS (SELECT DISTINCT gh FROM ${px}dg
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         ${px}dcon AS (SELECT DISTINCT doc_id FROM ${px}dg
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+             AND gh IN (SELECT gh FROM ${px}dheld)),
+         ${px}led AS (SELECT d.doc_id, d.source, d.lang, ${px}qm.n_words,
+             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) = '0'
+                 THEN 'heldout'
+               WHEN NOT (${px}qm.n_words >= 50 AND ${px}qm.n_words <= 100000
+                 AND ${px}qm.mwl >= 3.0 AND ${px}qm.mwl <= 10.0
+                 AND ${px}qm.sr >= 0.02 AND ${px}qm.df <= 0.9) THEN 'quality'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}dcon)
+                 THEN 'decontaminated'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}drops
+                 WHERE det = 'minhash') THEN 'minhash'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}drops
+                 WHERE det = 'simhash') THEN 'simhash'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}drops
+                 WHERE det = 'span') THEN 'span'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}drops
+                 WHERE det = 'semantic') THEN 'semantic'
+               WHEN d.doc_id IN (SELECT doc_id FROM ${px}cdrop)
+                 THEN 'containment'
+               ELSE 'kept' END AS drop_reason
+           FROM documents d JOIN ${px}qm ON ${px}qm.doc_id = d.doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -6020,72 +6476,32 @@ object ExtQueries {
     // the release ledger: the five detector families' own fragments
     // (drops + the q156 containment chain) + q100's quality rule +
     // q59's decontamination, composed under the fixed drop precedence
+    // by the shared ledger generator (also instanced twice in q167)
     "q162_curated_corpus" -> s"""
-         WITH $dedupDropsCtes,
-         cgr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
-           FROM sh GROUP BY 1),
-         cix AS (SELECT cc.a_id, cc.b_id, CAST(COUNT(*) AS BIGINT) AS n_common
-           FROM mhp cc JOIN sh x ON x.doc_id = cc.a_id
-             JOIN sh y ON y.doc_id = cc.b_id AND y.shingle = x.shingle
-           GROUP BY 1, 2),
-         cm AS (SELECT cc.a_id, cc.b_id, ga.ng AS na, gb.ng AS nb,
-             COALESCE(cix.n_common, 0) AS n_common
-           FROM mhp cc JOIN cgr ga ON ga.doc_id = cc.a_id
-             JOIN cgr gb ON gb.doc_id = cc.b_id
-             LEFT JOIN cix ON cix.a_id = cc.a_id AND cix.b_id = cc.b_id),
-         cdrop AS (SELECT DISTINCT CASE WHEN ca > cb THEN a_id
-             WHEN cb > ca THEN b_id ELSE greatest(a_id, b_id) END AS doc_id
-           FROM (SELECT a_id, b_id,
-               round(CAST(n_common AS DOUBLE) / na, 6) AS ca,
-               round(CAST(n_common AS DOUBLE) / nb, 6) AS cb
-             FROM cm WHERE na > 0 AND nb > 0) tt
-           WHERE greatest(ca, cb) >= 0.5),
-         qt AS (SELECT doc_id, ${duckToks("text")} AS toks,
-             ${duckToks("lower(text)")} AS ltoks FROM documents),
-         qm AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-             round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE), 6) AS mwl,
-             round(CAST(len(list_filter(ltoks, x ->
-                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
-               / CAST(len(ltoks) AS DOUBLE), 6) AS sr,
-             round(1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE)
-               / CAST(len(ltoks) AS DOUBLE), 6) AS df
-           FROM qt),
-         dw AS (SELECT doc_id, $duckNormWords AS words FROM documents),
-         dgp AS (SELECT doc_id, words,
-             unnest(generate_series(1, len(words) - 7)) AS i
-           FROM dw WHERE len(words) >= 8),
-         dg AS (SELECT DISTINCT doc_id,
-             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
-           FROM dgp),
-         dheld AS (SELECT DISTINCT gh FROM dg
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
-         dcon AS (SELECT DISTINCT doc_id FROM dg
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
-             AND gh IN (SELECT gh FROM dheld)),
-         fin AS (SELECT d.doc_id, d.source, d.lang, qm.n_words,
-             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) = '0'
-                 THEN 'heldout'
-               WHEN NOT (qm.n_words >= 50 AND qm.n_words <= 100000
-                 AND qm.mwl >= 3.0 AND qm.mwl <= 10.0
-                 AND qm.sr >= 0.02 AND qm.df <= 0.9) THEN 'quality'
-               WHEN d.doc_id IN (SELECT doc_id FROM dcon)
-                 THEN 'decontaminated'
-               WHEN d.doc_id IN (SELECT doc_id FROM drops
-                 WHERE det = 'minhash') THEN 'minhash'
-               WHEN d.doc_id IN (SELECT doc_id FROM drops
-                 WHERE det = 'simhash') THEN 'simhash'
-               WHEN d.doc_id IN (SELECT doc_id FROM drops
-                 WHERE det = 'span') THEN 'span'
-               WHEN d.doc_id IN (SELECT doc_id FROM drops
-                 WHERE det = 'semantic') THEN 'semantic'
-               WHEN d.doc_id IN (SELECT doc_id FROM cdrop)
-                 THEN 'containment'
-               ELSE 'kept' END AS drop_reason
-           FROM documents d JOIN qm ON qm.doc_id = d.doc_id)
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
          SELECT doc_id, source, lang, n_words, drop_reason,
            CAST(drop_reason = 'kept' AS BIGINT) AS kept
-         FROM fin ORDER BY doc_id""",
+         FROM led ORDER BY doc_id""",
+    // the incremental maintenance path must be value-identical to the
+    // full-rebuild ledger: q162's own oracle pins both (q91/q95/q115's
+    // one-oracle proof pattern)
+    "q168_ledger_incremental" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM led ORDER BY doc_id""",
+    // two full ledger instances — v1 over the base slice only (its own
+    // signatures, drop sets, held set), v2 over everything — joined on
+    // the common docs; the transition matrix is the release-QA table
+    "q167_ledger_diff" -> s"""
+         WITH ${ledgerCtesFor("va",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')",
+           "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${ledgerCtesFor("vb", "TRUE", "TRUE")}
+         SELECT a.drop_reason AS reason_v1, b.drop_reason AS reason_v2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM valed a JOIN vbled b ON a.doc_id = b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q163_lang_quantiles" -> s"""
          WITH $duckLangCtes
          SELECT source, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6107,6 +6523,31 @@ object ExtQueries {
            round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
            round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share
          FROM lgg CROSS JOIN ttot ORDER BY source, lang_guess""",
+    "q166_token_temperature" -> s"""
+         WITH $bpeEncodeCtes,
+         dl AS (SELECT d.doc_id, d.lang, coalesce(e.n_tokens, 0) AS n_tokens
+           FROM documents d JOIN enc e ON e.doc_id = d.doc_id),
+         n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tk FROM dl GROUP BY 1),
+         t AS (SELECT SUM(tk) AS tot, SUM(pow(tk, 0.7)) AS z07 FROM n),
+         p AS (SELECT lang, n_docs, tk,
+             pow(tk, 0.7) / z07 * tot / 2.0 AS want FROM n CROSS JOIN t),
+         pl AS (SELECT lang, n_docs, tk, want,
+             round(least(1.0, want / tk), 6) AS sample_frac,
+             CAST(ceil(round(want / tk, 6)) AS BIGINT) AS epochs FROM p),
+         uu AS (SELECT doc_id, lang, n_tokens,
+             round(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+               AS BIGINT) AS DOUBLE) / 16777215.0, 6) AS u FROM dl),
+         k AS (SELECT uu.lang,
+             CAST(SUM(CASE WHEN u < sample_frac THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN u < sample_frac THEN uu.n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+           FROM uu JOIN pl ON uu.lang = pl.lang GROUP BY 1)
+         SELECT pl.lang, pl.n_docs, pl.tk AS n_tokens,
+           round(want, 6) AS target_tokens, sample_frac, epochs,
+           n_kept, kept_tokens
+         FROM pl JOIN k ON pl.lang = k.lang ORDER BY pl.lang""",
     // both versions re-derived by FULL recompute over documents: a
     // green row proves the Spark side's delta-maintained v2 equals a
     // from-scratch rebuild, and removed_rows = 0 proves append-only

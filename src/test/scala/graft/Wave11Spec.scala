@@ -81,4 +81,59 @@ class Wave11Spec extends SparkSpec {
     // the delta slice is non-empty at sf0.001, so v2 must actually grow
     assert(rows.map(_.getLong(5)).sum > 0, "no added rows — vacuous version diff")
   }
+
+  test("q166 token temperature: mass conservation and head suppression") {
+    val rows = SparkEntry.queries("q166_token_temperature")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getLong(2)).sum.toDouble
+    // the per-lang targets must sum to the half-size token budget
+    val targetSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(targetSum - totTokens / 2.0) < 1.0,
+      s"targets $targetSum != half budget ${totTokens / 2.0}")
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= 0.0, "frac out of range")
+      assert(r.getLong(7) <= r.getLong(2),
+        s"${r.getString(0)}: kept_tokens exceed lang tokens")
+    }
+    // temperature < 1 suppresses the head: the token-richest lang gets
+    // a strictly smaller sampling fraction than the token-poorest
+    val byTk = rows.sortBy(_.getLong(2))
+    assert(byTk.last.getDouble(4) < byTk.head.getDouble(4),
+      "head lang not suppressed relative to tail")
+  }
+
+  test("q167 ledger diff: totality, stability, and md5-split geometry") {
+    val rows = SparkEntry.queries("q167_ledger_diff")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val baseDocs = graft.util.Tables.documents(spark, sf0001)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2") === false).count()
+    // every base doc appears exactly once in the matrix
+    assert(rows.map(_._3).sum == baseDocs, "matrix does not cover the base slice")
+    // v1 geometry: base slice holds no md5-head-0 docs, so the v1
+    // ledger can contain neither heldout nor decontaminated rows
+    assert(!rows.exists(r => r._1 == "heldout" || r._1 == "decontaminated"),
+      "v1 ledger has held-set reasons — base slice should have none")
+    assert(!rows.exists(_._2 == "heldout"),
+      "a base doc cannot become heldout in v2")
+    // quality is a per-doc-stable rule: it must sit on the diagonal
+    assert(rows.filter(_._1 == "quality").forall(_._2 == "quality"),
+      "quality verdict moved — rule must be per-doc stable")
+  }
+
+  test("q168 incremental ledger == q162 full-rebuild ledger, row for row") {
+    // the DuckDB gate proves it against the oracle; this pins the two
+    // Spark paths directly against each other at spec speed — the
+    // maintenance-equals-rebuild claim with no oracle in the loop
+    val inc = SparkEntry.queries("q168_ledger_incremental")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val full = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(inc.length == full.length,
+      s"row counts differ: ${inc.length} vs ${full.length}")
+    inc.zip(full).foreach { case (a, b) =>
+      assert(a == b, s"ledger rows differ: $a vs $b")
+    }
+  }
 }
