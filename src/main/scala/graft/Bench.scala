@@ -155,7 +155,13 @@ object Bench {
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val cal = s"[${fmt(calPre)},${fmt(calPost)}]"
     val load = s"[${fmt1(loadPre)},${fmt1(loadPost)}]"
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs":$runs,"cal":$cal,"load":$load,"queries":$qs$spreadTop,"sf":"$sfDir"}""")
+    // sf as the basename only (VERDICT r10 #6 headroom step: the full
+    // path cost 31 chars of the driver's 2000-char tail window; at 168
+    // registered queries the line projects ~1876 chars with ~2 queries
+    // of headroom left — the basename buys ~2 more and the next lever,
+    // if the registry passes ~172, is dropping the runs field)
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs":$runs,"cal":$cal,"load":$load,"queries":$qs$spreadTop,"sf":"$sfName"}""")
     spark.stop()
   }
 }
