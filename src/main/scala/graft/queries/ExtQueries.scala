@@ -338,12 +338,7 @@ object ExtQueries {
     */
   private def baseClusterArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
-    val sigDir = CoreQueries.sharedInputDir(
-      s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
-      Dedup.bandedSignatures(docs.filter(!isDeltaDoc(col("doc_id"))),
-        "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
-    }
-    val baseSig = s.read.parquet(sigDir)
+    val baseSig = v1SigArtifact(s, d)
     val compDir = CoreQueries.sharedInputDir(
       s"graft_q141_comp_${CoreQueries.dirToken(d)}") { p =>
       val baseCand = graft.util.Persist(Dedup.minhashCandidates(baseSig)
@@ -649,6 +644,44 @@ object ExtQueries {
       Dedup.bandedSignatures(
         Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))),
         "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release's SimHash signature table (q123's key):
+    * (doc_id, sh, band, nib), ~4 narrow rows per doc. */
+  private def v1SimhashSigArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_q123_sig_${CoreQueries.dirToken(d)}") { p =>
+      simhashBaseSig(Tables.documents(s, d)
+          .filter(!isDeltaDoc(col("doc_id"))))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release's semantic cell index (q135's key):
+    * (cell, id, vec, nrm) — the corpus build's embedding-index
+    * output at 100 TB. */
+  private def v1CellIndexArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_q135_idx_${CoreQueries.dirToken(d)}") { p =>
+      Similarity.cellIndex(
+        Tables.embeddings(s, d).filter(!isDeltaDoc(col("vec_id"))),
+        "vec_id", "embedding").write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The (cell, cn) count artifact next to [[v1CellIndexArtifact]] —
+    * per-batch cell caps read this instead of re-aggregating the
+    * index (q135's key). */
+  private def v1CellCountArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_q135cnt_${CoreQueries.dirToken(d)}") { p =>
+      v1CellIndexArtifact(s, d).groupBy(col("cell"))
+        .agg(count(lit(1)).as("cn"))
+        .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(dir)
   }
@@ -963,12 +996,7 @@ object ExtQueries {
       def isDelta(c: Column): Column =
         substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val docs = Tables.documents(s, d)
-      val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
-        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
-          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
-      }
-      val baseSig = s.read.parquet(sigDir)
+      val baseSig = v1SigArtifact(s, d)
       val deltaSig = Dedup.bandedSignatures(docs.filter(isDelta(col("doc_id"))),
         "text", "doc_id", k = 8)
       Dedup.minhashCandidates(baseSig.unionByName(deltaSig))
@@ -1171,15 +1199,9 @@ object ExtQueries {
       def isDelta(c: Column): Column =
         substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val docs = Tables.documents(s, d)
-      // persisted base SimHash signature table: (doc_id, sh, band, nib)
-      // — at 100 TB this is the last corpus build's fingerprint index,
-      // ~4 narrow rows per doc
-      val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q123_sig_${CoreQueries.dirToken(d)}") { p =>
-        simhashBaseSig(docs.filter(!isDelta(col("doc_id"))))
-          .write.mode("overwrite").parquet(p)
-      }
-      val baseSig = s.read.parquet(sigDir)
+      // persisted base SimHash signature table — at 100 TB this is the
+      // last corpus build's fingerprint index
+      val baseSig = v1SimhashSigArtifact(s, d)
       val baseCnt = sigCountArtifact(s,
         s"graft_q123cnt_${CoreQueries.dirToken(d)}", baseSig)
       val delta = docs.filter(isDelta(col("doc_id")))
@@ -2307,12 +2329,7 @@ object ExtQueries {
       val docs = Tables.documents(s, d)
       // the same persisted base-signature table q95 reads (shared key,
       // so one materialization serves both consumers per session)
-      val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
-        Dedup.bandedSignatures(docs.filter(!isDelta(col("doc_id"))),
-          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
-      }
-      val baseSig = s.read.parquet(sigDir)
+      val baseSig = v1SigArtifact(s, d)
       // persisted bucket-count artifact: the per-batch cap reads this
       // instead of re-aggregating the signature table 4 times
       val baseCnt = sigCountArtifact(s,
@@ -2658,22 +2675,11 @@ object ExtQueries {
       def isDelta(c: Column): Column =
         substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
       val emb = Tables.embeddings(s, d)
-      // persisted base cell index: (cell, id, vec, nrm) — the corpus
-      // build's embedding-index output at 100 TB
-      val idxDir = CoreQueries.sharedInputDir(
-        s"graft_q135_idx_${CoreQueries.dirToken(d)}") { p =>
-        Similarity.cellIndex(emb.filter(!isDelta(col("vec_id"))),
-          "vec_id", "embedding").write.mode("overwrite").parquet(p)
-      }
-      val baseIdx = s.read.parquet(idxDir)
-      // persisted (cell, cn) count artifact: the per-batch cell cap
-      // reads this instead of re-aggregating the base index 4 times
-      val cntDir = CoreQueries.sharedInputDir(
-        s"graft_q135cnt_${CoreQueries.dirToken(d)}") { p =>
-        baseIdx.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
-          .write.mode("overwrite").parquet(p)
-      }
-      val baseCnt = s.read.parquet(cntDir)
+      // persisted base cell index + (cell, cn) count artifact: the
+      // corpus build's embedding-index output; per-batch cell caps
+      // read the counts instead of re-aggregating the index 4 times
+      val baseIdx = v1CellIndexArtifact(s, d)
+      val baseCnt = v1CellCountArtifact(s, d)
       val delta = emb.filter(isDelta(col("vec_id")))
         .select(col("vec_id"), col("embedding"))
       val in = CoreQueries.sharedInputDir(
@@ -3790,28 +3796,10 @@ object ExtQueries {
       // ---- v1-build artifacts (all shared keys with their families) ----
       val v1Sig = v1SigArtifact(s, d)
       val v1Cnt = sigCountArtifact(s, s"graft_q95cnt_$tok", v1Sig)
-      val v1ShSig = {
-        val p0 = CoreQueries.sharedInputDir(s"graft_q123_sig_$tok") { p =>
-          simhashBaseSig(docs.filter(!isDeltaDoc(col("doc_id"))))
-            .write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(p0)
-      }
+      val v1ShSig = v1SimhashSigArtifact(s, d)
       val v1ShCnt = sigCountArtifact(s, s"graft_q123cnt_$tok", v1ShSig)
-      val v1Idx = {
-        val p0 = CoreQueries.sharedInputDir(s"graft_q135_idx_$tok") { p =>
-          Similarity.cellIndex(emb.filter(!isDeltaDoc(col("vec_id"))),
-            "vec_id", "embedding").write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(p0)
-      }
-      val v1CellCnt = {
-        val p0 = CoreQueries.sharedInputDir(s"graft_q135cnt_$tok") { p =>
-          v1Idx.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
-            .write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(p0)
-      }
+      val v1Idx = v1CellIndexArtifact(s, d)
+      val v1CellCnt = v1CellCountArtifact(s, d)
       val v1Own = {
         val p0 = CoreQueries.sharedInputDir(s"graft_spownv1_$tok") { p =>
           spanFrame(docs.filter(!isDeltaDoc(col("doc_id"))))
@@ -3980,19 +3968,14 @@ object ExtQueries {
     //      frame 8 rows at any corpus size ----
     "q165_artifact_versioning" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val v1Dir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
-        Dedup.bandedSignatures(docs.filter(!isDeltaDoc(col("doc_id"))),
-          "text", "doc_id", k = 8).write.mode("overwrite").parquet(p)
-      }
+      val v1 = v1SigArtifact(s, d)
       val v2Dir = CoreQueries.sharedInputDir(
         s"graft_q165_sigv2_${CoreQueries.dirToken(d)}") { p =>
-        s.read.parquet(v1Dir).unionByName(
+        v1SigArtifact(s, d).unionByName(
           Dedup.bandedSignatures(docs.filter(isDeltaDoc(col("doc_id"))),
             "text", "doc_id", k = 8))
           .write.mode("overwrite").parquet(p)
       }
-      val v1 = s.read.parquet(v1Dir)
       val v2 = s.read.parquet(v2Dir)
       def summ(df: DataFrame, pre: String) = df.groupBy(col("band"))
         .agg(count(lit(1)).as(s"${pre}_rows"),
@@ -4034,12 +4017,7 @@ object ExtQueries {
     "q160_stream_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
-      val sigDir = CoreQueries.sharedInputDir(
-        s"graft_q95_sig_${CoreQueries.dirToken(d)}") { p =>
-        Dedup.bandedSignatures(baseDocs, "text", "doc_id", k = 8)
-          .write.mode("overwrite").parquet(p)
-      }
-      val baseSig = s.read.parquet(sigDir)
+      val baseSig = v1SigArtifact(s, d)
       val baseCnt = sigCountArtifact(s,
         s"graft_q95cnt_${CoreQueries.dirToken(d)}", baseSig)
       val delta = docs.filter(isDeltaDoc(col("doc_id")))
