@@ -3825,7 +3825,12 @@ object ExtQueries {
       def v1Det(det: String) =
         v1Drops.filter(col("det") === det).select(col("doc_id"))
       // ---- delta-proportional maintenance per family ----
-      val deltaSig = Dedup.bandedSignatures(delta, "text", "doc_id", k = 8)
+      // the delta signature and span frames feed THREE branches each
+      // (mh cross / mh internal / containment internal; span claims /
+      // span counts) — persist them once (deploy-switchable level)
+      // instead of re-running the minhash/tokenize stages per branch
+      val deltaSig = graft.util.Persist(
+        Dedup.bandedSignatures(delta, "text", "doc_id", k = 8))
       val mhV2 = v1Det("minhash")
         .unionByName(streamSigCandidates(
             deltaSig.select(col("band"), col("minhash"),
@@ -3853,7 +3858,7 @@ object ExtQueries {
           .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
           .select(col("b_id").as("doc_id")))
         .distinct().select(lit("simhash").as("det"), col("doc_id"))
-      val deltaSpan = spanFrame(delta)
+      val deltaSpan = graft.util.Persist(spanFrame(delta))
       val v2Own = v1Own.unionByName(deltaSpan
           .groupBy(col("k"))
           .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
