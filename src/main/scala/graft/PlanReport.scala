@@ -105,7 +105,9 @@ object PlanReport {
     "q165_artifact_versioning" -> "artifact VERSIONING across releases: v1 = the base release's persisted signature table (q95's artifact, shared key), v2 = the next release built by DELTA MAINTENANCE ONLY (v1 read back + delta signatures appended; base never rescanned). Oracle re-derives both versions by full recompute, so green proves v2-by-maintenance ≡ v2-by-rebuild (q141's invariant lifted to release artifacts); removed_rows computed as a real per-row anti-join and gated = 0 proves append-only. Per-band summary keeps the frame 8 rows at any corpus size",
     "q166_token_temperature" -> "temperature sampling in TOKEN currency — q161 balances languages by doc counts, but budgets are spent in tokens and fertility differences (q164) make the two disagree. Same alpha=0.7 half-size recipe with token mass everywhere docs were: weights over per-lang token sums (memoized encode), sample_frac = want/lang_tokens, kept docs AND kept tokens by the deterministic md5 draw. Lang-bounded aggregates + one-row normalizer broadcast; the draw stays scan-stage",
     "q167_ledger_diff" -> "release-ledger DIFF — the drop-reason transition matrix for docs in BOTH releases: v1 = base slice with its own build artifacts (q95 signatures, v1 drop sets, v1 containment pairs — persisted, same discipline as the current release's), v2 = full corpus with current artifacts. Curation is non-monotone in the data: landing the delta changes verdicts on unchanged docs (new duplicates arrive; the held-out split arrives with the delta by the md5 geometry), while per-doc-stable reasons must sit on the diagonal. Both ledgers evaluate the SAME factored rules (curatedLedger / one SQL generator), so the matrix measures data movement, not rule drift; output bounded at 9x9 rows at any corpus size",
-    "q168_ledger_incremental" -> "the v2 ledger MAINTAINED, never rebuilt — q162's release ledger computed from the v1 release's persisted artifacts (ledger, drop sets, containment pairs, signature/simhash/cell-index tables + count artifacts, span owner + span-count tables) plus delta-proportional work only: cross candidates against each persisted index (q91/q123/q135/q158's ingest shapes), delta-internal candidates, span owner min-merge (a base doc loses kept-spans to smaller-id delta claims without its text being rescanned), quality from the v1 ledger for base docs + a fresh delta scan. The one corpus-wide pass is decontamination (the held split arrives WITH the delta — screening old docs against a new held set is inherently one scan; q84's Bloom is the degrade path). Gated by q162's OWN oracle — the one-oracle-pins-both proof that maintenance = rebuild at the full-ledger level, the claim that lets a 100 TB release never re-run detectors over the previous corpus")
+    "q168_ledger_incremental" -> "the v2 ledger MAINTAINED, never rebuilt — q162's release ledger computed from the v1 release's persisted artifacts (ledger, drop sets, containment pairs, signature/simhash/cell-index tables + count artifacts, span owner + span-count tables) plus delta-proportional work only: cross candidates against each persisted index (q91/q123/q135/q158's ingest shapes), delta-internal candidates, span owner min-merge (a base doc loses kept-spans to smaller-id delta claims without its text being rescanned), quality from the v1 ledger for base docs + a fresh delta scan. The one corpus-wide pass is decontamination (the held split arrives WITH the delta — screening old docs against a new held set is inherently one scan; q84's Bloom is the degrade path). Gated by q162's OWN oracle — the one-oracle-pins-both proof that maintenance = rebuild at the full-ledger level, the claim that lets a 100 TB release never re-run detectors over the previous corpus",
+    "q169_curation_funnel" -> "the curation FUNNEL — q162's ledger rolled up to (source, drop_reason): doc and word counts per cell plus the within-source doc share, the dashboard table a curation run publishes next to the ledger. Source x reason-bounded (<= 9 rows per source) at any corpus size; the share divisor is a source-cardinality-bounded keyed join",
+    "q170_dropset_diff" -> "drop-set artifact VERSIONING — q165's release-diff applied to the detector family: v1 = the base release's persisted drop sets, v2 = the current full-corpus artifact, diffed per detector with real per-row anti-joins on BOTH sides. removed_docs gated = 0 makes the monotonicity theorem checkable (pairs only accumulate; span n_kept only decreases), which is what lets a release ship drop-set DELTAS. 4 rows at any corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

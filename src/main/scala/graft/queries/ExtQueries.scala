@@ -3641,6 +3641,56 @@ object ExtQueries {
           containmentPairs(s, d))
         .orderBy(col("doc_id"))),
 
+    // ---- the curation FUNNEL: q162's ledger rolled up to
+    //      (source, drop_reason) — the dashboard table a curation run
+    //      publishes next to the ledger ("what did each source lose,
+    //      and to which stage"). doc AND word counts per cell plus the
+    //      within-source doc share; source×reason-bounded (≤ 9 rows
+    //      per source) at any corpus size ----
+    "q169_curation_funnel" -> ((s, d) => {
+      val led = curatedLedger(Tables.documents(s, d), dedupDropSets(s, d),
+        containmentPairs(s, d))
+      val f = led.groupBy(col("source"), col("drop_reason"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      val st = f.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
+      f.join(st, Seq("source"))
+        .select(col("source"), col("drop_reason"), col("n_docs"),
+          col("n_words"),
+          round(col("n_docs").cast("double") / col("src_docs"), 6)
+            .as("doc_share"))
+        .orderBy(col("source"), col("drop_reason"))
+    }),
+
+    // ---- drop-set artifact VERSIONING: q165's release-diff applied
+    //      to the DETECTOR family — v1 = the base release's persisted
+    //      drop sets, v2 = the current full-corpus artifact, diffed
+    //      per detector with REAL per-row anti-joins on both sides.
+    //      removed_docs gated = 0 is a theorem about the rules made
+    //      checkable: all four detectors are MONOTONE in the data
+    //      (pairs only accumulate; a span doc's n_kept only decreases
+    //      as later releases steal owners), so a release can ship
+    //      drop-set DELTAS. 4 rows at any corpus size ----
+    "q170_dropset_diff" -> ((s, d) => {
+      val v1 = v1DropsArtifact(s, d)
+      val v2 = dedupDropSets(s, d)
+      def summ(df: DataFrame, pre: String) = df.groupBy(col("det"))
+        .agg(count(lit(1)).as(s"${pre}_docs"))
+      val added = v2.join(v1, Seq("det", "doc_id"), "left_anti")
+        .groupBy(col("det")).agg(count(lit(1)).as("added_docs"))
+      val removed = v1.join(v2, Seq("det", "doc_id"), "left_anti")
+        .groupBy(col("det")).agg(count(lit(1)).as("removed_docs"))
+      summ(v2, "v2")
+        .join(summ(v1, "v1"), Seq("det"), "left")
+        .join(added, Seq("det"), "left")
+        .join(removed, Seq("det"), "left")
+        .select(col("det"),
+          coalesce(col("v1_docs"), lit(0L)).as("v1_docs"),
+          col("v2_docs"),
+          coalesce(col("added_docs"), lit(0L)).as("added_docs"),
+          coalesce(col("removed_docs"), lit(0L)).as("removed_docs"))
+        .orderBy(col("det"))
+    }),
+
     // ---- q153's distribution table split by DETECTED language
     //      (q26's n-gram langId, not the metadata column — the
     //      production case is exactly that the two disagree): exact
@@ -6473,6 +6523,43 @@ object ExtQueries {
          SELECT doc_id, source, lang, n_words, drop_reason,
            CAST(drop_reason = 'kept' AS BIGINT) AS kept
          FROM led ORDER BY doc_id""",
+    "q169_curation_funnel" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")},
+         f AS (SELECT source, drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words
+           FROM led GROUP BY 1, 2),
+         st AS (SELECT source, SUM(n_docs) AS src_docs FROM f GROUP BY 1)
+         SELECT f.source, f.drop_reason, f.n_docs, f.n_words,
+           round(CAST(f.n_docs AS DOUBLE) / src_docs, 6) AS doc_share
+         FROM f JOIN st ON st.source = f.source
+         ORDER BY f.source, f.drop_reason""",
+    // both drop-set versions re-derived by full recompute (base-slice
+    // predicate vs TRUE): green proves the persisted-artifact diff and
+    // pins the monotonicity claim (removed_docs = 0)
+    "q170_dropset_diff" -> s"""
+         WITH ${dedupDropsCtesFor("ya",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')",
+           "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${dedupDropsCtesFor("yb", "TRUE", "TRUE")},
+         s1 AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS v1_docs
+           FROM yadrops GROUP BY 1),
+         s2 AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS v2_docs
+           FROM ybdrops GROUP BY 1),
+         ad AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS added_docs
+           FROM ybdrops b WHERE NOT EXISTS (SELECT 1 FROM yadrops a
+             WHERE a.det = b.det AND a.doc_id = b.doc_id)
+           GROUP BY 1),
+         rm AS (SELECT det, CAST(COUNT(*) AS BIGINT) AS removed_docs
+           FROM yadrops a WHERE NOT EXISTS (SELECT 1 FROM ybdrops b
+             WHERE a.det = b.det AND a.doc_id = b.doc_id)
+           GROUP BY 1)
+         SELECT s2.det, COALESCE(v1_docs, 0) AS v1_docs, v2_docs,
+           COALESCE(added_docs, 0) AS added_docs,
+           COALESCE(removed_docs, 0) AS removed_docs
+         FROM s2 LEFT JOIN s1 ON s1.det = s2.det
+           LEFT JOIN ad ON ad.det = s2.det
+           LEFT JOIN rm ON rm.det = s2.det
+         ORDER BY s2.det""",
     // two full ledger instances — v1 over the base slice only (its own
     // signatures, drop sets, held set), v2 over everything — joined on
     // the common docs; the transition matrix is the release-QA table

@@ -122,6 +122,32 @@ class Wave11Spec extends SparkSpec {
       "quality verdict moved — rule must be per-doc stable")
   }
 
+  test("q169 funnel: shares sum to 1 per source and cells roll up to q162") {
+    val rows = SparkEntry.queries("q169_curation_funnel")(spark, sf0001)
+      .collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      val mass = rs.map(_.getDouble(4)).sum
+      assert(math.abs(mass - 1.0) < 1e-3, s"$src doc_share mass $mass != 1")
+    }
+    val funnelTotal = rows.map(_.getLong(2)).sum
+    val ledgerTotal = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
+      .count()
+    assert(funnelTotal == ledgerTotal, "funnel cells do not cover the ledger")
+  }
+
+  test("q170 drop-set diff: detectors are monotone across releases") {
+    val rows = SparkEntry.queries("q170_dropset_diff")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("minhash", "simhash", "span", "semantic"))
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0L, s"${r.getString(0)}: drop set shrank — " +
+        "detector rules must be monotone in the data")
+      assert(r.getLong(2) == r.getLong(1) + r.getLong(3),
+        s"${r.getString(0)}: v2 != v1 + added")
+    }
+  }
+
   test("q168 incremental ledger == q162 full-rebuild ledger, row for row") {
     // the DuckDB gate proves it against the oracle; this pins the two
     // Spark paths directly against each other at spec speed — the
