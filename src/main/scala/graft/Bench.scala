@@ -155,13 +155,15 @@ object Bench {
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val cal = s"[${fmt(calPre)},${fmt(calPost)}]"
     val load = s"[${fmt1(loadPre)},${fmt1(loadPost)}]"
-    // sf as the basename only (VERDICT r10 #6 headroom step: the full
-    // path cost 31 chars of the driver's 2000-char tail window; at 168
-    // registered queries the line projects ~1876 chars with ~2 queries
-    // of headroom left — the basename buys ~2 more and the next lever,
-    // if the registry passes ~172, is dropping the runs field)
+    // Line-size levers (VERDICT r10 #6): sf prints as the basename
+    // (the full path cost 31 chars of the driver's 2000-char tail
+    // window) and the constant runs field is dropped (run count is
+    // documented in SURVEY/BASELINE; measured line was 1,891 chars at
+    // 170 queries WITH runs — ~1,882 without, ~2 queries of headroom).
+    // Next lever past ~173: move cal/load to bench_detail.json only —
+    // the committed BENCH_DETAIL_r{N}.json is the full record anyway.
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","runs":$runs,"cal":$cal,"load":$load,"queries":$qs$spreadTop,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cal":$cal,"load":$load,"queries":$qs$spreadTop,"sf":"$sfName"}""")
     spark.stop()
   }
 }
