@@ -108,6 +108,8 @@ object Bench {
     // decimals (two values, and the ~0.1 s nominal needs the digit).
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt1(v: Double): String = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def fmtD1(v: Double): String = BigDecimal(v)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
@@ -131,8 +133,12 @@ object Bench {
         .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
         .mkString("{", ",", "}")
       val total3 = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
+      // cal/load recorded here too, so the committed BENCH_DETAIL_r{N}
+      // stays a self-contained trust record if the line ever drops them
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-        (s"""{"total":${fmt(total3)},"queries":$detail}""" + "\n")
+        (s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
+          s"""${fmt(calibrate())}],"load":[${fmt1(loadPre)},""" +
+          s"""${fmt1(osBean.getSystemLoadAverage)}],"queries":$detail}""" + "\n")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () } // forensics only — never fail the bench
     // [min,max] across runs for the 5 slowest queries only (was 10;
@@ -151,8 +157,6 @@ object Bench {
         .mkString("{", ",", "}")
     val calPost = calibrate()
     val loadPost = osBean.getSystemLoadAverage
-    def fmt1(v: Double): String = BigDecimal(v)
-      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val cal = s"[${fmt(calPre)},${fmt(calPost)}]"
     val load = s"[${fmt1(loadPre)},${fmt1(loadPost)}]"
     // Line-size levers (VERDICT r10 #6): sf prints as the basename
