@@ -128,17 +128,24 @@ object Bench {
     // Sum the ROUNDED values so the printed total equals the sum of the
     // printed per-query times exactly (consumer-side consistency).
     val total = results.map(r => BigDecimal(fmtQ(med(r._2)))).sum.toDouble
+    // Post-run trust probes measured ONCE, before the detail write, and
+    // reused verbatim in both the detail file and any future line field
+    // (ADVICE r11: the detail writer previously ran its OWN calibrate(),
+    // so the two records disagreed and an extra probe ran in between).
+    val calPost = calibrate()
+    val loadPost = osBean.getSystemLoadAverage
     try {
       val detail = results
         .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
         .mkString("{", ",", "}")
       val total3 = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
-      // cal/load recorded here too, so the committed BENCH_DETAIL_r{N}
-      // stays a self-contained trust record if the line ever drops them
+      // cal/load live HERE (the committed BENCH_DETAIL_r{N} is the
+      // self-contained trust record); the printed line dropped them at
+      // 170+ queries — see the line-lever note below
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
-          s"""${fmt(calibrate())}],"load":[${fmt1(loadPre)},""" +
-          s"""${fmt1(osBean.getSystemLoadAverage)}],"queries":$detail}""" + "\n")
+          s"""${fmt(calPost)}],"load":[${fmt1(loadPre)},""" +
+          s"""${fmt1(loadPost)}],"queries":$detail}""" + "\n")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () } // forensics only — never fail the bench
     // [min,max] across runs for the 5 slowest queries only (was 10;
@@ -155,19 +162,18 @@ object Bench {
         .map { case (k, ts) =>
           "\"" + short(k) + "\":[" + fmt2(ts.head) + "," + fmt2(ts.last) + "]" }
         .mkString("{", ",", "}")
-    val calPost = calibrate()
-    val loadPost = osBean.getSystemLoadAverage
-    val cal = s"[${fmt(calPre)},${fmt(calPost)}]"
-    val load = s"[${fmt1(loadPre)},${fmt1(loadPost)}]"
-    // Line-size levers (VERDICT r10 #6): sf prints as the basename
-    // (the full path cost 31 chars of the driver's 2000-char tail
-    // window) and the constant runs field is dropped (run count is
-    // documented in SURVEY/BASELINE; measured line was 1,891 chars at
-    // 170 queries WITH runs — ~1,882 without, ~2 queries of headroom).
-    // Next lever past ~173: move cal/load to bench_detail.json only —
-    // the committed BENCH_DETAIL_r{N}.json is the full record anyway.
+    // Line-size levers: sf prints as the basename, the constant runs
+    // field is dropped (r11), and past 170 queries cal/load move to
+    // bench_detail.json ONLY (r12 — the r11 line measured 1,884 chars
+    // at 170 queries; the ~45-char cal/load block buys ~9 queries of
+    // window headroom, and BENCH_DETAIL_r{N}.json has carried the same
+    // two probes at full resolution since r11). Readers machine-check
+    // trust from the committed detail file.
+    val calLoad =
+      if (results.size > 170) ""
+      else s""","cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}]"""
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","cal":$cal,"load":$load,"queries":$qs$spreadTop,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec"$calLoad,"queries":$qs$spreadTop,"sf":"$sfName"}""")
     spark.stop()
   }
 }

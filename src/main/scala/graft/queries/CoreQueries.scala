@@ -92,13 +92,19 @@ object CoreQueries {
     * deletion.
     */
   /** Path-unique session-artifact key token for an input dir: basename
-    * (human-readable: `sf0.01`) plus a full-path hash. Basename alone
+    * (human-readable: `sf0.01`) plus a full-path digest. Basename alone
     * is ambiguous — two corpora named `sf0.01` under different parents
     * in one session would silently serve the first corpus' artifact to
-    * the second (ADVICE r10).
+    * the second (ADVICE r10). The digest is the first 10 hex chars of
+    * md5(path), not String.hashCode (ADVICE r11): a 32-bit hash
+    * collision between two live paths would reintroduce exactly the
+    * silent wrong-artifact aliasing this token exists to prevent.
     */
-  private[queries] def dirToken(d: String): String =
-    s"${new java.io.File(d).getName}_${(d.hashCode & 0x7fffffff).toHexString}"
+  private[queries] def dirToken(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+    s"${new java.io.File(d).getName}_$md"
+  }
 
   private[queries] def sharedInputDir(key: String)(write: String => Unit): String = {
     tempDirHook
