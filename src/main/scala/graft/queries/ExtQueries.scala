@@ -754,6 +754,303 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** The v1 release's span-owner table — (k, doc_id, span_idx), the
+    * min-(doc_id, span_idx) owner of every base span key (q148's rule;
+    * q168/q171's maintenance input). */
+  private def v1SpanOwnerArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_spownv1_${CoreQueries.dirToken(d)}") { p =>
+      spanFrame(Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))))
+        .groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+        .select(col("k"), col("o.doc_id").as("doc_id"),
+          col("o.span_idx").as("span_idx"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The v1 release's per-doc span counts — (doc_id, n_spans), the
+    * denominator of the span verdict (q168/q171). */
+  private def v1SpanCountArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_spcntv1_${CoreQueries.dirToken(d)}") { p =>
+      spanFrame(Tables.documents(s, d).filter(!isDeltaDoc(col("doc_id"))))
+        .groupBy(col("doc_id")).agg(max(col("n_spans")).as("n_spans"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Everything a release SHIPS and the next release's maintenance
+    * step consumes — the closure of [[ledgerMaintainStep]]: the five
+    * detector families' index artifacts (banded MinHash signatures +
+    * bucket counts, SimHash signatures + counts, semantic cell index +
+    * counts, span owners + per-doc span counts), the four-family drop
+    * sets, the containment pair table, and the per-doc ledger itself.
+    * A step consumes one bundle and produces the next; chaining steps
+    * (q171) is then just function composition.
+    */
+  private case class RelArtifacts(sig: DataFrame, sigCnt: DataFrame,
+      shSig: DataFrame, shCnt: DataFrame, cellIdx: DataFrame,
+      cellCnt: DataFrame, spanOwn: DataFrame, spanCnt: DataFrame,
+      drops: DataFrame, pairs: DataFrame, ledger: DataFrame)
+
+  /** The v1 release's full artifact bundle, every member the SAME
+    * persisted session artifact its standalone family reads (q95/q123/
+    * q135/q148/q167 keys) — the `prior` input of q168's maintenance
+    * step and the chain's starting release (q171). */
+  private def v1Artifacts(s: SparkSession, d: String): RelArtifacts = {
+    val tok = CoreQueries.dirToken(d)
+    RelArtifacts(
+      sig = v1SigArtifact(s, d),
+      sigCnt = sigCountArtifact(s, s"graft_q95cnt_$tok", v1SigArtifact(s, d)),
+      shSig = v1SimhashSigArtifact(s, d),
+      shCnt = sigCountArtifact(s, s"graft_q123cnt_$tok",
+        v1SimhashSigArtifact(s, d)),
+      cellIdx = v1CellIndexArtifact(s, d),
+      cellCnt = v1CellCountArtifact(s, d),
+      spanOwn = v1SpanOwnerArtifact(s, d),
+      spanCnt = v1SpanCountArtifact(s, d),
+      drops = v1DropsArtifact(s, d),
+      pairs = v1PairsArtifact(s, d),
+      ledger = v1ReleaseLedger(s, d))
+  }
+
+  /** ONE release-maintenance step: `(prior artifacts, delta) => next
+    * artifacts` — q168's delta-proportional semantics factored into a
+    * composable function (round-12 capstone). Every family advances by
+    * delta-proportional work only:
+    *
+    *  - index artifacts grow by APPEND (signatures/cell index are
+    *    per-doc; counts merge additively; span owners min-merge —
+    *    min is associative+commutative, so owner tables are
+    *    independent of how the delta was batched),
+    *  - drop sets grow by the delta's cross candidates against each
+    *    persisted index plus delta-internal candidates (the detectors
+    *    are MONOTONE in the data — q170's gated theorem — so prior
+    *    verdicts are never revisited),
+    *  - containment pairs accumulate (cross + delta-internal rescores),
+    *  - quality/meta columns for prior docs are RECOVERED from the
+    *    prior ledger (reason='quality' ⟺ fails the floor; recoverable
+    *    because only 'heldout' precedes it in the reason order, and a
+    *    heldout doc stays heldout forever — hb is a pure doc_id
+    *    function), and
+    *  - the ONE corpus-wide pass is decontamination: the held split
+    *    arrives WITH the delta (md5 geometry), and screening old docs
+    *    against a brand-new held set is inherently one scan (q59's
+    *    broadcast shape; q84's Bloom is the degrade path).
+    *
+    * `corpus` is the NEW release's doc set (decontamination input);
+    * `priorDocs` the previous release's docs (containment gram source
+    * for cross pairs — pruned to candidate ids before any shingle
+    * work). `onPersist` receives every frame the step caches so
+    * eager callers (the q171 materializer) can unpersist after their
+    * writes land. q168 gates one step against q162's full-rebuild
+    * oracle; q171 gates step∘step — the associativity that lets a
+    * 100 TB corpus ship releases indefinitely without ever re-running
+    * detectors over the previous corpus.
+    */
+  private def ledgerMaintainStep(prior: RelArtifacts, delta: DataFrame,
+      deltaEmb: DataFrame, corpus: DataFrame, priorDocs: DataFrame,
+      onPersist: DataFrame => Unit = _ => ()): RelArtifacts = {
+    def priorDet(det: String) =
+      prior.drops.filter(col("det") === det).select(col("doc_id"))
+    def mergeCounts(base: DataFrame, add: DataFrame, keys: Seq[String],
+        cnt: String) =
+      base.join(add.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dn")),
+          keys, "full")
+        .select(keys.map(col) :+
+          (coalesce(col(cnt), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as(cnt): _*)
+    // ---- minhash: cross vs the persisted signature table (bucket
+    //      counts from the persisted count artifact) + delta-internal ----
+    val deltaSig = graft.util.Persist(
+      Dedup.bandedSignatures(delta, "text", "doc_id", k = 8))
+    onPersist(deltaSig)
+    val mhV2 = priorDet("minhash")
+      .unionByName(streamSigCandidates(
+          deltaSig.select(col("band"), col("minhash"),
+            col("doc_id").as("delta_id")),
+          prior.sig.select(col("band"), col("minhash"),
+            col("doc_id").as("base_id")),
+          minBands = 2, baseCounts = Some(prior.sigCnt))
+        .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+      .unionByName(Dedup.minhashCandidates(deltaSig)
+        .filter(col("n_bands") >= 2).select(col("b_id").as("doc_id")))
+      .distinct().select(lit("minhash").as("det"), col("doc_id"))
+    // ---- simhash: same ingest shape over the SimHash signature table ----
+    val dShF = delta.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sh"))
+    val dShSig = sh64Sig(dShF)
+    val shV2 = priorDet("simhash")
+      .unionByName(streamBatchSimhash(
+          delta.select(col("doc_id"), col("text")), prior.shSig,
+          baseCounts = Some(prior.shCnt))
+        .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+      .unionByName(Dedup.minhashCandidates(dShSig.drop("sh"))
+        .filter(col("n_bands") >= 3)
+        .join(dShF.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+          Seq("a_id"))
+        .join(dShF.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+          Seq("b_id"))
+        .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
+        .select(col("b_id").as("doc_id")))
+      .distinct().select(lit("simhash").as("det"), col("doc_id"))
+    // ---- span: delta claims min-merged into the owner table; the
+    //      verdict is recomputed from the MERGED owners + counts, so a
+    //      prior doc loses kept-spans to smaller-id delta claims
+    //      without its text ever being rescanned ----
+    val deltaSpan = graft.util.Persist(spanFrame(delta))
+    onPersist(deltaSpan)
+    val spanOwn2 = prior.spanOwn
+      .unionByName(deltaSpan.groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+        .select(col("k"), col("o.doc_id").as("doc_id"),
+          col("o.span_idx").as("span_idx")))
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+      .select(col("k"), col("o.doc_id").as("doc_id"),
+        col("o.span_idx").as("span_idx"))
+    val spanCnt2 = prior.spanCnt
+      .unionByName(deltaSpan.groupBy(col("doc_id"))
+        .agg(max(col("n_spans")).as("n_spans")))
+    val spV2 = spanCnt2
+      .join(spanOwn2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
+      .select(lit("span").as("det"), col("doc_id"))
+    // ---- semantic: delta cell index vs the persisted index (cell
+    //      caps from the persisted count artifact) + delta-internal ----
+    val deltaIdx = Similarity.cellIndex(deltaEmb, "vec_id", "embedding")
+    val seV2 = priorDet("semantic")
+      .unionByName(Similarity.semanticCrossCandidates(deltaIdx,
+          prior.cellIdx, tau = 0.4, baseCellCounts = Some(prior.cellCnt))
+        .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
+      .unionByName(Similarity.semanticDedup(deltaEmb, "vec_id",
+          "embedding", tau = 0.4, nCells = 16)
+        .select(col("dropped_id").as("doc_id")))
+      .distinct().select(lit("semantic").as("det"), col("doc_id"))
+    // ---- containment: the pair TABLE accumulates (cross rescored
+    //      against the prior docs pruned to candidate ids, plus
+    //      delta-internal); the drop rule is row-wise over pairs, so
+    //      the verdict of the union is the union of verdicts ----
+    val crossPairs = streamBatchContainment(
+        delta.select(col("doc_id"), col("text")), prior.sig, priorDocs,
+        baseCounts = Some(prior.sigCnt), onPersist = onPersist)
+      .select(col("delta_id").as("a_id"), col("base_id").as("b_id"),
+        col("n_common"), col("jaccard"),
+        col("cont_delta").as("cont_a"), col("cont_base").as("cont_b"))
+    val internalPairs = containmentRescore(
+        Dedup.minhashCandidates(deltaSig).filter(col("n_bands") >= 2)
+          .select(col("a_id"), col("b_id")),
+        "a_id", "b_id", delta, delta, "cont_a", "cont_b",
+        onPersist = onPersist)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"),
+        col("cont_a"), col("cont_b"))
+    val pairs2 = prior.pairs
+      .select(col("a_id"), col("b_id"), col("n_common"), col("jaccard"),
+        col("cont_a"), col("cont_b"))
+      .unionByName(crossPairs).unionByName(internalPairs)
+    val ctV2 = pairs2
+      .select(when(col("cont_a") > col("cont_b"), col("a_id"))
+        .when(col("cont_b") > col("cont_a"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct().select(lit("containment").as("det"), col("doc_id"))
+    // ---- meta + quality: prior docs recovered from the prior LEDGER,
+    //      delta docs scanned fresh ----
+    val deltaMeta = delta.select(col("doc_id"), col("source"), col("lang"),
+        TA.wsTokens(col("text")).as("toks"),
+        TA.wsTokens(lower(col("text"))).as("ltoks"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
+          .as("mwl"),
+        round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
+        round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
+          / size(col("ltoks")).cast("double"), 6).as("df"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+          col("sr") >= 0.02 && col("df") <= 0.9).as("q_keep"))
+    val allMeta = prior.ledger.select(col("doc_id"), col("source"),
+        col("lang"), col("n_words"),
+        (col("drop_reason") =!= "quality").as("q_keep"))
+      .unionByName(deltaMeta)
+      .withColumn("hb", substring(md5(col("doc_id").cast("string")), 1, 1))
+    // ---- decontamination: the one corpus-wide pass (new held set) ----
+    val grams = corpus.select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+      explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+    val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+    val contam = grams.filter(col("hb") =!= "0")
+      .join(broadcast(held), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
+    val dr = mhV2.unionByName(shV2).unionByName(spV2).unionByName(seV2)
+      .unionByName(ctV2)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
+        max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
+        max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
+        max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"),
+        max(when(col("det") === "containment", 1L).otherwise(0L)).as("d_ct"))
+    val ledger2 = allMeta.join(contam, Seq("doc_id"), "left")
+      .join(dr, Seq("doc_id"), "left")
+      .withColumn("drop_reason",
+        when(col("hb") === "0", "heldout")
+          .when(!col("q_keep"), "quality")
+          .when(col("c_hit") === 1L, "decontaminated")
+          .when(col("d_mh") === 1L, "minhash")
+          .when(col("d_sh") === 1L, "simhash")
+          .when(col("d_sp") === 1L, "span")
+          .when(col("d_se") === 1L, "semantic")
+          .when(col("d_ct") === 1L, "containment")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+        col("drop_reason"),
+        (col("drop_reason") === "kept").cast("long").as("kept"))
+    RelArtifacts(
+      sig = prior.sig.unionByName(deltaSig),
+      sigCnt = mergeCounts(prior.sigCnt, deltaSig,
+        Seq("band", "minhash"), "bn"),
+      shSig = prior.shSig.unionByName(dShSig),
+      shCnt = mergeCounts(prior.shCnt, dShSig.drop("sh").drop("doc_id"),
+        Seq("band", "minhash"), "bn"),
+      cellIdx = prior.cellIdx.unionByName(deltaIdx),
+      cellCnt = mergeCounts(prior.cellCnt, deltaIdx, Seq("cell"), "cn"),
+      spanOwn = spanOwn2, spanCnt = spanCnt2,
+      drops = mhV2.unionByName(shV2).unionByName(spV2).unionByName(seV2),
+      pairs = pairs2, ledger = ledger2)
+  }
+
+  /** Materialize one maintenance step's full bundle as PERSISTED
+    * parquet artifacts under a single session key — what a release
+    * actually ships (and exactly how the chain's intermediate release
+    * exists at 100 TB: on disk, not as live lineage). One write
+    * closure shares the step's cached delta frames across the eleven
+    * writes, then unpersists them (the q160/ADVICE-r11 discipline).
+    */
+  private def maintainedArtifacts(s: SparkSession, key: String,
+      prior: => RelArtifacts, delta: DataFrame, deltaEmb: DataFrame,
+      corpus: DataFrame, priorDocs: DataFrame): RelArtifacts = {
+    val names = Seq("sig", "sigcnt", "shsig", "shcnt", "cellidx",
+      "cellcnt", "spanown", "spancnt", "drops", "pairs", "ledger")
+    val dir = CoreQueries.sharedInputDir(key) { p =>
+      var cached = List.empty[DataFrame]
+      val a = ledgerMaintainStep(prior, delta, deltaEmb, corpus,
+        priorDocs, onPersist = f => cached ::= f)
+      names.zip(Seq(a.sig, a.sigCnt, a.shSig, a.shCnt, a.cellIdx,
+          a.cellCnt, a.spanOwn, a.spanCnt, a.drops, a.pairs, a.ledger))
+        .foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$p/$n") }
+      cached.foreach(_.unpersist())
+    }
+    def rd(n: String) = s.read.parquet(s"$dir/$n")
+    RelArtifacts(rd("sig"), rd("sigcnt"), rd("shsig"), rd("shcnt"),
+      rd("cellidx"), rd("cellcnt"), rd("spanown"), rd("spancnt"),
+      rd("drops"), rd("pairs"), rd("ledger"))
+  }
+
   /** The four detector pipelines, verbatim — the artifact WRITE path
     * (full corpus). */
   private def dropSetsRecompute(s: SparkSession, d: String): DataFrame =
@@ -3863,171 +4160,52 @@ object ExtQueries {
     //      never re-run its detectors over the previous corpus.
     //      Documented family-standard divergence: caps evaluate on
     //      per-path bucket/cell sizes (never binding at fixture
-    //      scales — ScaleLadderSpec) ----
+    //      scales — ScaleLadderSpec). Body = ONE [[ledgerMaintainStep]]
+    //      over the v1 bundle (round 12 factored the step out as a
+    //      composable function; q171 chains it twice) ----
     "q168_ledger_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ledgerMaintainStep(v1Artifacts(s, d),
+        docs.filter(isDeltaDoc(col("doc_id"))),
+        Tables.embeddings(s, d).filter(isDeltaDoc(col("vec_id"))),
+        corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
+        .ledger.orderBy(col("doc_id"))
+    }),
+
+    // ---- CHAINED release maintenance (v1→v2→v3): q168 proves ONE
+    //      [[ledgerMaintainStep]] equals a rebuild; this runs the SAME
+    //      step function TWICE — the delta split into two consecutive
+    //      ingests (q142's second-nibble sub-split), the intermediate
+    //      v2 release MATERIALIZED as persisted parquet artifacts
+    //      (exactly how a real intermediate release exists at 100 TB:
+    //      on disk, not as live lineage), then step two maintains FROM
+    //      those artifacts. Gated by q162's full-rebuild oracle over
+    //      the final corpus: green = maintain∘maintain ≡ rebuild — the
+    //      associativity that lets a corpus ship releases indefinitely
+    //      without ever re-running detectors over a previous release.
+    //      Why it composes: index artifacts append/min-merge
+    //      (associative), detector drop sets are monotone unions over
+    //      a pair set that decomposes exactly (Δ₁×base ∪ Δ₁×Δ₁ ∪
+    //      Δ₂×(base∪Δ₁) ∪ Δ₂×Δ₂ = Δ×base ∪ Δ×Δ), per-pair verdicts
+    //      are order-free (drop the larger id), quality recovery from
+    //      the intermediate ledger is exact for every reason that can
+    //      still change, and decontamination is recomputed against the
+    //      final held set in the last step regardless of chain depth ----
+    "q171_ledger_chain" -> ((s, d) => {
       val tok = CoreQueries.dirToken(d)
       val docs = Tables.documents(s, d)
-      val delta = docs.filter(isDeltaDoc(col("doc_id")))
       val emb = Tables.embeddings(s, d)
-      // ---- v1-build artifacts (all shared keys with their families) ----
-      val v1Sig = v1SigArtifact(s, d)
-      val v1Cnt = sigCountArtifact(s, s"graft_q95cnt_$tok", v1Sig)
-      val v1ShSig = v1SimhashSigArtifact(s, d)
-      val v1ShCnt = sigCountArtifact(s, s"graft_q123cnt_$tok", v1ShSig)
-      val v1Idx = v1CellIndexArtifact(s, d)
-      val v1CellCnt = v1CellCountArtifact(s, d)
-      val v1Own = {
-        val p0 = CoreQueries.sharedInputDir(s"graft_spownv1_$tok") { p =>
-          spanFrame(docs.filter(!isDeltaDoc(col("doc_id"))))
-            .groupBy(col("k"))
-            .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
-            .select(col("k"), col("o.doc_id").as("doc_id"),
-              col("o.span_idx").as("span_idx"))
-            .write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(p0)
-      }
-      val v1SpCnt = {
-        val p0 = CoreQueries.sharedInputDir(s"graft_spcntv1_$tok") { p =>
-          spanFrame(docs.filter(!isDeltaDoc(col("doc_id"))))
-            .groupBy(col("doc_id")).agg(max(col("n_spans")).as("n_spans"))
-            .write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(p0)
-      }
-      val v1Drops = v1DropsArtifact(s, d)
-      val v1Pairs = v1PairsArtifact(s, d)
-      val v1Led = v1ReleaseLedger(s, d)
-      def v1Det(det: String) =
-        v1Drops.filter(col("det") === det).select(col("doc_id"))
-      // ---- delta-proportional maintenance per family ----
-      // the delta signature and span frames feed THREE branches each
-      // (mh cross / mh internal / containment internal; span claims /
-      // span counts) — persist them once (deploy-switchable level)
-      // instead of re-running the minhash/tokenize stages per branch
-      val deltaSig = graft.util.Persist(
-        Dedup.bandedSignatures(delta, "text", "doc_id", k = 8))
-      val mhV2 = v1Det("minhash")
-        .unionByName(streamSigCandidates(
-            deltaSig.select(col("band"), col("minhash"),
-              col("doc_id").as("delta_id")),
-            v1Sig.select(col("band"), col("minhash"),
-              col("doc_id").as("base_id")),
-            minBands = 2, baseCounts = Some(v1Cnt))
-          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
-        .unionByName(Dedup.minhashCandidates(deltaSig)
-          .filter(col("n_bands") >= 2).select(col("b_id").as("doc_id")))
-        .distinct().select(lit("minhash").as("det"), col("doc_id"))
-      val dShF = delta.select(col("doc_id"),
-        Dedup.simhash64(col("text")).as("sh"))
-      val shV2 = v1Det("simhash")
-        .unionByName(streamBatchSimhash(
-            delta.select(col("doc_id"), col("text")), v1ShSig,
-            baseCounts = Some(v1ShCnt))
-          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
-        .unionByName(Dedup.minhashCandidates(sh64Sig(dShF).drop("sh"))
-          .filter(col("n_bands") >= 3)
-          .join(dShF.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-            Seq("a_id"))
-          .join(dShF.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-            Seq("b_id"))
-          .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 3)
-          .select(col("b_id").as("doc_id")))
-        .distinct().select(lit("simhash").as("det"), col("doc_id"))
-      val deltaSpan = graft.util.Persist(spanFrame(delta))
-      val v2Own = v1Own.unionByName(deltaSpan
-          .groupBy(col("k"))
-          .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
-          .select(col("k"), col("o.doc_id").as("doc_id"),
-            col("o.span_idx").as("span_idx")))
-        .groupBy(col("k"))
-        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
-        .select(col("o.doc_id").as("doc_id"))
-      val spV2 = v1SpCnt
-        .unionByName(deltaSpan.groupBy(col("doc_id"))
-          .agg(max(col("n_spans")).as("n_spans")))
-        .join(v2Own.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept")),
-          Seq("doc_id"), "left")
-        .filter(coalesce(col("n_kept"), lit(0L)) * 2 < col("n_spans"))
-        .select(lit("span").as("det"), col("doc_id"))
-      val deltaEmb = emb.filter(isDeltaDoc(col("vec_id")))
-      val seV2 = v1Det("semantic")
-        .unionByName(Similarity.semanticCrossCandidates(
-            Similarity.cellIndex(deltaEmb, "vec_id", "embedding"),
-            v1Idx, tau = 0.4, baseCellCounts = Some(v1CellCnt))
-          .select(greatest(col("delta_id"), col("base_id")).as("doc_id")))
-        .unionByName(Similarity.semanticDedup(deltaEmb, "vec_id",
-            "embedding", tau = 0.4, nCells = 16)
-          .select(col("dropped_id").as("doc_id")))
-        .distinct().select(lit("semantic").as("det"), col("doc_id"))
-      def contDrop(df: DataFrame, aCol: String, bCol: String,
-          ca: String, cb: String) =
-        df.select(when(col(ca) > col(cb), col(aCol))
-          .when(col(cb) > col(ca), col(bCol))
-          .otherwise(greatest(col(aCol), col(bCol))).as("doc_id"))
-      val ctV2 = contDrop(v1Pairs, "a_id", "b_id", "cont_a", "cont_b")
-        .unionByName(contDrop(
-          streamBatchContainment(delta.select(col("doc_id"), col("text")),
-            v1Sig, docs.filter(!isDeltaDoc(col("doc_id"))),
-            baseCounts = Some(v1Cnt)),
-          "delta_id", "base_id", "cont_delta", "cont_base"))
-        .unionByName(contDrop(containmentRescore(
-            Dedup.minhashCandidates(deltaSig).filter(col("n_bands") >= 2)
-              .select(col("a_id"), col("b_id")),
-            "a_id", "b_id", delta, delta, "cont_a", "cont_b"),
-          "a_id", "b_id", "cont_a", "cont_b"))
-        .distinct().select(lit("containment").as("det"), col("doc_id"))
-      // ---- meta + quality: base rows from the v1 LEDGER, delta fresh ----
-      val deltaMeta = delta.select(col("doc_id"), col("source"), col("lang"),
-          TA.wsTokens(col("text")).as("toks"),
-          TA.wsTokens(lower(col("text"))).as("ltoks"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          size(col("toks")).cast("long").as("n_words"),
-          round(TA.meanWordLenFromTokens(col("text"), col("toks")), 6)
-            .as("mwl"),
-          round(TA.stopwordRatioFromTokens(col("ltoks")), 6).as("sr"),
-          round(lit(1.0) - size(array_distinct(col("ltoks"))).cast("double")
-            / size(col("ltoks")).cast("double"), 6).as("df"))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
-          (col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
-            col("sr") >= 0.02 && col("df") <= 0.9).as("q_keep"))
-      val allMeta = v1Led.select(col("doc_id"), col("source"), col("lang"),
-          col("n_words"), (col("drop_reason") =!= "quality").as("q_keep"))
-        .unionByName(deltaMeta)
-        .withColumn("hb", substring(md5(col("doc_id").cast("string")), 1, 1))
-      // ---- decontamination: the one corpus-wide pass (new held set) ----
-      val grams = docs.select(col("doc_id"),
-        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-        explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
-      val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
-      val contam = grams.filter(col("hb") =!= "0")
-        .join(broadcast(held), Seq("gh"), "left_semi")
-        .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
-      val dr = mhV2.unionByName(shV2).unionByName(spV2).unionByName(seV2)
-        .unionByName(ctV2)
-        .groupBy(col("doc_id"))
-        .agg(max(when(col("det") === "minhash", 1L).otherwise(0L)).as("d_mh"),
-          max(when(col("det") === "simhash", 1L).otherwise(0L)).as("d_sh"),
-          max(when(col("det") === "span", 1L).otherwise(0L)).as("d_sp"),
-          max(when(col("det") === "semantic", 1L).otherwise(0L)).as("d_se"),
-          max(when(col("det") === "containment", 1L).otherwise(0L)).as("d_ct"))
-      allMeta.join(contam, Seq("doc_id"), "left")
-        .join(dr, Seq("doc_id"), "left")
-        .withColumn("drop_reason",
-          when(col("hb") === "0", "heldout")
-            .when(!col("q_keep"), "quality")
-            .when(col("c_hit") === 1L, "decontaminated")
-            .when(col("d_mh") === 1L, "minhash")
-            .when(col("d_sh") === 1L, "simhash")
-            .when(col("d_sp") === 1L, "span")
-            .when(col("d_se") === 1L, "semantic")
-            .when(col("d_ct") === 1L, "containment")
-            .otherwise("kept"))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
-          col("drop_reason"),
-          (col("drop_reason") === "kept").cast("long").as("kept"))
-        .orderBy(col("doc_id"))
+      def d1(c: Column) = isDeltaDoc(c) && isFirstIngest(c)
+      def d2(c: Column) = isDeltaDoc(c) && !isFirstIngest(c)
+      val v2 = maintainedArtifacts(s, s"graft_chainv2_$tok",
+        v1Artifacts(s, d),
+        docs.filter(d1(col("doc_id"))), emb.filter(d1(col("vec_id"))),
+        corpus = docs.filter(!d2(col("doc_id"))),
+        priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
+      ledgerMaintainStep(v2,
+        docs.filter(d2(col("doc_id"))), emb.filter(d2(col("vec_id"))),
+        corpus = docs, priorDocs = docs.filter(!d2(col("doc_id"))))
+        .ledger.orderBy(col("doc_id"))
     }),
 
     // ---- artifact VERSIONING across releases: the signature table as
@@ -6545,6 +6723,13 @@ object ExtQueries {
     // full-rebuild ledger: q162's own oracle pins both (q91/q95/q115's
     // one-oracle proof pattern)
     "q168_ledger_incremental" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM led ORDER BY doc_id""",
+    // the chain (v1->v2->v3 by two maintenance steps) must land on the
+    // SAME full-rebuild ledger — q162's oracle pins all three paths
+    "q171_ledger_chain" -> s"""
          WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
          SELECT doc_id, source, lang, n_words, drop_reason,
            CAST(drop_reason = 'kept' AS BIGINT) AS kept
