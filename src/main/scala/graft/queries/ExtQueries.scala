@@ -1051,6 +1051,47 @@ object ExtQueries {
       rd("drops"), rd("pairs"), rd("ledger"))
   }
 
+  /** The v2 release built by MAINTENANCE over the full delta,
+    * materialized — the bundle q168's step actually ships. The
+    * maintained-corpus reports (q172 card, q173 diff) consume THIS
+    * ledger's kept set, not the rebuild's; their rebuild-derived
+    * oracles then re-gate maintained ≡ rebuilt at the report level.
+    */
+  private def maintainedRelease(s: SparkSession, d: String): RelArtifacts = {
+    val docs = Tables.documents(s, d)
+    maintainedArtifacts(s, s"graft_mntv2_${CoreQueries.dirToken(d)}",
+      v1Artifacts(s, d), docs.filter(isDeltaDoc(col("doc_id"))),
+      Tables.embeddings(s, d).filter(isDeltaDoc(col("vec_id"))),
+      corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
+  }
+
+  /** The 7-metric dataset-card frame shared by q155/q172/q173 (q150
+    * adds the vocab-dependent oov row on top): corpus-shape scalars in
+    * one aggregate + the memoized BPE token total, stacked to
+    * (metric, value) rows.
+    */
+  private def releaseCard(dd: DataFrame, ee: DataFrame): DataFrame = {
+    val base = dd.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      avg(length(col("text"))).as("avg_doc_chars"),
+      sum(size(TA.wsTokens(lower(col("text"))))).cast("double")
+        .as("n_words"),
+      countDistinct(md5(lower(substring(col("text"), 1, 40))))
+        .cast("double").as("n_keys"))
+    val bpe = ee.agg(sum(col("n_tokens")).cast("double").as("n_bpe"))
+    base.crossJoin(broadcast(bpe)).select(expr(
+      """stack(7,
+         'avg_doc_chars', avg_doc_chars,
+         'bpe_fertility', n_bpe / n_words,
+         'exact_dup_frac', 1.0 - n_keys / n_docs,
+         'n_bpe_tokens', n_bpe,
+         'n_docs', n_docs,
+         'n_sources', n_sources,
+         'n_words', n_words)""")
+      .as(Seq("metric", "value")))
+  }
+
   /** The four detector pipelines, verbatim — the artifact WRITE path
     * (full corpus). */
   private def dropSetsRecompute(s: SparkSession, d: String): DataFrame =
@@ -3766,31 +3807,11 @@ object ExtQueries {
     "q155_release_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val enc = bpeEncoded(s, d)
-      def card(dd: DataFrame, ee: DataFrame): DataFrame = {
-        val base = dd.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          countDistinct(col("source")).cast("double").as("n_sources"),
-          avg(length(col("text"))).as("avg_doc_chars"),
-          sum(size(TA.wsTokens(lower(col("text"))))).cast("double")
-            .as("n_words"),
-          countDistinct(md5(lower(substring(col("text"), 1, 40))))
-            .cast("double").as("n_keys"))
-        val bpe = ee.agg(sum(col("n_tokens")).cast("double").as("n_bpe"))
-        base.crossJoin(broadcast(bpe)).select(expr(
-          """stack(7,
-             'avg_doc_chars', avg_doc_chars,
-             'bpe_fertility', n_bpe / n_words,
-             'exact_dup_frac', 1.0 - n_keys / n_docs,
-             'n_bpe_tokens', n_bpe,
-             'n_docs', n_docs,
-             'n_sources', n_sources,
-             'n_words', n_words)""")
-          .as(Seq("metric", "value")))
-      }
-      val b = card(docs.filter(!isDeltaDoc(col("doc_id"))),
+      val b = releaseCard(docs.filter(!isDeltaDoc(col("doc_id"))),
           enc.filter(!isDeltaDoc(col("doc_id"))))
         .select(col("metric"), col("value").as("base_value"))
-      val n = card(docs, enc).select(col("metric"), col("value").as("new_value"))
+      val n = releaseCard(docs, enc)
+        .select(col("metric"), col("value").as("new_value"))
       b.join(n, Seq("metric"))
         .select(col("metric"),
           round(col("base_value"), 6).as("base_value"),
