@@ -169,8 +169,12 @@ object Bench {
     // window headroom, and BENCH_DETAIL_r{N}.json has carried the same
     // two probes at full resolution since r11). Readers machine-check
     // trust from the committed detail file.
+    // ADVICE r12: the schema change is no longer silent — past the
+    // threshold the line carries an explicit "trust":"detail" marker,
+    // so a parser can distinguish 'probes moved to the committed
+    // BENCH_DETAIL_r{N}.json' from 'probes not run'.
     val calLoad =
-      if (results.size > 170) ""
+      if (results.size > 170) ""","trust":"detail""""
       else s""","cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}]"""
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec"$calLoad,"queries":$qs$spreadTop,"sf":"$sfName"}""")

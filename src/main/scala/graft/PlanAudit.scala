@@ -54,7 +54,11 @@ object PlanAudit {
     "q161_temperature_sample" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q152's pattern); the draw join is a lang-keyed broadcast",
     "q164_lang_fertility" -> "one-row broadcast of the corpus-token-total scalar against the (source, lang)-cardinality-bounded per-group frame (q48/q157's pattern)",
     "q166_token_temperature" -> "one-row broadcast of the (total-token, Z_alpha) normalizer scalars against the lang-cardinality-bounded plan frame (q161's pattern in token currency); the draw join is a lang-keyed broadcast",
-    "q168_ledger_incremental" -> "16-row broadcast centroid frames inside the DELTA-side cell assignment (cellIndex/semanticDedup on the delta slice — q44/q86's allowlisted fan-out); every base-side structure is a persisted-artifact scan and every cross join is keyed")
+    "q168_ledger_incremental" -> "16-row broadcast centroid frames inside the DELTA-side cell assignment (cellIndex/semanticDedup on the delta slice — q44/q86's allowlisted fan-out); every base-side structure is a persisted-artifact scan and every cross join is keyed",
+    "q171_ledger_chain" -> "same bounded 16-row delta-side centroid-assignment BNLJ as q168, applied once per chained maintenance step (v1->v2 and v2->v3); base sides are persisted-artifact scans throughout",
+    "q172_maintained_card" -> "one-row BPE-total scalar crossJoin inside releaseCard (q150's pattern); the maintained ledger is a persisted-artifact scan",
+    "q173_maintained_diff" -> "one-row BPE-total scalar per card side (q155's pattern); both ledgers are persisted-artifact scans",
+    "q174_ledger_bloom" -> "q168's bounded 16-row delta-side centroid-assignment BNLJ; the Bloom sketch is a one-row driver collect inlined as a literal (q84's fenced design)")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

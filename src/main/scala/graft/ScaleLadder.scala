@@ -72,6 +72,20 @@ object ScaleLadder {
           .select(col("id").cast("string").as("k"))))
   }
 
+  /** q175's deliberately skewed minhash-band family (half the corpus
+    * stamped with one boilerplate text): the ONE ladder row where a
+    * cap actually engages — at the rehearsal cap of 100, not the
+    * production 10000 (the organic fixtures never get near either;
+    * the rehearsal proves the trigger machinery, the production cap
+    * stays the backstop). Oracle-gated end to end by q175.
+    */
+  private[graft] def skewedSizes(spark: SparkSession, d: String): DataFrame =
+    graft.queries.ExtQueries.skewedSig(spark, d)
+      .select(concat_ws("|", col("band"), col("minhash")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  private[graft] val rehearsalCap = 100
+
   /** Distribution stats over a (k, n) sizes frame: (keys, max bucket,
     * p99 bucket, over-cap count). One bounded driver-side aggregate.
     */
@@ -103,6 +117,8 @@ object ScaleLadder {
         val (keys, mx, p99, over) = stats(sizes)
         println(s"| $sf | $family | $keys | $mx | $p99 | $over |")
       }
+      val (keys, mx, p99, over) = stats(skewedSizes(spark, d), cap = rehearsalCap)
+      println(s"| $sf | minhash-band-SKEWED (cap $rehearsalCap) | $keys | $mx | $p99 | $over |")
     }
     spark.stop()
   }

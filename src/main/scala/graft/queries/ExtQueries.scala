@@ -851,9 +851,29 @@ object ExtQueries {
     * 100 TB corpus ship releases indefinitely without ever re-running
     * detectors over the previous corpus.
     */
+  /** Frames `Persist()`ed by NON-materialized [[ledgerMaintainStep]]
+    * invocations (q168's body, q171's second step, q174): the query
+    * function returns its DataFrame before the harness action runs, so
+    * the step cannot unpersist them at build time (they'd recompute).
+    * Instead every new step build DRAINS the previous one's frames —
+    * unpersist on a never-materialized frame is a no-op — bounding
+    * per-session cache accumulation to ONE step's frames instead of
+    * one per invocation (ADVICE r12; the materialized path already
+    * unpersists inside its write closure).
+    */
+  private val stepCached = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def stepOnPersist(f: DataFrame): Unit =
+    stepCached.synchronized { stepCached += f }
+  private def drainStepCache(): Unit = stepCached.synchronized {
+    stepCached.foreach(f => try f.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
+    stepCached.clear()
+  }
+
   private def ledgerMaintainStep(prior: RelArtifacts, delta: DataFrame,
       deltaEmb: DataFrame, corpus: DataFrame, priorDocs: DataFrame,
-      onPersist: DataFrame => Unit = _ => ()): RelArtifacts = {
+      onPersist: DataFrame => Unit = _ => (),
+      bloomDecon: Boolean = false): RelArtifacts = {
     def priorDet(det: String) =
       prior.drops.filter(col("det") === det).select(col("doc_id"))
     def mergeCounts(base: DataFrame, add: DataFrame, keys: Seq[String],
@@ -983,8 +1003,29 @@ object ExtQueries {
       substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
       explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
     val held = grams.filter(col("hb") === "0").select(col("gh")).distinct()
-    val contam = grams.filter(col("hb") =!= "0")
-      .join(broadcast(held), Seq("gh"), "left_semi")
+    val train = grams.filter(col("hb") =!= "0")
+    // bloomDecon = the held-set-scale degrade path promised by q59's
+    // docstring and implemented standalone in q84, now a switch INSIDE
+    // the composed maintenance step: a fixed-size Bloom sketch of the
+    // held grams prefilters the train grams before the exact confirm
+    // join kills the sketch's false positives — results stay EXACT
+    // (q162's oracle still gates the ledger verbatim) while the
+    // broadcast no longer scales with the held split. The confirm join
+    // is deliberately NOT broadcast-hinted: in the regime where this
+    // path is chosen the held set outgrew the driver, and the Bloom
+    // prefilter has already cut the probe side to ~hits only, so a
+    // shuffled hash join on the 16-byte gh key is the right plan.
+    val contamHits =
+      if (bloomDecon) {
+        val heldP = graft.util.Persist(held)
+        onPersist(heldP)
+        val bf = heldP
+          .agg(graft.ext.Bloom.sketchAgg(col("gh"), 100000L, 800000L).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        train.filter(graft.ext.Bloom.mightContain(lit(bf), col("gh")))
+          .join(heldP, Seq("gh"), "left_semi")
+      } else train.join(broadcast(held), Seq("gh"), "left_semi")
+    val contam = contamHits
       .select(col("doc_id")).distinct().withColumn("c_hit", lit(1L))
     val dr = mhV2.unionByName(shV2).unionByName(spV2).unionByName(seV2)
       .unionByName(ctV2)
@@ -1029,6 +1070,17 @@ object ExtQueries {
     * exists at 100 TB: on disk, not as live lineage). One write
     * closure shares the step's cached delta frames across the eleven
     * writes, then unpersists them (the q160/ADVICE-r11 discipline).
+    *
+    * SCALE NOTE (ADVICE r12): the step's COMPUTE is delta-proportional,
+    * but this materialized path REWRITES the unioned sig/index tables
+    * (prior ∪ delta), so the WRITE is corpus-proportional — fine at
+    * fixture scale, and at 100 TB the swap is mechanical: append the
+    * delta slices as new partitions under the prior artifact
+    * directories (every merged table is a pure unionByName except the
+    * span owner, which would keep a compacting min-merge) instead of
+    * rewriting the union. A mid-closure failure leaves a partial tmp
+    * dir that the next call retries with mode=overwrite — the session
+    * key is registered only after all eleven writes succeed.
     */
   private def maintainedArtifacts(s: SparkSession, key: String,
       prior: => RelArtifacts, delta: DataFrame, deltaEmb: DataFrame,
@@ -1049,6 +1101,62 @@ object ExtQueries {
     RelArtifacts(rd("sig"), rd("sigcnt"), rd("shsig"), rd("shcnt"),
       rd("cellidx"), rd("cellcnt"), rd("spanown"), rd("spancnt"),
       rd("drops"), rd("pairs"), rd("ledger"))
+  }
+
+  /** The APPEND-ONLY materialization of one maintenance step — the
+    * 100 TB write path [[maintainedArtifacts]]'s scale note promises:
+    * the prior release's directory is seeded verbatim (at production
+    * scale it simply IS the previous release's directory), then
+    * maintenance writes ONLY what this release ADDED — per-doc /
+    * per-pair tables get the added rows appended as new parquet files
+    * (`mode=append`; computed here as `next exceptAll prior`, which a
+    * production step skips because it holds the delta slices
+    * directly), while the key-cardinality-bounded count tables and the
+    * shipped ledger (one row per doc — the release output itself) are
+    * rewritten. No prior data row is ever rewritten. Two tables need
+    * read-time semantics instead of pure append:
+    *   - span owners: stale prior rows stay on disk after a delta doc
+    *     steals a key; the read-back min-merges per key (associative,
+    *     q148's rule), the LSM-style compact-on-read a 100 TB store
+    *     runs anyway;
+    *   - drops/pairs accumulate monotonically (q170's gated theorem:
+    *     removed_docs = 0), so append IS the maintenance.
+    * Gated end-to-end by q177 against q162's full-rebuild oracle.
+    */
+  private def appendMaintainedArtifacts(s: SparkSession, key: String,
+      prior: => RelArtifacts, delta: DataFrame, deltaEmb: DataFrame,
+      corpus: DataFrame, priorDocs: DataFrame): RelArtifacts = {
+    val dir = CoreQueries.sharedInputDir(key) { p =>
+      var cached = List.empty[DataFrame]
+      val next = ledgerMaintainStep(prior, delta, deltaEmb, corpus,
+        priorDocs, onPersist = f => cached ::= f)
+      val appended = Seq(
+        "sig" -> (prior.sig, next.sig),
+        "shsig" -> (prior.shSig, next.shSig),
+        "cellidx" -> (prior.cellIdx, next.cellIdx),
+        "spanown" -> (prior.spanOwn, next.spanOwn),
+        "spancnt" -> (prior.spanCnt, next.spanCnt),
+        "drops" -> (prior.drops, next.drops),
+        "pairs" -> (prior.pairs, next.pairs))
+      appended.foreach { case (n, (pr, _)) =>
+        pr.write.mode("overwrite").parquet(s"$p/$n") }
+      appended.foreach { case (n, (pr, nx)) =>
+        nx.exceptAll(pr).write.mode("append").parquet(s"$p/$n") }
+      Seq("sigcnt" -> next.sigCnt, "shcnt" -> next.shCnt,
+          "cellcnt" -> next.cellCnt, "ledger" -> next.ledger)
+        .foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$p/$n") }
+      cached.foreach(_.unpersist())
+    }
+    def rd(n: String) = s.read.parquet(s"$dir/$n")
+    RelArtifacts(rd("sig"), rd("sigcnt"), rd("shsig"), rd("shcnt"),
+      rd("cellidx"), rd("cellcnt"),
+      // compact-on-read: min-merge the appended owner claims
+      rd("spanown").groupBy(col("k"))
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("o"))
+        .select(col("k"), col("o.doc_id").as("doc_id"),
+          col("o.span_idx").as("span_idx")),
+      rd("spancnt"), rd("drops"), rd("pairs"), rd("ledger"))
   }
 
   /** The v2 release built by MAINTENANCE over the full delta,
@@ -1232,6 +1340,32 @@ object ExtQueries {
         coalesce(aggregate(col("toks"), lit(0L),
           (acc, w) => acc + encodeLen(w).cast("long")), lit(0L)).as("n_tokens"))
   }
+
+  /** The constant template string q175's skew rehearsal stamps over
+    * half the corpus — the all-pages-share-a-boilerplate degenerate
+    * shape the hot-bucket caps exist for. Long enough (~200 chars,
+    * ~190 char-8-shingles) that every one of the 16 minhash nibble
+    * buckets is filled, so all 8 bands get the hot key.
+    */
+  private[graft] val boilerplateText: String =
+    "we use cookies to improve your experience on this site by " +
+    "continuing to browse you accept our cookie policy privacy terms " +
+    "apply all rights reserved copyright twenty twenty four contact " +
+    "us subscribe to the newsletter"
+
+  /** q175's deliberately skewed signature table: text replaced by
+    * [[boilerplateText]] where the doc_id's md5 head is 0–7 (half the
+    * corpus), then the production [[Dedup.bandedSignatures]] — every
+    * band's boilerplate bucket holds ~n/2 docs, far over a cap of 100
+    * at every fixture scale.
+    */
+  private[graft] def skewedSig(s: SparkSession, d: String): DataFrame =
+    Dedup.bandedSignatures(
+      Tables.documents(s, d).select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+          lit(boilerplateText)).otherwise(col("text")).as("text")),
+      "text", "doc_id", k = 8)
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
@@ -4185,11 +4319,13 @@ object ExtQueries {
     //      over the v1 bundle (round 12 factored the step out as a
     //      composable function; q171 chains it twice) ----
     "q168_ledger_incremental" -> ((s, d) => {
+      drainStepCache()
       val docs = Tables.documents(s, d)
       ledgerMaintainStep(v1Artifacts(s, d),
         docs.filter(isDeltaDoc(col("doc_id"))),
         Tables.embeddings(s, d).filter(isDeltaDoc(col("vec_id"))),
-        corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
+        corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))),
+        onPersist = stepOnPersist)
         .ledger.orderBy(col("doc_id"))
     }),
 
@@ -4213,6 +4349,7 @@ object ExtQueries {
     //      still change, and decontamination is recomputed against the
     //      final held set in the last step regardless of chain depth ----
     "q171_ledger_chain" -> ((s, d) => {
+      drainStepCache()
       val tok = CoreQueries.dirToken(d)
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -4225,7 +4362,159 @@ object ExtQueries {
         priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
       ledgerMaintainStep(v2,
         docs.filter(d2(col("doc_id"))), emb.filter(d2(col("vec_id"))),
-        corpus = docs, priorDocs = docs.filter(!d2(col("doc_id"))))
+        corpus = docs, priorDocs = docs.filter(!d2(col("doc_id"))),
+        onPersist = stepOnPersist)
+        .ledger.orderBy(col("doc_id"))
+    }),
+
+    // ---- the MAINTAINED-corpus dataset card: q150/q155's 7-metric
+    //      card computed over the kept set of the MAINTAINED v2 ledger
+    //      ([[maintainedRelease]] — the persisted bundle q168's step
+    //      ships, read back from parquet), not the rebuild's. The
+    //      oracle derives its kept set from the full-rebuild ledger
+    //      rule, so a green row re-gates maintained ≡ rebuilt AT THE
+    //      REPORT LEVEL — the numbers a release actually publishes.
+    //      Kept-set restriction is a doc_id-keyed left-semi join
+    //      against the ledger scan (never a collect), so the card is
+    //      two bounded aggregates over keyed-pruned scans at any
+    //      corpus size ----
+    "q172_maintained_card" -> ((s, d) => {
+      val kept = maintainedRelease(s, d).ledger
+        .filter(col("drop_reason") === "kept").select(col("doc_id"))
+      releaseCard(
+          Tables.documents(s, d).join(kept, Seq("doc_id"), "left_semi"),
+          bpeEncoded(s, d).join(kept, Seq("doc_id"), "left_semi"))
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy(col("metric"))
+    }),
+
+    // ---- the MAINTAINED-corpus release DIFF: q155's (base, new,
+    //      delta) card table where base = the v1 release's kept set
+    //      (from its own persisted release-scoped ledger artifact,
+    //      q167's v1 side) and new = the MAINTAINED v2 kept set
+    //      (q172's bundle). This is the release note a maintenance
+    //      cadence publishes: what one ingest did to the curated
+    //      corpus, computed without ever rebuilding either release.
+    //      Both oracle sides re-derive their kept sets from the full
+    //      ledger rule (v1 = base-slice instance), so green pins both
+    //      artifact paths against rebuild simultaneously ----
+    "q173_maintained_diff" -> ((s, d) => {
+      val enc = bpeEncoded(s, d)
+      val docs = Tables.documents(s, d)
+      def cardFor(led: DataFrame, as: String) = {
+        val kept = led.filter(col("drop_reason") === "kept")
+          .select(col("doc_id"))
+        releaseCard(docs.join(kept, Seq("doc_id"), "left_semi"),
+            enc.join(kept, Seq("doc_id"), "left_semi"))
+          .select(col("metric"), col("value").as(as))
+      }
+      cardFor(v1ReleaseLedger(s, d), "base_value")
+        .join(cardFor(maintainedRelease(s, d).ledger, "new_value"),
+          Seq("metric"))
+        .select(col("metric"),
+          round(col("base_value"), 6).as("base_value"),
+          round(col("new_value"), 6).as("new_value"),
+          round(col("new_value") - col("base_value"), 6).as("delta"))
+        .orderBy(col("metric"))
+    }),
+
+    // ---- the Bloom DEGRADE path inside the composed maintenance
+    //      step: q168's body with bloomDecon = true — the
+    //      decontamination pass runs q84's fixed-size-sketch prefilter
+    //      + exact confirm instead of broadcasting the raw held-gram
+    //      set. Results are EXACT by construction (the confirm join
+    //      removes every false positive), so q162's unchanged
+    //      full-rebuild oracle gates this path too: green proves the
+    //      switch a 100 TB deployment flips when the held split
+    //      outgrows the driver changes NOTHING about the shipped
+    //      ledger ----
+    "q174_ledger_bloom" -> ((s, d) => {
+      drainStepCache()
+      val docs = Tables.documents(s, d)
+      ledgerMaintainStep(v1Artifacts(s, d),
+        docs.filter(isDeltaDoc(col("doc_id"))),
+        Tables.embeddings(s, d).filter(isDeltaDoc(col("vec_id"))),
+        corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))),
+        onPersist = stepOnPersist, bloomDecon = true)
+        .ledger.orderBy(col("doc_id"))
+    }),
+
+    // ---- skew-engaged CAP REHEARSAL: every capped candidate
+    //      generator's 10k hot-bucket valve has, by design, never
+    //      fired on the organic fixtures (SCALE_LADDER.md: zero
+    //      over-cap buckets at every sf). This query makes the cap
+    //      ACTUALLY engage, oracle-gated: half the corpus (md5 head
+    //      0-7) has its text replaced by one constant boilerplate
+    //      string — the degenerate all-pages-share-a-template shape
+    //      the cap exists for — so every band's boilerplate bucket
+    //      holds ~n/2 docs and a cap of 100 drops it at every fixture
+    //      scale. Output: per-band key count, max/over-cap bucket
+    //      stats, capped vs uncapped pair counts. The oracle mirrors
+    //      the cap EXACTLY (bucket-size anti-join before pairing), so
+    //      green proves the capped regime — not just the uncapped
+    //      no-op — matches the stated rule. 8 rows at any corpus
+    //      size ----
+    "q175_skew_cap_rehearsal" -> ((s, d) => {
+      val buckets = skewedSig(s, d).groupBy(col("band"), col("minhash"))
+        .agg(count(lit(1)).as("n"))
+      // pair counts by bucket-size arithmetic (n·(n-1)/2 per bucket) —
+      // value-identical to what the generator emits per band, and what
+      // the DuckDB oracle mirrors without a 50M-row self-join; the
+      // REAL capped generator (windowed cap + collect_list) is pinned
+      // equal to capped_pairs by Wave13Spec
+      buckets.groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_bucket"),
+          sum(when(col("n") > 100, 1L).otherwise(0L)).as("over_cap"),
+          sum(when(col("n") <= 100, col("n") * (col("n") - 1))
+            .otherwise(0L).cast("long")).as("cp2"),
+          sum((col("n") * (col("n") - 1)).cast("long")).as("up2"))
+        .select(col("band"), col("n_keys"), col("max_bucket"),
+          col("over_cap"), (col("cp2") / 2).cast("long").as("capped_pairs"),
+          (col("up2") / 2).cast("long").as("uncapped_pairs"))
+        .orderBy(col("band"))
+    }),
+
+    // ---- the curation funnel on TWO keys: q169 generalized to
+    //      (source, lang, drop_reason) — the per-language view a
+    //      multilingual release publishes next to the per-source one
+    //      (q163/q164's split axis applied to the funnel). Shares of
+    //      docs within each (source, lang) cell; rolls up EXACTLY to
+    //      q169 when summed over lang (Wave13Spec pins the identity).
+    //      Still scans the one persisted v2 ledger artifact;
+    //      (source × lang × reason)-bounded rows at any corpus size ----
+    "q176_funnel_2key" -> ((s, d) => {
+      val led = v2ReleaseLedger(s, d)
+      val f = led.groupBy(col("source"), col("lang"), col("drop_reason"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      val st = f.groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("cell_docs"))
+      f.join(st, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("drop_reason"),
+          col("n_docs"), col("n_words"),
+          round(col("n_docs").cast("double") / col("cell_docs"), 6)
+            .as("doc_share"))
+        .orderBy(col("source"), col("lang"), col("drop_reason"))
+    }),
+
+    // ---- DELTA-PROPORTIONAL artifact maintenance: the same single
+    //      maintenance step as q168, but materialized through
+    //      [[appendMaintainedArtifacts]] — prior release seeded
+    //      verbatim, added rows APPENDED as new parquet files, span
+    //      owners compacted on read, bounded count tables + the
+    //      shipped ledger rewritten. Gated by q162's full-rebuild
+    //      oracle over the ledger read back FROM the appended store:
+    //      green closes the r12 scale note ("the materialize path is
+    //      corpus-proportional") with the write path a 100 TB release
+    //      cadence actually runs ----
+    "q177_ledger_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      appendMaintainedArtifacts(s,
+        s"graft_appv2_${CoreQueries.dirToken(d)}",
+        v1Artifacts(s, d),
+        docs.filter(isDeltaDoc(col("doc_id"))),
+        Tables.embeddings(s, d).filter(isDeltaDoc(col("vec_id"))),
+        corpus = docs, priorDocs = docs.filter(!isDeltaDoc(col("doc_id"))))
         .ledger.orderBy(col("doc_id"))
     }),
 
@@ -6755,6 +7044,94 @@ object ExtQueries {
          SELECT doc_id, source, lang, n_words, drop_reason,
            CAST(drop_reason = 'kept' AS BIGINT) AS kept
          FROM led ORDER BY doc_id""",
+    // the maintained-card oracle derives its kept set from the FULL
+    // REBUILD ledger rule — green re-proves maintained ≡ rebuilt at
+    // the published-report level
+    "q172_maintained_card" -> s"""
+         WITH $bpeEncodeCtes,
+         ${ledgerCtesFor("", "TRUE", "TRUE")},
+         ${releaseCardCtes("k",
+           "doc_id IN (SELECT doc_id FROM led WHERE drop_reason = 'kept')")}
+         SELECT metric, round(value, 6) AS value FROM ku ORDER BY metric""",
+    // both diff sides re-derived by rebuild: v1 = the base-slice
+    // ledger instance (q167's va), new = the full-corpus ledger
+    "q173_maintained_diff" -> s"""
+         WITH $bpeEncodeCtes,
+         ${ledgerCtesFor("va",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')",
+           "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${ledgerCtesFor("", "TRUE", "TRUE")},
+         ${releaseCardCtes("b",
+           "doc_id IN (SELECT doc_id FROM valed WHERE drop_reason = 'kept')")},
+         ${releaseCardCtes("n",
+           "doc_id IN (SELECT doc_id FROM led WHERE drop_reason = 'kept')")}
+         SELECT metric, round(b.value, 6) AS base_value,
+           round(n.value, 6) AS new_value,
+           round(n.value - b.value, 6) AS delta
+         FROM bu b JOIN nu n USING (metric) ORDER BY metric""",
+    // the Bloom degrade path is EXACT (sketch prefilter + exact
+    // confirm), so the full-rebuild ledger oracle gates it unchanged —
+    // q162/q168/q171's one-oracle-pins-all-paths pattern
+    "q174_ledger_bloom" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM led ORDER BY doc_id""",
+    // the skew rehearsal's oracle mirrors the cap EXACTLY: same
+    // boilerplate stamp, same banded-signature construction, bucket
+    // sizes split at the cap before pair arithmetic
+    "q175_skew_cap_rehearsal" -> s"""
+         WITH skdoc AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN '$boilerplateText' ELSE text END AS text
+           FROM documents),
+         skpos AS (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+           FROM skdoc),
+         sksh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+           FROM skpos),
+         sksig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+             MIN(md5(shingle)) AS minhash FROM sksh GROUP BY 1, 2),
+         skpiv AS (SELECT doc_id, ${
+           "0123456789abcdef".zipWithIndex.map { case (h, i) =>
+             s"MIN(minhash) FILTER (band = '$h') AS b$i" }.mkString(", ")}
+           FROM sksig GROUP BY doc_id),
+         skkeyed AS (SELECT doc_id, ${
+           (0 until 8).map(j => s"b$j || '#' || b${j + 8} AS k$j")
+             .mkString(", ")} FROM skpiv),
+         sklng AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band,
+             unnest(${(0 until 8).map(j => s"k$j").mkString("[", ", ", "]")})
+               AS sigkey FROM skkeyed),
+         skb AS (SELECT band, sigkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sklng WHERE sigkey IS NOT NULL GROUP BY 1, 2)
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MAX(n) AS max_bucket,
+           CAST(SUM(CASE WHEN n > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_cap,
+           CAST(SUM(CASE WHEN n <= 100 THEN n * (n - 1) // 2 ELSE 0 END)
+             AS BIGINT) AS capped_pairs,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS uncapped_pairs
+         FROM skb GROUP BY band ORDER BY band""",
+    // the append-store maintenance path lands the same rebuild ledger
+    "q177_ledger_append" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM led ORDER BY doc_id""",
+    // two-key funnel: same ledger rule, rolled up on (source, lang)
+    "q176_funnel_2key" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")},
+         f2 AS (SELECT source, lang, drop_reason,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words
+           FROM led GROUP BY 1, 2, 3),
+         st2 AS (SELECT source, lang, SUM(n_docs) AS cell_docs
+           FROM f2 GROUP BY 1, 2)
+         SELECT f2.source, f2.lang, f2.drop_reason, f2.n_docs, f2.n_words,
+           round(CAST(f2.n_docs AS DOUBLE) / cell_docs, 6) AS doc_share
+         FROM f2 JOIN st2 ON st2.source = f2.source AND st2.lang = f2.lang
+         ORDER BY f2.source, f2.lang, f2.drop_reason""",
     "q169_curation_funnel" -> s"""
          WITH ${ledgerCtesFor("", "TRUE", "TRUE")},
          f AS (SELECT source, drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs,

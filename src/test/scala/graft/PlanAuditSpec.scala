@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * (never executed) — with known exceptions: q112, the streaming
   * ingest queries (q115/q123/q135/q137/q144/q149/q160), the
   * cluster-maintenance queries (q141/q142, whose CC loop iterates
-  * eagerly), and the persisted-artifact consumers (dedupDropSets for
+  * eagerly), the chained-release capstone (q171, whose plan build
+  * materializes the intermediate v2 release bundle — 11 parquet
+  * artifact writes — before the audited v3 read-back plan exists;
+  * q172/q173 materialize the same maintained bundle for their cards),
+  * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose
   * audited plan is then the read-back scan — these materialize

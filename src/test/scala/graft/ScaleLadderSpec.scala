@@ -19,6 +19,18 @@ class ScaleLadderSpec extends SparkSpec {
     }
   }
 
+  test("the skew rehearsal's cap ACTUALLY engages at sf0.001 (q175's family)") {
+    // the organic fixtures never trip a cap (test above); the
+    // boilerplate-stamped family must — otherwise the rehearsal row
+    // and q175's over_cap column are vacuous
+    val (keys, mx, _, over) =
+      ScaleLadder.stats(ScaleLadder.skewedSizes(spark, sf0001),
+        cap = ScaleLadder.rehearsalCap)
+    assert(over > 0, s"rehearsal cap never engaged (keys=$keys max=$mx)")
+    assert(mx > ScaleLadder.rehearsalCap,
+      s"max bucket $mx not above the rehearsal cap")
+  }
+
   test("the over-cap measurement fires on an injected hot bucket") {
     import spark.implicits._
     // 7 rows on one key, cap 5 => exactly one over-cap key

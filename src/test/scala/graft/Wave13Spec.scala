@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Value-level pins for the wave-13 queries (q172–q176) beyond the
+  * DuckDB gate: maintained-vs-rebuilt report consistency, bloom-path
+  * ≡ broadcast-path identity, the skew rehearsal's cap actually
+  * engaging AND matching the real capped generator, and the two-key
+  * funnel's roll-up identity.
+  */
+class Wave13Spec extends SparkSpec {
+
+  test("q172 maintained card: n_docs == the rebuild ledger's kept count") {
+    val card = SparkEntry.queries("q172_maintained_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kept = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
+      .filter(col("drop_reason") === "kept").count()
+    assert(card("n_docs") == kept.toDouble,
+      s"card n_docs ${card("n_docs")} != rebuild kept $kept")
+    // a card over a curated corpus must actually reflect curation
+    val full = graft.util.Tables.documents(spark, sf0001).count()
+    assert(kept < full, "kept set not smaller than the corpus")
+  }
+
+  test("q173 diff: new side IS q172's card, delta = new - base") {
+    val card = SparkEntry.queries("q172_maintained_card")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val diff = SparkEntry.queries("q173_maintained_diff")(spark, sf0001)
+      .collect()
+    assert(diff.length == card.size, "metric sets differ")
+    diff.foreach { r =>
+      val (m, b, n, d) = (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))
+      assert(n == card(m), s"$m: diff new_value $n != card ${card(m)}")
+      assert(math.abs(d - (n - b)) < 1e-6, s"$m: delta $d != $n - $b")
+    }
+  }
+
+  test("q174 bloom-decontamination ledger == q168's broadcast-path ledger") {
+    val bloom = SparkEntry.queries("q174_ledger_bloom")(spark, sf0001)
+    val bcast = SparkEntry.queries("q168_ledger_incremental")(spark, sf0001)
+    assert(bloom.schema == bcast.schema, "ledger schemas differ")
+    assert(bloom.exceptAll(bcast).isEmpty && bcast.exceptAll(bloom).isEmpty,
+      "bloom and broadcast decontamination paths disagree")
+  }
+
+  test("q175 skew rehearsal: cap engages and matches the REAL generator") {
+    val rows = SparkEntry.queries("q175_skew_cap_rehearsal")(spark, sf0001)
+      .collect()
+    // the rehearsal must actually fire: over-cap buckets exist and the
+    // cap dropped pairs (otherwise the row is the organic no-op again)
+    assert(rows.map(_.getLong(3)).sum > 0, "no over-cap bucket in any band")
+    assert(rows.map(_.getLong(4)).sum < rows.map(_.getLong(5)).sum,
+      "cap dropped no pairs")
+    // the bucket-arithmetic pair counts must equal what the REAL
+    // capped generator (windowed cap + collect_list machinery) emits:
+    // sum of n_bands over its pairs == total within-bucket pairs
+    val sig = graft.queries.ExtQueries.skewedSig(spark, sf0001)
+    def generatorPairs(cap: Int): Long =
+      graft.ext.Dedup.minhashCandidates(sig, maxBucket = cap)
+        .agg(sum(col("n_bands"))).head().getLong(0)
+    assert(generatorPairs(100) == rows.map(_.getLong(4)).sum,
+      "capped generator != capped_pairs arithmetic")
+    assert(generatorPairs(0) == rows.map(_.getLong(5)).sum,
+      "uncapped generator != uncapped_pairs arithmetic")
+  }
+
+  test("q177 append-store maintenance ledger == q168 rewrite-path ledger") {
+    val app = SparkEntry.queries("q177_ledger_append")(spark, sf0001)
+    val rew = SparkEntry.queries("q168_ledger_incremental")(spark, sf0001)
+    // parquet read-back loosens nullability; names+types must agree
+    assert(app.schema.map(f => (f.name, f.dataType)) ==
+      rew.schema.map(f => (f.name, f.dataType)), "ledger schemas differ")
+    assert(app.exceptAll(rew).isEmpty && rew.exceptAll(app).isEmpty,
+      "append-store and rewrite-path ledgers disagree")
+  }
+
+  test("q176 two-key funnel rolls up to q169's per-source funnel") {
+    val two = SparkEntry.queries("q176_funnel_2key")(spark, sf0001)
+    val rolled = two.groupBy(col("source"), col("drop_reason"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val one = SparkEntry.queries("q169_curation_funnel")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rolled == one, "two-key funnel does not roll up to q169")
+    // within every (source, lang) cell the doc shares sum to 1
+    two.groupBy(col("source"), col("lang"))
+      .agg(sum(col("doc_share")).as("s")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3,
+        s"${r.getString(0)}/${r.getString(1)} shares sum to ${r.getDouble(2)}")
+    }
+  }
+}
