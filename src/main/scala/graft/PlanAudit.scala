@@ -58,7 +58,8 @@ object PlanAudit {
     "q171_ledger_chain" -> "same bounded 16-row delta-side centroid-assignment BNLJ as q168, applied once per chained maintenance step (v1->v2 and v2->v3); base sides are persisted-artifact scans throughout",
     "q172_maintained_card" -> "one-row BPE-total scalar crossJoin inside releaseCard (q150's pattern); the maintained ledger is a persisted-artifact scan",
     "q173_maintained_diff" -> "one-row BPE-total scalar per card side (q155's pattern); both ledgers are persisted-artifact scans",
-    "q174_ledger_bloom" -> "q168's bounded 16-row delta-side centroid-assignment BNLJ; the Bloom sketch is a one-row driver collect inlined as a literal (q84's fenced design)")
+    "q174_ledger_bloom" -> "q168's bounded 16-row delta-side centroid-assignment BNLJ; the Bloom sketch is a one-row driver collect inlined as a literal (q84's fenced design)",
+    "q178_cell_cap_rehearsal" -> "16-row broadcast centroid frame (q44's fan-out) — the rehearsal measures that assignment's own cell distribution")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

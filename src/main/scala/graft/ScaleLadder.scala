@@ -84,6 +84,16 @@ object ScaleLadder {
       .select(concat_ws("|", col("band"), col("minhash")).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** q178's embedding-family twin: half the vectors collapsed to one
+    * constant direction, measured through the production `hotCells`
+    * distribution (cap disabled = full sizes). One cell holds ~n/2.
+    */
+  private[graft] def skewedCellSizes(spark: SparkSession, d: String): DataFrame =
+    graft.ext.Similarity.hotCells(
+        graft.queries.ExtQueries.skewedEmb(spark, d), "vec_id", "embedding",
+        nCells = 16, cellCap = 0)
+      .select(col("cell").cast("string").as("k"), col("cell_size").as("n"))
+
   private[graft] val rehearsalCap = 100
 
   /** Distribution stats over a (k, n) sizes frame: (keys, max bucket,
@@ -119,6 +129,8 @@ object ScaleLadder {
       }
       val (keys, mx, p99, over) = stats(skewedSizes(spark, d), cap = rehearsalCap)
       println(s"| $sf | minhash-band-SKEWED (cap $rehearsalCap) | $keys | $mx | $p99 | $over |")
+      val (ck, cm, cp, co) = stats(skewedCellSizes(spark, d), cap = rehearsalCap)
+      println(s"| $sf | ivf-cell-SKEWED (cap $rehearsalCap) | $ck | $cm | $cp | $co |")
     }
     spark.stop()
   }

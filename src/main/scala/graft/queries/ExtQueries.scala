@@ -1367,6 +1367,19 @@ object ExtQueries {
           lit(boilerplateText)).otherwise(col("text")).as("text")),
       "text", "doc_id", k = 8)
 
+  /** q178's deliberately skewed embedding table: vectors whose vec_id
+    * md5 head is 0–7 (half the table) replaced by one constant
+    * all-ones direction — the embedding-collapse degenerate shape
+    * (dead encoder, zero/constant outputs) the IVF cell cap exists
+    * for. Every stamped vector lands in the same argmax cell.
+    */
+  private[graft] def skewedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      when(substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        array_repeat(lit(1.0), 64))
+        .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
     "q21_dedup_exact" -> ((s, d) => {
@@ -4497,6 +4510,31 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"), col("drop_reason"))
     }),
 
+    // ---- the IVF CELL-cap rehearsal: q175's embedding-family twin.
+    //      Half the vectors replaced by one constant direction
+    //      ([[skewedEmb]] — the embedding-collapse shape a dead
+    //      encoder produces), so one argmax cell holds ~n/2 vectors
+    //      and the rehearsal cap of 100 drops it at every fixture
+    //      scale. Per-cell assignment counts (exactly what the
+    //      semanticDedup cap windows on), over-cap flag, and capped vs
+    //      uncapped candidate-pair arithmetic — all mirrored verbatim
+    //      by the DuckDB oracle over the same inlined centroid
+    //      constants. Wave13Spec pins the REAL machinery: hotCells
+    //      flags the same cell, and semanticDedup with the cap engaged
+    //      emits zero pairs from it while cap-off floods. 16 rows at
+    //      any corpus size ----
+    "q178_cell_cap_rehearsal" -> ((s, d) =>
+      Similarity.hotCells(skewedEmb(s, d), "vec_id", "embedding",
+          nCells = 16, cellCap = 0)
+        .select(col("cell"), col("cell_size"),
+          when(col("cell_size") > 100, 1L).otherwise(0L).as("over_cap"),
+          when(col("cell_size") <= 100,
+              (col("cell_size") * (col("cell_size") - 1) / 2).cast("long"))
+            .otherwise(0L).as("capped_pairs"),
+          (col("cell_size") * (col("cell_size") - 1) / 2).cast("long")
+            .as("uncapped_pairs"))
+        .orderBy(col("cell"))),
+
     // ---- DELTA-PROPORTIONAL artifact maintenance: the same single
     //      maintenance step as q168, but materialized through
     //      [[appendMaintainedArtifacts]] — prior release seeded
@@ -7113,6 +7151,33 @@ object ExtQueries {
              AS BIGINT) AS capped_pairs,
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS uncapped_pairs
          FROM skb GROUP BY band ORDER BY band""",
+    // the cell rehearsal's oracle mirrors the ENGAGED cap over the
+    // same inlined centroid constants (q86's assignment CTE shape)
+    "q178_cell_cap_rehearsal" -> s"""
+         WITH skcents(cell, cvec) AS (VALUES $ivfCentroids),
+         ske0 AS (SELECT vec_id AS id,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN list_transform(generate_series(1, 64), x -> 1.0::DOUBLE)
+               ELSE embedding::DOUBLE[] END AS vec
+           FROM embeddings),
+         ska0 AS (SELECT id, vec FROM ske0
+           WHERE vec IS NOT NULL AND len(vec) > 0),
+         skasg AS (SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM ska0, skcents),
+         skcs AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size
+           FROM skasg WHERE rn = 1 GROUP BY 1)
+         SELECT cell, cell_size,
+           CAST(cell_size > 100 AS BIGINT) AS over_cap,
+           CAST(CASE WHEN cell_size <= 100
+             THEN cell_size * (cell_size - 1) // 2 ELSE 0 END AS BIGINT)
+             AS capped_pairs,
+           CAST(cell_size * (cell_size - 1) // 2 AS BIGINT)
+             AS uncapped_pairs
+         FROM skcs ORDER BY cell""",
     // the append-store maintenance path lands the same rebuild ledger
     "q177_ledger_append" -> s"""
          WITH ${ledgerCtesFor("", "TRUE", "TRUE")}

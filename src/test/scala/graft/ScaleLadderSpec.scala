@@ -29,6 +29,12 @@ class ScaleLadderSpec extends SparkSpec {
     assert(over > 0, s"rehearsal cap never engaged (keys=$keys max=$mx)")
     assert(mx > ScaleLadder.rehearsalCap,
       s"max bucket $mx not above the rehearsal cap")
+    // and the embedding-family twin (q178): exactly one collapsed cell
+    val (_, cm, _, co) =
+      ScaleLadder.stats(ScaleLadder.skewedCellSizes(spark, sf0001),
+        cap = ScaleLadder.rehearsalCap)
+    assert(co == 1 && cm > ScaleLadder.rehearsalCap,
+      s"cell rehearsal did not engage (over=$co max=$cm)")
   }
 
   test("the over-cap measurement fires on an injected hot bucket") {

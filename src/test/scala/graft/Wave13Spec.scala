@@ -75,6 +75,34 @@ class Wave13Spec extends SparkSpec {
       "append-store and rewrite-path ledgers disagree")
   }
 
+  test("q178 cell-cap rehearsal: engages, and the REAL machinery agrees") {
+    import graft.ext.Similarity
+    val rows = SparkEntry.queries("q178_cell_cap_rehearsal")(spark, sf0001)
+      .collect()
+    val hot = rows.filter(_.getLong(2) == 1L)
+    assert(hot.length == 1, s"expected exactly one hot cell, got ${hot.length}")
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(4)).sum,
+      "cap dropped no candidate pairs")
+    // the production audit twin flags exactly the same (cell, size)
+    val emb = graft.queries.ExtQueries.skewedEmb(spark, sf0001)
+    val audited = Similarity.hotCells(emb, "vec_id", "embedding",
+        nCells = 16, cellCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audited == hot.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "hotCells audit disagrees with the rehearsal's over-cap rows")
+    // the real detector: cap engaged => the hot cell emits NOTHING;
+    // cap off => the collapsed vectors (cosine 1.0) flood out of it
+    val hotCell = hot.head.getLong(0)
+    val capped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      tau = 0.99, nCells = 16, cellCap = 100)
+    assert(capped.filter(col("cell") === hotCell).count() == 0,
+      "capped semanticDedup still emitted pairs from the hot cell")
+    val uncapped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      tau = 0.99, nCells = 16, cellCap = 0)
+    assert(uncapped.filter(col("cell") === hotCell).count() > 0,
+      "uncapped semanticDedup found nothing in the hot cell")
+  }
+
   test("q176 two-key funnel rolls up to q169's per-source funnel") {
     val two = SparkEntry.queries("q176_funnel_2key")(spark, sf0001)
     val rolled = two.groupBy(col("source"), col("drop_reason"))
