@@ -4510,6 +4510,89 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"), col("drop_reason"))
     }),
 
+    // ---- STREAMING ledger maintenance: the release ledger's ingest
+    //      loop, completing the family matrix (batch q162, incremental
+    //      q168, chained q171, bloom q174, append-store q177 — and now
+    //      the Structured Streaming shape every detector family
+    //      already has: q115/q123/q135/q137/q144/q149/q160). The delta
+    //      arrives as a 2-file stream (maxFilesPerTrigger=1 → one
+    //      maintenance step per micro-batch); each foreachBatch
+    //      applies [[ledgerMaintainStep]] against the bundle VERSION
+    //      the previous batch persisted (batch 0 starts from the v1
+    //      release artifacts) and writes the next 11-frame version —
+    //      lineage never grows across batches because every prior is a
+    //      parquet read-back. corpus/priorDocs per batch are keyed
+    //      semi-joins on the ingested-id log (never a collect).
+    //      Gated by q162's full-rebuild oracle over the LAST version's
+    //      ledger: green = the stream lands the identical release,
+    //      which is q171's associativity re-proven under streaming
+    //      delivery with arbitrary (round-robin) batch membership ----
+    "q179_stream_ledger" -> ((s, d) => {
+      drainStepCache()
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q179_in_${CoreQueries.dirToken(d)}") { p =>
+        delta.repartition(2).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q179_sledg_")
+      val docsRoot = s"$dir/docs"; val bndRoot = s"$dir/bnd"
+      val ck = s"$dir/ck"
+      val names = Seq("sig", "sigcnt", "shsig", "shcnt", "cellidx",
+        "cellcnt", "spanown", "spancnt", "drops", "pairs", "ledger")
+      def frames(a: RelArtifacts) = Seq(a.sig, a.sigCnt, a.shSig,
+        a.shCnt, a.cellIdx, a.cellCnt, a.spanOwn, a.spanCnt, a.drops,
+        a.pairs, a.ledger)
+      def readBundle(root: String): RelArtifacts = {
+        def rd(n: String) = s.read.parquet(s"$root/$n")
+        RelArtifacts(rd("sig"), rd("sigcnt"), rd("shsig"), rd("shcnt"),
+          rd("cellidx"), rd("cellcnt"), rd("spanown"), rd("spancnt"),
+          rd("drops"), rd("pairs"), rd("ledger"))
+      }
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val batchDF = batch.toDF()
+            graft.streaming.Streaming.writeBatch(
+              batchDF.select(col("doc_id")), id, docsRoot, append = true)
+            val ingested = s.read.parquet(docsRoot)
+            val priorDocsB = baseDocs.unionByName(docs.join(
+              ingested.filter(col("batch_id") < id).select(col("doc_id")),
+              Seq("doc_id"), "left_semi"))
+            val corpusB = baseDocs.unionByName(docs.join(
+              ingested.filter(col("batch_id") <= id).select(col("doc_id")),
+              Seq("doc_id"), "left_semi"))
+            val prior = if (id == 0L) v1Artifacts(s, d)
+              else readBundle(s"$bndRoot/batch_id=${id - 1}")
+            var cached = List.empty[DataFrame]
+            val next = ledgerMaintainStep(prior, batchDF,
+              emb.join(batchDF.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi"),
+              corpus = corpusB, priorDocs = priorDocsB,
+              onPersist = f => cached ::= f)
+            names.zip(frames(next)).foreach { case (n, df) =>
+              df.write.mode("overwrite")
+                .parquet(s"$bndRoot/batch_id=$id/$n") }
+            cached.foreach(_.unpersist())
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val lastId = new java.io.File(bndRoot).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).max
+      s.read.parquet(s"$bndRoot/batch_id=$lastId/ledger")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the IVF CELL-cap rehearsal: q175's embedding-family twin.
     //      Half the vectors replaced by one constant direction
     //      ([[skewedEmb]] — the embedding-collapse shape a dead
@@ -7151,6 +7234,13 @@ object ExtQueries {
              AS BIGINT) AS capped_pairs,
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS uncapped_pairs
          FROM skb GROUP BY band ORDER BY band""",
+    // the streaming ingest loop must land the identical full-rebuild
+    // ledger — q162's oracle pins the whole family (q149/q160 pattern)
+    "q179_stream_ledger" -> s"""
+         WITH ${ledgerCtesFor("", "TRUE", "TRUE")}
+         SELECT doc_id, source, lang, n_words, drop_reason,
+           CAST(drop_reason = 'kept' AS BIGINT) AS kept
+         FROM led ORDER BY doc_id""",
     // the cell rehearsal's oracle mirrors the ENGAGED cap over the
     // same inlined centroid constants (q86's assignment CTE shape)
     "q178_cell_cap_rehearsal" -> s"""

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * eagerly), the chained-release capstone (q171, whose plan build
   * materializes the intermediate v2 release bundle — 11 parquet
   * artifact writes — before the audited v3 read-back plan exists;
-  * q172/q173 materialize the same maintained bundle for their cards),
+  * q172/q173 materialize the same maintained bundle for their cards;
+  * q179 runs its whole micro-batch ingest loop at build time and the
+  * audited plan is the last bundle version's ledger scan),
   * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose

@@ -103,6 +103,15 @@ class Wave13Spec extends SparkSpec {
       "uncapped semanticDedup found nothing in the hot cell")
   }
 
+  test("q179 streaming ledger == the shipped v2 release ledger (q162)") {
+    val str = SparkEntry.queries("q179_stream_ledger")(spark, sf0001)
+    val rebuilt = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
+    assert(str.schema.map(f => (f.name, f.dataType)) ==
+      rebuilt.schema.map(f => (f.name, f.dataType)), "ledger schemas differ")
+    assert(str.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(str).isEmpty,
+      "streaming-maintained ledger disagrees with the rebuild")
+  }
+
   test("q176 two-key funnel rolls up to q169's per-source funnel") {
     val two = SparkEntry.queries("q176_funnel_2key")(spark, sf0001)
     val rolled = two.groupBy(col("source"), col("drop_reason"))
