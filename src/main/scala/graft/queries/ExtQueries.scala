@@ -4510,6 +4510,71 @@ object ExtQueries {
         .orderBy(col("source"), col("lang"), col("drop_reason"))
     }),
 
+    // ---- decontamination by SPAN EXCISION: the production-realistic
+    //      alternative to q59's whole-doc verdict (Lee et al. 2022
+    //      remove the matching spans, not the document). A train-split
+    //      token is excised iff ANY sliding word-8-gram window
+    //      covering it matches a held-split gram; the doc survives
+    //      with its leaked windows cut out. Per train doc: token
+    //      count, tokens removed, kept fraction, and a 16-hex
+    //      fingerprint of the rebuilt (normalized, space-joined)
+    //      cleaned text — the fingerprint pins the exact rebuild
+    //      without shipping document strings through the compare.
+    //      Scale shape: held grams broadcast (bounded benchmark
+    //      targets, q59's fence), leaked-window → position fan-out is
+    //      8 rows per hit, the rebuild is q92's per-doc
+    //      collect_list(struct(pos, tok)) — bounded by document
+    //      length, never corpus-wide ----
+    "q180_decontaminate_spans" -> ((s, d) => {
+      drainStepCache()
+      val emptyFp = substring(md5(lit("")), 1, 16)
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+        TA.normWords(col("text")).as("w"))
+      val held = splitGrams(s, d).filter(col("hb") === "0")
+        .select(col("gh")).distinct()
+      // three consumers (leaked, kept, out); registered with the step
+      // cache so the next maintenance-class build drains it (the
+      // query's own action must still see the cached frame)
+      val train = graft.util.Persist(words.filter(col("hb") =!= "0"))
+      stepOnPersist(train)
+      // leaked window start positions (1-based): per-position gram
+      // hashes (the composed form of WordGramHashes — positions matter
+      // here, so the distinct fused expression doesn't apply)
+      val leaked = train.filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("w")) - 7),
+            i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
+              1, 16))).as(Seq("i0", "gh")))
+        .join(broadcast(held), Seq("gh"))
+        .select(col("doc_id"), (col("i0") + 1).as("s"))
+      val removed = leaked
+        .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7))
+          .as("pos")).distinct()
+      val kept = train
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        .join(removed, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          substring(md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")), 1, 16).as("clean_fp"))
+      val out = train.select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"),
+          when(col("n_tokens") === 0, lit(1.0))
+            .otherwise(round(coalesce(col("n_kept"), lit(0L)).cast("double")
+              / col("n_tokens"), 6)).as("kept_frac"),
+          coalesce(col("clean_fp"), emptyFp).as("clean_fp"))
+        .orderBy(col("doc_id"))
+      out
+    }),
+
     // ---- STREAMING ledger maintenance: the release ledger's ingest
     //      loop, completing the family matrix (batch q162, incremental
     //      q168, chained q171, bloom q174, append-store q177 — and now
@@ -7234,6 +7299,46 @@ object ExtQueries {
              AS BIGINT) AS capped_pairs,
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS uncapped_pairs
          FROM skb GROUP BY band ORDER BY band""",
+    // span excision re-derived positionally: leaked window starts ->
+    // covered positions -> anti-joined token rebuild, fingerprinted
+    "q180_decontaminate_spans" -> s"""
+         WITH dw0 AS (SELECT doc_id, $duckNormWords AS words,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb
+           FROM documents),
+         dheld AS (SELECT DISTINCT
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM (SELECT words, unnest(generate_series(1, len(words) - 7)) AS i
+             FROM dw0 WHERE hb = '0' AND len(words) >= 8)),
+         dtr AS (SELECT doc_id, words FROM dw0 WHERE hb <> '0'),
+         dlw AS (SELECT doc_id, i AS s
+           FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 7)) AS i
+             FROM dtr WHERE len(words) >= 8) t
+           WHERE substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16)
+             IN (SELECT gh FROM dheld)),
+         drm AS (SELECT DISTINCT doc_id, pos FROM
+           (SELECT doc_id, unnest(generate_series(s, s + 7)) AS pos
+            FROM dlw)),
+         dtk AS (SELECT doc_id, pos, words[pos] AS tok
+           FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words))) AS pos FROM dtr)),
+         dkept AS (SELECT t.doc_id, t.pos, t.tok FROM dtk t
+           WHERE NOT EXISTS (SELECT 1 FROM drm r
+             WHERE r.doc_id = t.doc_id AND r.pos = t.pos)),
+         dagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16)
+               AS clean_fp
+           FROM dkept GROUP BY 1),
+         dbase AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens
+           FROM dtr)
+         SELECT b.doc_id, b.n_tokens,
+           b.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
+           CASE WHEN b.n_tokens = 0 THEN 1.0
+             ELSE round(COALESCE(a.n_kept, 0)::DOUBLE / b.n_tokens, 6)
+           END AS kept_frac,
+           COALESCE(a.clean_fp, substr(md5(''), 1, 16)) AS clean_fp
+         FROM dbase b LEFT JOIN dagg a USING (doc_id)
+         ORDER BY b.doc_id""",
     // the streaming ingest loop must land the identical full-rebuild
     // ledger — q162's oracle pins the whole family (q149/q160 pattern)
     "q179_stream_ledger" -> s"""

@@ -112,6 +112,28 @@ class Wave13Spec extends SparkSpec {
       "streaming-maintained ledger disagrees with the rebuild")
   }
 
+  test("q180 span excision: excised docs == q59's flagged docs, cuts are partial") {
+    val rows = SparkEntry.queries("q180_decontaminate_spans")(spark, sf0001)
+      .collect()
+    // a doc loses tokens iff it shares ≥1 gram with the held split —
+    // exactly q59's whole-doc verdict, so the two detectors must flag
+    // the identical doc set (the excision is the finer-grained remedy,
+    // not a different rule)
+    val excised = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val flagged = SparkEntry.queries("q59_decontaminate")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(excised == flagged, "excised set != q59's contaminated set")
+    assert(excised.nonEmpty, "no doc was excised — the rule is vacuous")
+    // the point of excision: at least one doc SURVIVES with a cut
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)),
+      "every excised doc lost everything — no partial cuts")
+    rows.foreach { r =>
+      val kf = r.getDouble(3)
+      assert(kf >= 0.0 && kf <= 1.0, s"kept_frac $kf out of range")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("q176 two-key funnel rolls up to q169's per-source funnel") {
     val two = SparkEntry.queries("q176_funnel_2key")(spark, sf0001)
     val rolled = two.groupBy(col("source"), col("drop_reason"))
