@@ -59,7 +59,8 @@ object PlanAudit {
     "q172_maintained_card" -> "one-row BPE-total scalar crossJoin inside releaseCard (q150's pattern); the maintained ledger is a persisted-artifact scan",
     "q173_maintained_diff" -> "one-row BPE-total scalar per card side (q155's pattern); both ledgers are persisted-artifact scans",
     "q174_ledger_bloom" -> "q168's bounded 16-row delta-side centroid-assignment BNLJ; the Bloom sketch is a one-row driver collect inlined as a literal (q84's fenced design)",
-    "q178_cell_cap_rehearsal" -> "16-row broadcast centroid frame (q44's fan-out) — the rehearsal measures that assignment's own cell distribution")
+    "q178_cell_cap_rehearsal" -> "16-row broadcast centroid frame (q44's fan-out) — the rehearsal measures that assignment's own cell distribution",
+    "q182_semantic_decon" -> "16-row broadcast centroid frame (q86's fan-out) feeding the cross-side contamination pairs; everything downstream is the cell-keyed equi-join")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

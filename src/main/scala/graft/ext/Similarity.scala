@@ -942,4 +942,179 @@ object Similarity {
         round(avg(col("es.e0")), 6).as("mse_static"),
         round(avg(col("es.e1")), 6).as("mse_refined"))
   }
+
+  // ============== OPQ-lite: variance-balanced PQ layout ==============
+
+  /** Variance-balanced dimension-to-subspace layout — the
+    * non-parametric "OPQ-lite" initialization of Ge et al. ("Optimized
+    * Product Quantization", CVPR 2013): instead of learning a full
+    * rotation, PERMUTE the dimensions so each PQ subspace receives a
+    * balanced share of the corpus variance (the paper's eigenvalue-
+    * allocation idea applied directly to per-dimension variances; no
+    * eigendecomposition, so every step is replayable by a SQL oracle).
+    *
+    * Input is the per-dimension variance vector (a bounded training
+    * artifact: `dim` doubles from ONE corpus aggregate — collect
+    * discipline of the PQ codebook). Dimensions are ranked by
+    * (rounded-at-6 variance desc, dim asc) and dealt to subspaces in
+    * SNAKE order (rank block b = r/subDim, within-block w = r%subDim:
+    * subspace = w on even blocks, subDim-1-w on odd blocks; position =
+    * b) — so the top-m dims land one per subspace, the next m reverse,
+    * and per-subspace variance sums stay near-equal. On an ISOTROPIC
+    * corpus this is a no-op by construction (all variances tie at
+    * rounding resolution → identity-ish layout, nothing to gain) —
+    * hence the anisotropic rehearsal fixture gating q184.
+    *
+    * Returns the layout as a permutation p of 0..dim-1: subspace `sub`
+    * covers original dims p(sub*subDim) .. p(sub*subDim + subDim - 1),
+    * in position order. The identity layout is `0 until dim`.
+    */
+  def balancedLayout(variances: Seq[Double], m: Int = 8,
+      subDim: Int = 8): Seq[Int] = {
+    require(variances.size == m * subDim,
+      s"expected ${m * subDim} variances, got ${variances.size}")
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = variances.zipWithIndex
+      .sortBy { case (v, d) => (-r6(v), d) }.map(_._2)
+    val perm = new Array[Int](m * subDim)
+    for (r <- 0 until m * subDim) {
+      val b = r / m; val w = r % m
+      val sub = if (b % 2 == 0) w else m - 1 - w
+      perm(sub * subDim + b) = ranked(r)
+    }
+    perm.toSeq
+  }
+
+  /** Subvector of `v` for subspace `sub` under layout `perm` —
+    * element_at gathers in position order. The identity layout
+    * compiles to the same values as the `slice` the static-layout
+    * paths use (gather of consecutive indices), so the two forms are
+    * value-interchangeable.
+    */
+  private def permSub(v: Column, perm: Seq[Int], sub: Int,
+      subDim: Int): Column =
+    array(perm.slice(sub * subDim, (sub + 1) * subDim)
+      .map(d => element_at(v, d + 1)): _*)
+
+  /** [[pqTrainIteration]] under an explicit dimension layout: one
+    * Lloyd refinement of the per-subspace codebooks where subspace
+    * `sub` reads dims `perm(sub*subDim..)` instead of a contiguous
+    * slice. Same static init codebook (it lives in code space, not
+    * dim space), same rounded-argmin/low-c tie discipline, same
+    * long-form (sub, c, pos, c_val, n_members) output; the only
+    * shuffle is the ≤ m*nCents*subDim-group aggregate.
+    */
+  def pqTrainIterationPerm(corpus: DataFrame, idCol: String,
+      vecCol: String, perm: Seq[Int], m: Int = 8, subDim: Int = 8,
+      nCents: Int = 16): DataFrame = {
+    val v = col("vec")
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), posexplode(array((0 until m).map { sub =>
+        val sv = permSub(v, perm, sub, subDim)
+        val cands = array((0 until nCents).map { c =>
+          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          struct(round(dot(cent, cent) - lit(2.0) * dot(sv, cent), 6).as("d"),
+            lit(c).as("c"))
+        }: _*)
+        struct(array_min(cands).getField("c").as("c"), sv.as("sv"))
+      }: _*)).as(Seq("sub", "sc")))
+      .select(col("sub"), col("sc.c").as("c"),
+        posexplode(col("sc.sv")).as(Seq("pos", "vv")))
+      .groupBy(col("sub").cast("long").as("sub"), col("c").cast("long").as("c"),
+        col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("vv")), 6).as("c_val"), count(lit(1)).as("n_members"))
+  }
+
+  /** Per-subspace corpus MSE under a TRAINED codebook and an explicit
+    * dimension layout — the measurement half of the OPQ-lite loop:
+    * train each layout with [[pqTrainIterationPerm]], inline the
+    * collected (bounded) artifact here, compare layouts row-for-row.
+    * Encode argmins over the cells PRESENT in the artifact with the
+    * rounded-key/low-index tie discipline; the reported error is the
+    * UNROUNDED key at the argmin plus |sv|² ([[pqRefineGain]]'s e1
+    * exactly, generalized over the layout). Pure scan-stage work —
+    * the codebook is literals, there is no join anywhere.
+    */
+  def pqPermMse(corpus: DataFrame, idCol: String, vecCol: String,
+      perm: Seq[Int], refined: Seq[(Int, Int, Seq[Double])],
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val bySub: Map[Int, Seq[(Int, Seq[Double])]] =
+      refined.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(x => (x._2, x._3)).sortBy(_._1)
+      }
+    val v = col("vec")
+    def minErr(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+      def keyFor(vals: Seq[Double]): Column = {
+        val cent = array(vals.map(lit): _*)
+        dot(cent, cent) - lit(2.0) * dot(sv, cent)
+      }
+      val keys = array(cents.map(c => keyFor(c._2)): _*)
+      val cands = array(cents.zipWithIndex.map { case ((c, vals), i) =>
+        struct(round(keyFor(vals), 6).as("d"), lit(i).as("i"), lit(c).as("c"))
+      }: _*)
+      dot(sv, sv) + element_at(keys, array_min(cands).getField("i") + 1)
+    }
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), posexplode(array((0 until m).map { sub =>
+        minErr(permSub(v, perm, sub, subDim), bySub(sub))
+      }: _*)).as(Seq("sub", "err")))
+      .groupBy(col("sub").cast("long").as("sub"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("err")), 6).as("mse"))
+  }
+
+  // ========== semantic decontamination (cross-side matches) ==========
+
+  /** Semantic decontamination: for every NON-held vector, its best
+    * held-side witness at cosine ≥ τ — [[semanticDedup]]'s cell-
+    * bounded pair discipline with the pair join oriented ACROSS the
+    * held split instead of by id order (the embedding-space analogue
+    * of the q59 n-gram decontamination family: a train doc is
+    * contaminated when a held doc is semantically near it, even with
+    * zero lexical overlap). `heldSide(id)` decides the split; cell
+    * cap and zero-norm discipline are computed over BOTH sides
+    * together, exactly as the corpus-wide dedup does, so the two
+    * families cannot diverge on the degenerate-cell story.
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String,
+      vecCol: String, heldSide: Column => Column, tau: Double,
+      nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      "id", "vec", cents, 1)
+    val capped =
+      if (cellCap > 0) {
+        val wC = Window.partitionBy(col("cell"))
+        assigned.withColumn("cs", count(lit(1)).over(wC))
+          .filter(col("cs") <= cellCap)
+          .drop("cs")
+      } else assigned
+    val c = graft.util.Persist(capped.withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0))
+    val t = c.filter(!heldSide(col("id")))
+      .select(col("cell"), col("id").as("vec_id"),
+        col("vec").as("t_vec"), col("nrm").as("t_nrm"))
+    val h = c.filter(heldSide(col("id")))
+      .select(col("cell"), col("id").as("held_id"),
+        col("vec").as("h_vec"), col("nrm").as("h_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("sim"), 6).desc, col("held_id").asc)
+    t.join(h, Seq("cell"))
+      .withColumn("sim",
+        dot(col("t_vec"), col("h_vec")) / (col("t_nrm") * col("h_nrm")))
+      .filter(round(col("sim"), 6) >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("held_id"),
+        round(col("sim"), 6).as("sim"), col("cell"))
+  }
 }

@@ -1269,6 +1269,67 @@ object ExtQueries {
         .toSeq.sortBy(x => (x._1, x._2))
     })
 
+  /** The ANISOTROPIC rehearsal slice for the OPQ-lite family
+    * (q183/q184): usable embeddings with dims 0–7 scaled 4× — the
+    * shape a real encoder produces when a few latent directions carry
+    * most of the energy (PCA-style spectra), concentrated into PQ
+    * subspace 0 under the identity layout so layout choice MATTERS.
+    * On the isotropic raw fixture variance-balancing is a no-op (the
+    * r11/r12 standing-skip rationale); this fixture is what makes the
+    * OPQ gain measurable and gateable. Usability filter = the shared
+    * vector contract (non-null, non-empty, norm > 0), applied HERE so
+    * the variance aggregate, the trainer, and the MSE scan all see
+    * the identical row set the oracle's `u` CTE derives.
+    */
+  private[graft] def anisoEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .filter(col("v0").isNotNull && size(col("v0")) > 0)
+      .select(col("vec_id"),
+        transform(col("v0"),
+          (x, i) => x * when(i < lit(8), lit(4.0)).otherwise(lit(1.0))).as("vec"))
+      .filter(expr(
+        "aggregate(zip_with(vec, vec, (p, q) -> p * q), 0D, (a, v) -> a + v) > 0"))
+
+  /** q184's per-dimension variance artifact + the variance-balanced
+    * layout derived from it — ONE corpus aggregate (64 rounded
+    * doubles) collected and memoized per input dir (the PQ-codebook
+    * collect discipline), then [[Similarity.balancedLayout]]'s snake
+    * deal on the driver. Rounding at 6 happens IN Spark SQL so the
+    * rank order is derived from exactly the values the oracle's
+    * `var_pop` CTE rounds the same way.
+    */
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Double], Seq[Int])]()
+
+  private[graft] def opqVarLayout(s: SparkSession, d: String): (Seq[Double], Seq[Int]) =
+    opqCache.computeIfAbsent(d, { _ =>
+      val aggs = (0 until 64).map(i =>
+        round(var_pop(element_at(col("vec"), i + 1)), 6).as(s"v$i"))
+      val r = anisoEmb(s, d).agg(aggs.head, aggs.tail: _*).collect()(0)
+      val vars = (0 until 64).map(r.getDouble)
+      (vars, Similarity.balancedLayout(vars))
+    })
+
+  /** Trained (one-Lloyd-step) codebook per (input dir, layout) — the
+    * [[pqRefinedCodebook]] discipline generalized over the OPQ layout:
+    * 1024 doubles collected once per session, inlined as literals by
+    * every MSE consumer.
+    */
+  private val opqRefinedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Int, Int, Seq[Double])]]()
+
+  private[graft] def opqRefined(s: SparkSession, d: String, layout: String,
+      perm: Seq[Int]): Seq[(Int, Int, Seq[Double])] =
+    opqRefinedCache.computeIfAbsent((d, layout), { _ =>
+      Similarity.pqTrainIterationPerm(anisoEmb(s, d), "vec_id", "vec", perm)
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+    })
+
   /** q96's 5-round BPE trainer loop, factored out so q122 can APPLY
     * the trained merge table. Each round: pair stats over the
     * vocab-sized distinct-word table (the ONLY corpus-wide shuffle is
@@ -4769,6 +4830,107 @@ object ExtQueries {
     //      (Divergence note, as q115: the bucket cap applies per
     //      base+batch bucket here vs the whole-corpus bucket in
     //      q156/q158 — identical below the cap.) ----
+    // ---- FUZZY decontamination: the decon family's near-duplicate
+    //      rung (exact 8-gram q59, Bloom degrade q84, span excision
+    //      q180 — this adds paraphrase-tolerant matching). A train doc
+    //      is flagged when it shares a MinHash LSH band with a held-out
+    //      doc (q22's banded signature table, the SAME persisted
+    //      corpus artifact every dedup consumer scans) AND the exact
+    //      3-gram-Jaccard confirm on the 120-char prefixes clears 0.5
+    //      (q24's rescore discipline — candidates only, never
+    //      all-pairs). Output: each contaminated train doc with its
+    //      best held witness (rounded-jac desc, low-id tie-break).
+    //      Scale: candidate generation is the capped bucket join;
+    //      the confirm join carries 120-char prefixes keyed by doc id;
+    //      the held split never needs to broadcast ----
+    "q181_fuzzy_decon" -> ((s, d) => {
+      def held(c: Column) = substring(md5(c.cast("string")), 1, 1) === "0"
+      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .select(col("a_id"), col("b_id"))
+        .filter(held(col("a_id")) =!= held(col("b_id")))
+        .select(
+          when(held(col("a_id")), col("b_id")).otherwise(col("a_id")).as("doc_id"),
+          when(held(col("a_id")), col("a_id")).otherwise(col("b_id")).as("held_id"))
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("jac"), 6).desc, col("held_id").asc)
+      cand
+        .join(pre.select(col("doc_id"), col("pre").as("t_pre")), Seq("doc_id"))
+        .join(pre.select(col("doc_id").as("held_id"), col("pre").as("h_pre")),
+          Seq("held_id"))
+        .withColumn("jac", Dedup.ngramJaccard(col("t_pre"), col("h_pre"), 3))
+        .filter(col("jac") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("held_id"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SEMANTIC decontamination: the embedding-space rung of the
+    //      same family — a train vector is contaminated when a held
+    //      vector sits within cosine τ, even with ZERO lexical overlap
+    //      (the leak n-gram methods cannot see: translations,
+    //      paraphrases, re-renderings). semanticDedup's IVF-cell-
+    //      bounded pair discipline with the join oriented across the
+    //      held split; cell cap + zero-norm rules computed over both
+    //      sides together so this and the dedup family share one
+    //      degenerate-cell story. τ = 0.4, q86's operating point ----
+    "q182_semantic_decon" -> ((s, d) =>
+      Similarity.semanticContamination(Tables.embeddings(s, d),
+          "vec_id", "embedding",
+          idc => substring(md5(idc.cast("string")), 1, 1) === "0", tau = 0.4)
+        .orderBy(col("vec_id"))),
+
+    // ---- the ANISOTROPY audit: per-subspace share of corpus variance
+    //      under the IDENTITY PQ layout on the anisotropic rehearsal
+    //      slice ([[anisoEmb]]) — the evidence row that subspace 0
+    //      carries ~16× the energy of its peers, i.e. the fixture
+    //      REALLY is anisotropic and q184's layout choice has
+    //      something to optimize (the r11/r12 standing skip's
+    //      precondition, now measured instead of assumed). Built from
+    //      the memoized 64-double variance artifact; 8 rows at any
+    //      corpus size ----
+    "q183_aniso_audit" -> ((s, d) => {
+      import s.implicits._
+      val (vars, _) = opqVarLayout(s, d)
+      val total = vars.sum
+      (0 until 8).map { sub =>
+        (sub.toLong, vars.slice(sub * 8, sub * 8 + 8).sum) }
+        .toDF("sub", "var_sum")
+        .select(col("sub"), round(col("var_sum"), 6).as("var_sum"),
+          round(col("var_sum") / lit(total), 6).as("share"))
+        .orderBy(col("sub"))
+    }),
+
+    // ---- OPQ-lite: variance-balanced PQ layout vs identity, gated.
+    //      The r11/r12 standing skip, landed now that the anisotropic
+    //      rehearsal (q183) exists: rank dims by corpus variance,
+    //      snake-deal them across the 8 subspaces
+    //      ([[Similarity.balancedLayout]] — Ge et al.'s eigenvalue-
+    //      allocation idea without the eigendecomposition, so the
+    //      oracle re-derives the ENTIRE loop in SQL: variances →
+    //      ranks → layout → encode → Lloyd step → MSE), train each
+    //      layout one Lloyd step from the shared static init, and
+    //      report per-subspace corpus MSE under both trained
+    //      codebooks. The balanced layout's total MSE must beat
+    //      identity (Wave13Spec pins it); per-subspace rows show WHY —
+    //      identity's sub-0 distortion dwarfs the rest, balanced
+    //      spreads it. Pure scan-stage work: codebooks are inlined
+    //      literal artifacts, no join anywhere; 16 rows at any
+    //      corpus size ----
+    "q184_opq_gain" -> ((s, d) => {
+      val (_, balanced) = opqVarLayout(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val aniso = anisoEmb(s, d)
+      def side(name: String, perm: Seq[Int]) =
+        Similarity.pqPermMse(aniso, "vec_id", "vec", perm,
+            opqRefined(s, d, name, perm))
+          .select(lit(name).as("layout"), col("sub"), col("n_vecs"), col("mse"))
+      side("identity", identity).unionByName(side("balanced", balanced))
+        .orderBy(col("layout"), col("sub"))
+    }),
+
     "q160_stream_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
@@ -4939,6 +5101,25 @@ object ExtQueries {
          vals AS (SELECT k.sub, k.c, poss.pos,
              list_extract(e.vec, k.sub * 8 + poss.pos + 1) AS vv
            FROM codes k JOIN e USING (vec_id) CROSS JOIN poss)"""
+
+  /** Shared q183/q184 oracle CTEs: the anisotropic rehearsal fixture
+    * (dims 0–7 scaled 4×, usable-vector contract) and its rounded
+    * per-dimension population variances — mirroring [[anisoEmb]] and
+    * the opqVarLayout aggregate exactly (same scale rule, same row
+    * set, same round-at-6).
+    */
+  private lazy val anisoCtes: String = s"""
+         adims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         ae0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         aav AS (SELECT vec_id,
+             list(v0[dim + 1] * CASE WHEN dim < 8 THEN 4.0 ELSE 1.0 END
+               ORDER BY dim) AS vec
+           FROM ae0 CROSS JOIN adims GROUP BY vec_id),
+         au AS (SELECT vec_id, vec FROM aav
+           WHERE list_inner_product(vec, vec) > 0),
+         avr AS (SELECT dim, round(var_pop(vec[dim + 1]), 6) AS v
+           FROM au CROSS JOIN adims GROUP BY dim)"""
 
   /** Shared q127/q128 oracle CTEs: IVF cell assignment + PQ encode +
     * the ADC candidate scoring, mirroring `Similarity.pqAdcTopK`
@@ -7339,6 +7520,113 @@ object ExtQueries {
            COALESCE(a.clean_fp, substr(md5(''), 1, 16)) AS clean_fp
          FROM dbase b LEFT JOIN dagg a USING (doc_id)
          ORDER BY b.doc_id""",
+    // fuzzy decon: q22's banded-signature candidates oriented across
+    // the md5-head held split + q24's exact 3-gram-Jaccard confirm
+    "q181_fuzzy_decon" -> (s"""
+         WITH $bandedSigSql,
+         fcand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         fo AS (SELECT
+             CASE WHEN substr(md5(a_id::VARCHAR), 1, 1) = '0'
+               THEN b_id ELSE a_id END AS doc_id,
+             CASE WHEN substr(md5(a_id::VARCHAR), 1, 1) = '0'
+               THEN a_id ELSE b_id END AS held_id
+           FROM fcand
+           WHERE (substr(md5(a_id::VARCHAR), 1, 1) = '0')
+             <> (substr(md5(b_id::VARCHAR), 1, 1) = '0')),""" + """
+         fgpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         fg AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM fgpos GROUP BY 1),
+         fp AS (SELECT fo.doc_id, fo.held_id,
+           CAST(len(list_intersect(gt.grams, gh.grams)) AS DOUBLE) /
+           CAST(len(gt.grams) + len(gh.grams)
+             - len(list_intersect(gt.grams, gh.grams)) AS DOUBLE) AS jac
+           FROM fo JOIN fg gt ON fo.doc_id = gt.doc_id
+             JOIN fg gh ON fo.held_id = gh.doc_id),
+         fw AS (SELECT doc_id, held_id, jac, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY round(jac, 6) DESC, held_id) AS rn
+           FROM fp WHERE jac >= 0.5)
+         SELECT doc_id, held_id, round(jac, 6) AS jac FROM fw WHERE rn = 1
+         ORDER BY doc_id"""),
+    // semantic decon: q86's cell-bounded pair chain re-oriented across
+    // the md5-head held split (best held witness per train vector)
+    "q182_semantic_decon" -> s"""
+         WITH ${semanticPairCtesFor("", "TRUE")},
+         sdt AS (SELECT id, vec, cell, nrm FROM c
+           WHERE substr(md5(id::VARCHAR), 1, 1) <> '0'),
+         sdh AS (SELECT id, vec, cell, nrm FROM c
+           WHERE substr(md5(id::VARCHAR), 1, 1) = '0'),
+         sdp AS (SELECT t.cell, t.id AS vec_id, h.id AS held_id,
+             list_inner_product(t.vec, h.vec) / (t.nrm * h.nrm) AS sim
+           FROM sdt t JOIN sdh h ON t.cell = h.cell),
+         sde AS (SELECT cell, vec_id, held_id, sim, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY round(sim, 6) DESC, held_id) AS rn
+           FROM sdp WHERE round(sim, 6) >= 0.4)
+         SELECT vec_id, held_id, round(sim, 6) AS sim, cell
+         FROM sde WHERE rn = 1 ORDER BY vec_id""",
+    // the anisotropy audit re-derives the scaled fixture + per-dim
+    // variances and groups them under the identity layout
+    "q183_aniso_audit" -> s"""
+         WITH $anisoCtes
+         , absb AS (SELECT CAST(dim // 8 AS BIGINT) AS sub,
+             SUM(v) AS var_sum FROM avr GROUP BY 1),
+         abtot AS (SELECT SUM(v) AS t FROM avr)
+         SELECT sub, round(var_sum, 6) AS var_sum,
+           round(var_sum / t, 6) AS share
+         FROM absb CROSS JOIN abtot ORDER BY sub""",
+    // OPQ-lite: the WHOLE loop re-derived in SQL — variances → ranks →
+    // snake layout → static-init encode → Lloyd means (rounded at 6,
+    // the inlined-artifact contract) → encode-vs-refined MSE, for both
+    // layouts over the shared scaled fixture
+    "q184_opq_gain" -> s"""
+         WITH $anisoCtes
+         , opqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         ark AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1 AS r
+           FROM avr),
+         abmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM ark),
+         aimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         ${Seq(("ai", "aimap"), ("ab", "abmap")).map { case (px, mp) => s"""
+         ${px}sv AS (SELECT u.vec_id, m.sub,
+             list(u.vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM au u CROSS JOIN $mp m GROUP BY u.vec_id, m.sub),
+         ${px}k0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM ${px}sv s JOIN opqc p ON p.sub = s.sub),
+         ${px}cd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM ${px}k0) t WHERE rn = 1),
+         ${px}ref AS (SELECT cd.sub, cd.c, aposs.pos,
+             round(avg(cd.sv[aposs.pos + 1]), 6) AS cv
+           FROM ${px}cd cd CROSS JOIN aposs GROUP BY 1, 2, 3),
+         ${px}rc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM ${px}ref GROUP BY 1, 2),
+         ${px}k1 AS (SELECT s.vec_id, s.sub, s.sv, r.c,
+             list_inner_product(r.rvec, r.rvec)
+               - 2 * list_inner_product(s.sv, r.rvec) AS key
+           FROM ${px}sv s JOIN ${px}rc r ON r.sub = s.sub),
+         ${px}e AS (SELECT vec_id, sub,
+             list_inner_product(sv, sv) + key AS err FROM (
+             SELECT vec_id, sub, sv, key, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM ${px}k1) t WHERE rn = 1),
+         ${px}m AS (SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             round(avg(err), 6) AS mse FROM ${px}e GROUP BY 1)"""
+           }.mkString(",")}
+         SELECT 'identity' AS layout, sub, n_vecs, mse FROM aim
+         UNION ALL
+         SELECT 'balanced' AS layout, sub, n_vecs, mse FROM abm
+         ORDER BY layout, sub""",
     // the streaming ingest loop must land the identical full-rebuild
     // ledger — q162's oracle pins the whole family (q149/q160 pattern)
     "q179_stream_ledger" -> s"""

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * artifact writes — before the audited v3 read-back plan exists;
   * q172/q173 materialize the same maintained bundle for their cards;
   * q179 runs its whole micro-batch ingest loop at build time and the
-  * audited plan is the last bundle version's ledger scan),
+  * audited plan is the last bundle version's ledger scan; q183/q184
+  * collect their bounded training artifacts — 64 variances, two 1024-
+  * double codebooks — at build time, pqRefinedCodebook's discipline),
   * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose

@@ -2,11 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Value-level pins for the wave-13 queries (q172–q176) beyond the
+/** Value-level pins for the wave-13 queries (q172–q184) beyond the
   * DuckDB gate: maintained-vs-rebuilt report consistency, bloom-path
   * ≡ broadcast-path identity, the skew rehearsal's cap actually
-  * engaging AND matching the real capped generator, and the two-key
-  * funnel's roll-up identity.
+  * engaging AND matching the real capped generator, the two-key
+  * funnel's roll-up identity, the fuzzy/semantic decontamination
+  * split discipline, and the OPQ-lite gain theorem (balanced layout
+  * beats identity on the anisotropic rehearsal fixture).
   */
 class Wave13Spec extends SparkSpec {
 
@@ -132,6 +134,86 @@ class Wave13Spec extends SparkSpec {
       assert(kf >= 0.0 && kf <= 1.0, s"kept_frac $kf out of range")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
     }
+  }
+
+  test("q181 fuzzy decon: orientation, threshold, and the exact-leak relation") {
+    val rows = SparkEntry.queries("q181_fuzzy_decon")(spark, sf0001).collect()
+    def held(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString.startsWith("0")
+    rows.foreach { r =>
+      assert(!held(r.getLong(0)), s"flagged doc ${r.getLong(0)} is held-side")
+      assert(held(r.getLong(1)), s"witness ${r.getLong(1)} is not held-side")
+      assert(r.getDouble(2) >= 0.5, s"jac ${r.getDouble(2)} below threshold")
+    }
+    // one best witness per flagged doc; the planted near-dup families
+    // cross the held split, so a flag must actually fire
+    assert(rows.nonEmpty, "no fuzzy contamination found — the rule is vacuous")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate flagged doc rows")
+  }
+
+  test("q182 semantic decon: orientation, τ, and the cell discipline") {
+    val rows = SparkEntry.queries("q182_semantic_decon")(spark, sf0001).collect()
+    def held(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString.startsWith("0")
+    rows.foreach { r =>
+      assert(!held(r.getLong(0)), s"flagged vec ${r.getLong(0)} is held-side")
+      assert(held(r.getLong(1)), s"witness ${r.getLong(1)} is not held-side")
+      assert(r.getDouble(2) >= 0.4, s"sim ${r.getDouble(2)} below τ")
+    }
+    assert(rows.nonEmpty, "no semantic contamination found — the rule is vacuous")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate flagged vec rows")
+  }
+
+  test("q183 anisotropy audit: subspace 0 carries the energy, shares sum to 1") {
+    val rows = SparkEntry.queries("q183_aniso_audit")(spark, sf0001).collect()
+    assert(rows.length == 8)
+    val shares = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // dims 0-7 scaled 4x => sub 0 holds ~16/23 of the total variance
+    assert(shares(0L) > 0.5, s"sub-0 share ${shares(0L)} — fixture not anisotropic")
+    (1L to 7L).foreach(s => assert(shares(s) < shares(0L),
+      s"sub $s share ${shares(s)} >= sub-0 share"))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3,
+      "shares do not sum to 1")
+  }
+
+  test("q184 OPQ-lite: balanced layout beats identity; identity pays at sub 0") {
+    val rows = SparkEntry.queries("q184_opq_gain")(spark, sf0001).collect()
+    assert(rows.length == 16, s"expected 16 (layout, sub) rows, got ${rows.length}")
+    val id = rows.filter(_.getString(0) == "identity")
+    val bal = rows.filter(_.getString(0) == "balanced")
+    // same trained-row population on every row (layouts permute dims,
+    // never drop vectors)
+    assert(rows.map(_.getLong(2)).distinct.length == 1,
+      "n_vecs differs across (layout, sub) rows")
+    val idTotal = id.map(_.getDouble(3)).sum
+    val balTotal = bal.map(_.getDouble(3)).sum
+    assert(balTotal < idTotal,
+      s"balanced total MSE $balTotal not below identity $idTotal")
+    // under identity, the scaled dims all sit in subspace 0 — its
+    // distortion must dwarf every other subspace's
+    val idBySub = id.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (1L to 7L).foreach(s => assert(idBySub(0L) > idBySub(s),
+      s"identity sub-0 mse not the maximum (sub $s)"))
+  }
+
+  test("pqTrainIterationPerm under the identity layout == pqTrainIteration") {
+    import graft.ext.Similarity
+    val aniso = graft.queries.ExtQueries.anisoEmb(spark, sf0001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val viaPerm = Similarity.pqTrainIterationPerm(aniso, "vec_id", "vec",
+        0 until 64).collect()
+      .map(r => key(r) -> (r.getDouble(3), r.getLong(4))).toMap
+    val viaSlice = Similarity.pqTrainIteration(aniso, "vec_id", "vec")
+      .collect().map(r => key(r) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(viaPerm == viaSlice,
+      "identity-layout gather disagrees with the contiguous-slice trainer")
   }
 
   test("q176 two-key funnel rolls up to q169's per-source funnel") {
