@@ -36,4 +36,60 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
+
+  /** Misra–Gries heavy-hitter SKETCH over a stream of keys: at most
+    * `k` counters, mergeable (Agarwal et al., "Mergeable Summaries",
+    * PODS 2012), with the deterministic guarantee
+    * `true_count(x) − N/(k+1) ≤ estimate(x) ≤ true_count(x)` — so
+    * every key whose true share exceeds 1/(k+1) of the N-element
+    * stream is GUARANTEED to survive in the merged sketch, no matter
+    * how partitions are merged. The candidate set it emits is
+    * merge-order-DEPENDENT in its extras but merge-order-INDEPENDENT
+    * in that superset guarantee; consumers therefore always re-score
+    * candidates exactly (second pass) before reporting, which makes
+    * the final heavy-hitter set fully deterministic. This is the
+    * 100 TB shape of hot-key detection: the sketch is one map-side-
+    * combinable aggregate (k-bounded state per partition, k-bounded
+    * merge traffic), and the exact pass touches only ≤ k keys.
+    *
+    * reduce: hit → increment; miss with room → insert at 1; miss when
+    * full → decrement ALL counters by 1 and drop zeros (the classic
+    * MG step — amortized O(1): each decrement cancels an earlier
+    * increment). merge: sum counters, then subtract the (k+1)-th
+    * largest count from all and drop non-positives (the proof-
+    * preserving mergeable-summaries trim).
+    */
+  case class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(k > 0)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None =>
+          b.collect { case (t, c) if c > 1 => t -> (c - 1) }
+      }
+    override def merge(x: Map[String, Long],
+        y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // (k+1)-th largest count (0-based index k of the desc sort);
+        // subtracting it drops AT LEAST size-k entries, keeping ≤ k
+        val kth = sum.valuesIterator.toArray.sortBy(-_).apply(k)
+        sum.collect { case (t, c) if c > kth => t -> (c - kth) }
+      }
+    }
+    // sorted for a stable driver-side artifact; the downstream exact
+    // re-score is set-semantics anyway
+    override def finish(b: Map[String, Long]): Seq[String] =
+      b.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Seq[String]] =
+      Encoders.kryo[Seq[String]]
+  }
 }

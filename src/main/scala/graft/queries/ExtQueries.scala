@@ -485,29 +485,30 @@ object ExtQueries {
     */
   private def sourceQuantiles(docs: DataFrame,
       qs: Seq[(Double, String)],
-      keys: Seq[String] = Seq("source")): DataFrame = {
+      keys: Seq[String] = Seq("source"),
+      valueCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
-    val vc = docs.groupBy(keyCols :+ col("n_chars"): _*)
+    val vc = docs.groupBy(keyCols :+ col(valueCol): _*)
       .agg(count(lit(1)).as("cnt"))
     val bySrc = Window.partitionBy(keyCols: _*)
     val cum = vc
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(
-        bySrc.orderBy(col("n_chars"))
+        bySrc.orderBy(col(valueCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum(col("cnt")).over(bySrc))
     // per quantile: the value at rank floor(h) and ceil(h) over
-    // 0-based ranks; a (keys..., n_chars) row covers ranks
+    // 0-based ranks; a (keys..., value) row covers ranks
     // [cum_before, cum_before + cnt)
     val aggCols = qs.flatMap { case (p, nm) =>
       val h = (col("n") - 1).cast("double") * lit(p)
       val lo = floor(h); val hi = ceil(h)
       Seq(
         max(when(col("cum_before") <= lo &&
-          lo < col("cum_before") + col("cnt"), col("n_chars")))
+          lo < col("cum_before") + col("cnt"), col(valueCol)))
           .as(s"${nm}_lo"),
         max(when(col("cum_before") <= hi &&
-          hi < col("cum_before") + col("cnt"), col("n_chars")))
+          hi < col("cum_before") + col("cnt"), col(valueCol)))
           .as(s"${nm}_hi"))
     }
     val agg = cum.groupBy(keyCols: _*)
@@ -1420,13 +1421,22 @@ object ExtQueries {
     * band's boilerplate bucket holds ~n/2 docs, far over a cap of 100
     * at every fixture scale.
     */
+  /** The boilerplate-stamped corpus shared by the skew rehearsals:
+    * text replaced by [[boilerplateText]] where the doc_id's md5 head
+    * is 0–7 (half the corpus). q175 runs the banded-signature
+    * generator over it (hot minhash buckets); q186 runs the heavy-
+    * hitter sketch over its word-8-gram stream (each boilerplate gram
+    * lands in ~half the docs → a genuine >1 % hot key against a
+    * ~0.015 %-max background).
+    */
+  private[graft] def stampedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        lit(boilerplateText)).otherwise(col("text")).as("text"))
+
   private[graft] def skewedSig(s: SparkSession, d: String): DataFrame =
-    Dedup.bandedSignatures(
-      Tables.documents(s, d).select(col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string")), 1, 1)
-            .isin("0", "1", "2", "3", "4", "5", "6", "7"),
-          lit(boilerplateText)).otherwise(col("text")).as("text")),
-      "text", "doc_id", k = 8)
+    Dedup.bandedSignatures(stampedDocs(s, d), "text", "doc_id", k = 8)
 
   /** q178's deliberately skewed embedding table: vectors whose vec_id
     * md5 head is 0–7 (half the table) replaced by one constant
@@ -1440,6 +1450,92 @@ object ExtQueries {
           .isin("0", "1", "2", "3", "4", "5", "6", "7"),
         array_repeat(lit(1.0), 64))
         .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+
+  /** q180's span-excision pipeline, factored so q188's remedy-cost
+    * report can consume the same per-doc (n_tokens, n_removed,
+    * kept_frac, clean_fp) frame the gated query publishes. A train
+    * token is excised iff ANY sliding word-8-gram window covering it
+    * matches a held-split gram (Lee et al. 2022's remedy); the doc
+    * survives with its leaked windows cut. See q180's registration
+    * for the full scale notes.
+    */
+  private def spanExcision(s: SparkSession, d: String): DataFrame = {
+    drainStepCache()
+    val emptyFp = substring(md5(lit("")), 1, 16)
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+      TA.normWords(col("text")).as("w"))
+    val held = splitGrams(s, d).filter(col("hb") === "0")
+      .select(col("gh")).distinct()
+    // three consumers (leaked, kept, out); registered with the step
+    // cache so the next maintenance-class build drains it (the
+    // query's own action must still see the cached frame)
+    val train = graft.util.Persist(words.filter(col("hb") =!= "0"))
+    stepOnPersist(train)
+    // leaked window start positions (1-based): per-position gram
+    // hashes (the composed form of WordGramHashes — positions matter
+    // here, so the distinct fused expression doesn't apply)
+    val leaked = train.filter(size(col("w")) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - 7),
+          i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
+            1, 16))).as(Seq("i0", "gh")))
+      .join(broadcast(held), Seq("gh"))
+      .select(col("doc_id"), (col("i0") + 1).as("s"))
+    val removed = leaked
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7))
+        .as("pos")).distinct()
+    val kept = train
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        substring(md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")), 1, 16).as("clean_fp"))
+    train.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        when(col("n_tokens") === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_kept"), lit(0L)).cast("double")
+            / col("n_tokens"), 6)).as("kept_frac"),
+        coalesce(col("clean_fp"), emptyFp).as("clean_fp"))
+  }
+
+  /** q181's fuzzy-decontamination pipeline, factored so q188's
+    * remedy-cost report can consume the same flagged set: MinHash-LSH
+    * band candidates oriented across the held split + the exact
+    * 3-gram-Jaccard ≥ 0.5 confirm on 120-char prefixes, best held
+    * witness per flagged train doc. See q181's registration for the
+    * full scale notes.
+    */
+  private def fuzzyContamination(s: SparkSession, d: String): DataFrame = {
+    def held(c: Column) = substring(md5(c.cast("string")), 1, 1) === "0"
+    val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+      .select(col("a_id"), col("b_id"))
+      .filter(held(col("a_id")) =!= held(col("b_id")))
+      .select(
+        when(held(col("a_id")), col("b_id")).otherwise(col("a_id")).as("doc_id"),
+        when(held(col("a_id")), col("a_id")).otherwise(col("b_id")).as("held_id"))
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("jac"), 6).desc, col("held_id").asc)
+    cand
+      .join(pre.select(col("doc_id"), col("pre").as("t_pre")), Seq("doc_id"))
+      .join(pre.select(col("doc_id").as("held_id"), col("pre").as("h_pre")),
+        Seq("held_id"))
+      .withColumn("jac", Dedup.ngramJaccard(col("t_pre"), col("h_pre"), 3))
+      .filter(col("jac") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("held_id"), round(col("jac"), 6).as("jac"))
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup via content-hash group-by ----
@@ -4586,55 +4682,8 @@ object ExtQueries {
     //      8 rows per hit, the rebuild is q92's per-doc
     //      collect_list(struct(pos, tok)) — bounded by document
     //      length, never corpus-wide ----
-    "q180_decontaminate_spans" -> ((s, d) => {
-      drainStepCache()
-      val emptyFp = substring(md5(lit("")), 1, 16)
-      val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"),
-        substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
-        TA.normWords(col("text")).as("w"))
-      val held = splitGrams(s, d).filter(col("hb") === "0")
-        .select(col("gh")).distinct()
-      // three consumers (leaked, kept, out); registered with the step
-      // cache so the next maintenance-class build drains it (the
-      // query's own action must still see the cached frame)
-      val train = graft.util.Persist(words.filter(col("hb") =!= "0"))
-      stepOnPersist(train)
-      // leaked window start positions (1-based): per-position gram
-      // hashes (the composed form of WordGramHashes — positions matter
-      // here, so the distinct fused expression doesn't apply)
-      val leaked = train.filter(size(col("w")) >= 8)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("w")) - 7),
-            i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
-              1, 16))).as(Seq("i0", "gh")))
-        .join(broadcast(held), Seq("gh"))
-        .select(col("doc_id"), (col("i0") + 1).as("s"))
-      val removed = leaked
-        .select(col("doc_id"), explode(sequence(col("s"), col("s") + 7))
-          .as("pos")).distinct()
-      val kept = train
-        .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-        .join(removed, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          substring(md5(array_join(transform(
-            sort_array(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ")), 1, 16).as("clean_fp"))
-      val out = train.select(col("doc_id"),
-          size(col("w")).cast("long").as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-            .as("n_removed"),
-          when(col("n_tokens") === 0, lit(1.0))
-            .otherwise(round(coalesce(col("n_kept"), lit(0L)).cast("double")
-              / col("n_tokens"), 6)).as("kept_frac"),
-          coalesce(col("clean_fp"), emptyFp).as("clean_fp"))
-        .orderBy(col("doc_id"))
-      out
-    }),
+    "q180_decontaminate_spans" -> ((s, d) =>
+      spanExcision(s, d).orderBy(col("doc_id"))),
 
     // ---- STREAMING ledger maintenance: the release ledger's ingest
     //      loop, completing the family matrix (batch q162, incremental
@@ -4843,29 +4892,8 @@ object ExtQueries {
     //      Scale: candidate generation is the capped bucket join;
     //      the confirm join carries 120-char prefixes keyed by doc id;
     //      the held split never needs to broadcast ----
-    "q181_fuzzy_decon" -> ((s, d) => {
-      def held(c: Column) = substring(md5(c.cast("string")), 1, 1) === "0"
-      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
-        .select(col("a_id"), col("b_id"))
-        .filter(held(col("a_id")) =!= held(col("b_id")))
-        .select(
-          when(held(col("a_id")), col("b_id")).otherwise(col("a_id")).as("doc_id"),
-          when(held(col("a_id")), col("a_id")).otherwise(col("b_id")).as("held_id"))
-      val pre = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        .orderBy(round(col("jac"), 6).desc, col("held_id").asc)
-      cand
-        .join(pre.select(col("doc_id"), col("pre").as("t_pre")), Seq("doc_id"))
-        .join(pre.select(col("doc_id").as("held_id"), col("pre").as("h_pre")),
-          Seq("held_id"))
-        .withColumn("jac", Dedup.ngramJaccard(col("t_pre"), col("h_pre"), 3))
-        .filter(col("jac") >= 0.5)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("held_id"), round(col("jac"), 6).as("jac"))
-        .orderBy(col("doc_id"))
-    }),
+    "q181_fuzzy_decon" -> ((s, d) =>
+      fuzzyContamination(s, d).orderBy(col("doc_id"))),
 
     // ---- SEMANTIC decontamination: the embedding-space rung of the
     //      same family — a train vector is contaminated when a held
@@ -4931,6 +4959,249 @@ object ExtQueries {
         .orderBy(col("layout"), col("sub"))
     }),
 
+    // ---- DSIR data selection (Xie et al. 2023, "Data Selection for
+    //      Language Models via Importance Resampling" — the hashed
+    //      n-gram variant): score every candidate doc by how much its
+    //      hashed-BIGRAM profile looks like a TARGET domain (src0's
+    //      docs — the fixture's sources have genuinely distinct token
+    //      distributions) vs the raw pool, then keep the top quintile.
+    //      Features: word bigrams hashed into 128 buckets (md5-derived,
+    //      the family's determinism rule); per-bucket add-1-smoothed
+    //      log-likelihood ratio ln(p_target/p_raw), ROUNDED at 6 in
+    //      the 128-row table (the inlined-artifact contract — per-term
+    //      identical across engines, so the per-doc sums agree at the
+    //      output rounding); per-doc weight = Σ occurrences · llr;
+    //      selection cut = exact p80 of the weights (R-7, the q153
+    //      helper over the weight column — a CUTOFF, not a global
+    //      rank: corpus-proportional top-k would need a total order,
+    //      the quantile needs one distinct-value-counts aggregate).
+    //      Scale: the llr table is ≤128 rows (broadcast by
+    //      construction), the cut is a one-row scalar crossJoin
+    //      (q150's fenced pattern), everything else is doc_id/bucket-
+    //      keyed ----
+    "q185_dsir_selection" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), TA.normWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), size(col("w")) - 1),
+            i => pmod(conv(substring(md5(concat(
+              element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))),
+              1, 4), 16, 10).cast("long"), lit(128)))).as("b"))
+      val st = graft.util.Persist(occ.groupBy(col("b"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_n"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("r_n")))
+      stepOnPersist(st)
+      // totals via an unpartitioned window — st is ≤128 rows by
+      // construction, so the single-partition window is a no-op risk
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val llr = st
+        .withColumn("tt", sum(col("t_n")).over(wAll))
+        .withColumn("rt", sum(col("r_n")).over(wAll))
+        .select(col("b"), round(
+          log((col("t_n") + 1.0) / (col("tt") + 128.0)) -
+          log((col("r_n") + 1.0) / (col("rt") + 128.0)), 6).as("llr"))
+      val dw = occ.filter(col("source") =!= "src0")
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .join(broadcast(llr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(sum(col("n") * col("llr")), 6).as("log_w"))
+      val cut = sourceQuantiles(
+        dw.select(lit("all").as("source"), col("log_w")),
+        Seq(0.8 -> "cut"), valueCol = "log_w")
+        .select(col("cut"))
+      dw.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_bigrams"), col("log_w"),
+          when(col("log_w") >= col("cut"), 1).otherwise(0)
+            .cast("int").as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- heavy-hitter detection, sketch-first: the 100 TB shape of
+    //      "find the hot keys" (the decision input for the skew caps
+    //      and salting the SCALE_LADDER documents). Domain: word-8-
+    //      gram hashes over the boilerplate-STAMPED corpus (q175's
+    //      rehearsal fixture) — each boilerplate gram lands in ~half
+    //      the docs (~1.4 % of the gram stream) against a ~0.015 %-max
+    //      organic background and a ~23 k-key universe, so the k=128
+    //      Misra–Gries sketch ACTUALLY evicts (unlike the 31-token
+    //      word vocab, where any reasonable k would just hold the
+    //      dictionary). Two-pass discipline: the mergeable MG sketch
+    //      (etl.Aggregators.MisraGries — guarantee: every key with
+    //      share > 1/129 survives any merge order) emits ≤128
+    //      candidates; an exact second pass re-scores ONLY those keys
+    //      and keeps share ≥ 1 % — so the output equals the exact
+    //      heavy-hitter set deterministically while no corpus-wide
+    //      exact count ever shuffles more than 128 keys. Driver
+    //      artifacts: the candidate list (≤128 strings) and the
+    //      stream length (one long) — the bounded-collect fence ----
+    "q186_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      drainStepCache()
+      // three consumers (sketch, stream length, exact re-score) of the
+      // exploded gram stream; cached for the query's own actions and
+      // registered so the next maintenance-class build drains it
+      val grams = graft.util.Persist(stampedDocs(s, d)
+        .select(col("doc_id"), TA.normWords(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 7),
+          i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
+            1, 16))).as("gh")))
+      stepOnPersist(grams)
+      val sketch = grams.select(col("gh")).as[String]
+        .select(graft.etl.Aggregators.MisraGries(128).toColumn)
+        .collect()(0)
+      val n = grams.count()
+      grams.filter(col("gh").isin(sketch: _*))
+        .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 100 >= lit(n))
+        .select(col("gh"), col("cnt"),
+          round(col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
+        .orderBy(col("gh"))
+    }),
+
+    // ---- histogram quantile SKETCH vs exact: the mergeable rung of
+    //      the quantile family (q153's exact R-7 ladder). Per source:
+    //      a 256-equal-width-bin histogram of n_chars (bin ids in
+    //      INTEGER arithmetic — ((x−lo)·256) div (hi−lo), exact in
+    //      both engines), the p50/p95 estimated by uniform-within-bin
+    //      interpolation at the R-7 rank, and the exact quantiles next
+    //      to them with the absolute error. The sketch is two map-
+    //      side-combinable aggregates (min/max pass + bin-count pass,
+    //      256 longs per source) where the exact ladder needs the
+    //      per-(source, value) distinct-counts shuffle — the trade a
+    //      100 TB monitoring wall actually makes; the error bound
+    //      (≤ 2 bin widths, Wave14Spec) is what makes the cheap path
+    //      trustworthy ----
+    "q187_hist_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val ext = docs.groupBy(col("source"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          count(lit(1)).as("n"))
+      val binned = docs.join(broadcast(ext), Seq("source"))
+        .select(col("source"), col("lo"), col("hi"), col("n"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(expr("((n_chars - lo) * 256) div (hi - lo)"),
+              lit(255L))).as("bin"))
+        .groupBy(col("source"), col("lo"), col("hi"), col("n"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = binned.withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(bySrc.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // the (bin, cum_before, cnt) cell holding the 0-based rank r —
+      // exactly one bin matches, so max() just extracts it
+      def rankCell(r: Column) =
+        max(when(col("cum_before") <= r && r < col("cum_before") + col("cnt"),
+          struct(col("bin"), col("cum_before"), col("cnt"))))
+      // R-7 over the two within-bin order-statistic estimates, as ONE
+      // exact-integer rational lo + num/den: the quantile p = pn/pd
+      // gives rank h = (n-1)*pn/pd entirely in integer space (floor
+      // rank div, ceil rank div-with-carry, fraction pmod/pd); the
+      // estimate at rank r in cell (bin, cum, cnt) is
+      // lo + (hi-lo)*(2*bin*cnt + 2*(r-cum) + 1)/(512*cnt)
+      // (uniform-within-bin, mid-offset), and the m/pd convex
+      // combination folds into the numerator. ONE double division +
+      // one addition per estimate — no multi-term float expression an
+      // FMA-capable engine can re-round differently (the round-at-6
+      // family rule can't help here: the dyadic bin math lands
+      // EXACTLY on decimal .5 boundaries). Integer range:
+      // num <= (hi-lo)*pd*1024*cnt^2 — exact in BIGINT/LongType at
+      // every fixture scale; a corpus deployment would widen to
+      // DECIMAL
+      def estExpr(pn: Int, pd: Int, f: String, c: String) = {
+        val m = expr(s"pmod((hn - 1) * $pn, $pd)")
+        val rF = expr(s"((hn - 1) * $pn) div $pd")
+        val rC = expr(s"((hn - 1) * $pn + ${pd - 1}) div $pd")
+        def k(x: String, r: Column) =
+          lit(2) * col(s"$x.bin") * col(s"$x.cnt") +
+            lit(2) * (r - col(s"$x.cum_before")) + lit(1)
+        val num = (col("hi") - col("lo")) *
+          ((lit(pd) - m) * k(f, rF) * col(s"$c.cnt") +
+            m * k(c, rC) * col(s"$f.cnt"))
+        val den = lit(512L) * col(s"$f.cnt") * col(s"$c.cnt") * lit(pd)
+        floor((col("lo") + num.cast("double") / den.cast("double")) * 1e6) / 1e6
+      }
+      val hist = cum.groupBy(col("source"))
+        .agg(max(col("n")).as("hn"), max(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          rankCell(expr("(n - 1) div 2")).as("c50f"),
+          rankCell(expr("(n - 1 + 1) div 2")).as("c50c"),
+          rankCell(expr("((n - 1) * 19) div 20")).as("c95f"),
+          rankCell(expr("((n - 1) * 19 + 19) div 20")).as("c95c"))
+        .select(col("source"),
+          estExpr(1, 2, "c50f", "c50c").as("p50_hist"),
+          estExpr(19, 20, "c95f", "c95c").as("p95_hist"))
+      val exact = sourceQuantiles(docs,
+        Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"))
+      exact.join(hist, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          col("p50_exact"), col("p50_hist"),
+          (floor(abs(col("p50_exact") - col("p50_hist")) * 1e6) / 1e6)
+            .as("p50_err"),
+          col("p95_exact"), col("p95_hist"),
+          (floor(abs(col("p95_exact") - col("p95_hist")) * 1e6) / 1e6)
+            .as("p95_err"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- decontamination REMEDY-COST report: the decision table the
+    //      decon family feeds a release manager — for each remedy,
+    //      what it costs the corpus. exact_drop (q59's verdict: any
+    //      shared held 8-gram kills the doc), span_excise (q180: only
+    //      the leaked windows are cut; docs_affected is IDENTICAL to
+    //      exact_drop by construction — same detector, different
+    //      remedy — and tokens_removed is a fraction of it), and
+    //      fuzzy_drop (q181's paraphrase verdict). Three bounded rows
+    //      composed from the already-gated pipelines; the token
+    //      denominators are one aggregate over the train split ----
+    "q188_decon_cost" -> ((s, d) => {
+      // spanExcision drains the step cache at entry — build it FIRST
+      // so this query's own registered frames survive its drain
+      val span = spanExcision(s, d)
+      val trainToks = Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+        .select(col("doc_id"), size(TA.normWords(col("text")))
+          .cast("long").as("n_tokens"))
+      val total = graft.util.Persist(
+        trainToks.agg(sum(col("n_tokens")).as("t")))
+      stepOnPersist(total)
+      def row(method: String, flagged: DataFrame, dropped: DataFrame,
+          removed: Column) =
+        flagged.agg(count(lit(1)).as("docs_affected")).crossJoin(
+            dropped.agg(count(lit(1)).as("docs_dropped"))).crossJoin(
+            flagged.agg(coalesce(removed, lit(0L)).as("tokens_removed")))
+          .crossJoin(total)
+          .select(lit(method).as("method"), col("docs_affected"),
+            col("docs_dropped"), col("tokens_removed"),
+            round(col("tokens_removed").cast("double") / col("t"), 6)
+              .as("tokens_frac"))
+      // q59's verdict chain inlined (shared splitGrams, same split):
+      // flagged = train docs sharing ANY distinct 8-gram with held
+      val grams59 = splitGrams(s, d)
+      val held59 = grams59.filter(col("hb") === "0")
+        .select(col("gh")).distinct()
+      val exactFlag = grams59.filter(col("hb") =!= "0")
+        .join(broadcast(held59), Seq("gh"))
+        .select(col("doc_id")).distinct()
+        .join(trainToks, Seq("doc_id"))
+      val spanFlag = span.filter(col("n_removed") > 0)
+      val fuzzyFlag = fuzzyContamination(s, d)
+        .select(col("doc_id")).join(trainToks, Seq("doc_id"))
+      row("exact_drop", exactFlag, exactFlag, sum(col("n_tokens")))
+        .unionByName(row("fuzzy_drop", fuzzyFlag, fuzzyFlag,
+          sum(col("n_tokens"))))
+        .unionByName(row("span_excise", spanFlag,
+          spanFlag.filter(col("n_removed") === col("n_tokens")),
+          sum(col("n_removed"))))
+        .orderBy(col("method"))
+    }),
+
     "q160_stream_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
@@ -4981,11 +5252,16 @@ object ExtQueries {
     * md5 (column `hx`) as an int, mod 100 (Spark's
     * `conv(substring(md5(x),1,4),16,10) % 100`).
     */
-  private def duckBucket(hx: String): String =
+  private def duckBucket(hx: String): String = duckBucketMod(hx, 100)
+
+  /** [[duckBucket]] with an explicit modulus (q185 hashes bigram
+    * features into 128 buckets with the same first-4-hex-chars rule).
+    */
+  private def duckBucketMod(hx: String, m: Int): String =
     s"""((strpos('0123456789abcdef', substr($hx, 1, 1)) - 1) * 4096
        + (strpos('0123456789abcdef', substr($hx, 2, 1)) - 1) * 256
        + (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16
-       + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1)) % 100"""
+       + (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1)) % $m"""
       .replaceAll("\n\\s*", " ")
 
   /** DuckDB mirror of [[TA.normWords]]. */
@@ -7627,6 +7903,179 @@ object ExtQueries {
          UNION ALL
          SELECT 'balanced' AS layout, sub, n_vecs, mse FROM abm
          ORDER BY layout, sub""",
+    // DSIR: bigram-occurrence buckets -> smoothed per-bucket llr
+    // (rounded at 6, the inlined-artifact contract) -> per-doc sums ->
+    // exact p80 cut (quantile_cont == the R-7 helper, q153's parity)
+    "q185_dsir_selection" -> s"""
+         WITH dsw AS (SELECT doc_id, source, $duckNormWords AS words
+           FROM documents),
+         dsp AS (SELECT doc_id, source, words,
+             unnest(generate_series(1, len(words) - 1)) AS i
+           FROM dsw WHERE len(words) >= 2),
+         dso AS (SELECT doc_id, source,
+             ${duckBucketMod("md5(words[i] || ' ' || words[i+1])", 128)} AS b
+           FROM dsp),
+         dst AS (SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_n,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r_n
+           FROM dso GROUP BY b),
+         dsl AS (SELECT b, round(
+             ln((t_n + 1.0) / ((SUM(t_n) OVER ()) + 128.0))
+             - ln((r_n + 1.0) / ((SUM(r_n) OVER ()) + 128.0)), 6) AS llr
+           FROM dst),
+         dsd AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(SUM(l.llr), 6) AS log_w
+           FROM dso o JOIN dsl l USING (b)
+           WHERE o.source <> 'src0' GROUP BY o.doc_id),
+         dsc AS (SELECT round(quantile_cont(log_w, 0.8), 6) AS cut FROM dsd)
+         SELECT doc_id, n_bigrams, log_w,
+           CAST(CASE WHEN log_w >= cut THEN 1 ELSE 0 END AS INT) AS selected
+         FROM dsd CROSS JOIN dsc ORDER BY doc_id""",
+    // heavy hitters: the oracle is the EXACT set (share >= 1%) over the
+    // stamped corpus's positional gram stream — the sketch's guarantee
+    // + exact re-score must land exactly this, any merge order
+    "q186_heavy_hitters" -> s"""
+         WITH hhd AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN '$boilerplateText' ELSE text END AS text
+           FROM documents),
+         hhw AS (SELECT doc_id,
+             ${duckNormWords} AS words FROM hhd),
+         hhp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM hhw WHERE len(words) >= 8),
+         hhg AS (SELECT
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM hhp),
+         hht AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hhg),
+         hhc AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM hhg GROUP BY gh)
+         SELECT gh, cnt, round(cnt * 1.0 / n, 6) AS share
+         FROM hhc CROSS JOIN hht WHERE cnt * 100 >= n ORDER BY gh""",
+    // histogram sketch: integer-exact bin ids, uniform-within-bin
+    // estimate at the R-7 rank, exact quantiles via quantile_cont
+    "q187_hist_quantiles" -> s"""
+         WITH hqe AS (SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+         hqb AS (SELECT d.source, e.lo, e.hi, e.n,
+             CASE WHEN e.hi = e.lo THEN 0
+               ELSE least(((d.n_chars - e.lo) * 256) // (e.hi - e.lo), 255)
+             END AS bin
+           FROM documents d JOIN hqe e USING (source)),
+         hqc AS (SELECT source, lo, hi, n, bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM hqb GROUP BY source, lo, hi, n, bin),
+         hqm AS (SELECT source, lo, hi, n, bin, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM hqc),
+         hqh AS (SELECT source, MAX(n) AS hn, MAX(lo) AS lo, MAX(hi) AS hi,
+             ${Seq(
+               ("50f", "(n - 1) // 2"), ("50c", "(n - 1 + 1) // 2"),
+               ("95f", "((n - 1) * 19) // 20"),
+               ("95c", "((n - 1) * 19 + 19) // 20")).map { case (t, r) =>
+                 s"""MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN bin END) AS b$t,
+                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN cum_before END) AS m$t,
+                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN cnt END) AS c$t"""
+               }.mkString(",")}
+           FROM hqm GROUP BY source),
+         hqi AS (SELECT source,
+             ${Seq(("50", 1, 2), ("95", 19, 20)).map { case (t, pn, pd) =>
+               val rF = s"(((hn - 1) * $pn) // $pd)"
+               val rC = s"(((hn - 1) * $pn + ${pd - 1}) // $pd)"
+               val m = s"(((hn - 1) * $pn) % $pd)"
+               val kF = s"(2 * b${t}f * c${t}f + 2 * ($rF - m${t}f) + 1)"
+               val kC = s"(2 * b${t}c * c${t}c + 2 * ($rC - m${t}c) + 1)"
+               s"""floor((lo + CAST((hi - lo) * (($pd - $m) * $kF * c${t}c
+                  + $m * $kC * c${t}f) AS DOUBLE)
+                  / CAST(512 * c${t}f * c${t}c * $pd AS DOUBLE))
+                  * 1000000) / 1000000 AS p${t}_hist"""
+             }.mkString(",")}
+           FROM hqh),
+         hqx AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(quantile_cont(n_chars, 0.50), 6) AS p50_exact,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95_exact
+           FROM documents GROUP BY source)
+         SELECT x.source, x.n_docs, x.p50_exact, h.p50_hist,
+           floor(abs(x.p50_exact - h.p50_hist) * 1000000) / 1000000
+             AS p50_err,
+           x.p95_exact, h.p95_hist,
+           floor(abs(x.p95_exact - h.p95_hist) * 1000000) / 1000000
+             AS p95_err
+         FROM hqx x JOIN hqi h USING (source) ORDER BY x.source""",
+    // remedy-cost: exact-drop / span-excise / fuzzy-drop composed from
+    // the q59 / q180 / q181 oracle chains over one train-token spine
+    "q188_decon_cost" -> (s"""
+         WITH dcw AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         dct AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens
+           FROM dcw WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         dctot AS (SELECT SUM(n_tokens) AS t FROM dct),
+         dcgp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM dcw WHERE len(words) >= 8),
+         dcg AS (SELECT doc_id, i,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM dcgp),
+         dcheld AS (SELECT DISTINCT gh FROM dcg
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         dclk AS (SELECT g.doc_id, g.i AS s FROM dcg g JOIN dcheld USING (gh)
+           WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <> '0'),
+         dcex AS (SELECT DISTINCT doc_id FROM dclk),
+         dcrm AS (SELECT DISTINCT doc_id, pos FROM
+           (SELECT doc_id, unnest(generate_series(s, s + 7)) AS pos
+            FROM dclk)),
+         dcsp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+           FROM dcrm GROUP BY doc_id),""" + """
+         dcfgp AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+           unnest(generate_series(1, greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         dcfg AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM dcfgp GROUP BY 1),""" + s"""
+         $bandedSigSql,
+         dcfc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dcfo AS (SELECT
+             CASE WHEN substr(md5(CAST(a_id AS VARCHAR)), 1, 1) = '0'
+               THEN b_id ELSE a_id END AS doc_id,
+             CASE WHEN substr(md5(CAST(a_id AS VARCHAR)), 1, 1) = '0'
+               THEN a_id ELSE b_id END AS held_id
+           FROM dcfc
+           WHERE (substr(md5(CAST(a_id AS VARCHAR)), 1, 1) = '0')
+             <> (substr(md5(CAST(b_id AS VARCHAR)), 1, 1) = '0')),
+         dcfz AS (SELECT DISTINCT o.doc_id
+           FROM dcfo o JOIN dcfg gt ON o.doc_id = gt.doc_id
+             JOIN dcfg gh2 ON o.held_id = gh2.doc_id
+           WHERE CAST(len(list_intersect(gt.grams, gh2.grams)) AS DOUBLE) /
+             CAST(len(gt.grams) + len(gh2.grams)
+               - len(list_intersect(gt.grams, gh2.grams)) AS DOUBLE) >= 0.5),
+         dcrow1 AS (SELECT 'exact_drop' AS method,
+             CAST(COUNT(*) AS BIGINT) AS docs_affected,
+             CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+             CAST(COALESCE(SUM(t.n_tokens), 0) AS BIGINT) AS tokens_removed
+           FROM dcex e JOIN dct t USING (doc_id)),
+         dcrow2 AS (SELECT 'fuzzy_drop' AS method,
+             CAST(COUNT(*) AS BIGINT) AS docs_affected,
+             CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+             CAST(COALESCE(SUM(t.n_tokens), 0) AS BIGINT) AS tokens_removed
+           FROM dcfz f JOIN dct t USING (doc_id)),
+         dcrow3 AS (SELECT 'span_excise' AS method,
+             CAST(COUNT(*) AS BIGINT) AS docs_affected,
+             CAST(SUM(CASE WHEN s.n_removed = t.n_tokens THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_dropped,
+             CAST(COALESCE(SUM(s.n_removed), 0) AS BIGINT) AS tokens_removed
+           FROM dcsp s JOIN dct t USING (doc_id) WHERE s.n_removed > 0)
+         SELECT method, docs_affected, docs_dropped, tokens_removed,
+           round(tokens_removed * 1.0 / t, 6) AS tokens_frac
+         FROM (SELECT * FROM dcrow1 UNION ALL SELECT * FROM dcrow2
+           UNION ALL SELECT * FROM dcrow3) CROSS JOIN dctot
+         ORDER BY method"""),
     // the streaming ingest loop must land the identical full-rebuild
     // ledger — q162's oracle pins the whole family (q149/q160 pattern)
     "q179_stream_ledger" -> s"""

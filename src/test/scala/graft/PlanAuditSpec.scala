@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * q179 runs its whole micro-batch ingest loop at build time and the
   * audited plan is the last bundle version's ledger scan; q183/q184
   * collect their bounded training artifacts — 64 variances, two 1024-
-  * double codebooks — at build time, pqRefinedCodebook's discipline),
+  * double codebooks — at build time, pqRefinedCodebook's discipline;
+  * q186 runs its Misra-Gries sketch pass and stream-length count at
+  * build time — two bounded driver artifacts, ≤128 strings + one
+  * long — before the audited exact re-score plan exists),
   * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose
