@@ -60,7 +60,7 @@ object Aggregators {
     * preserving mergeable-summaries trim).
     */
   case class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(k > 0)
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
@@ -83,13 +83,13 @@ object Aggregators {
         sum.collect { case (t, c) if c > kth => t -> (c - kth) }
       }
     }
-    // sorted for a stable driver-side artifact; the downstream exact
-    // re-score is set-semantics anyway
-    override def finish(b: Map[String, Long]): Seq[String] =
-      b.keys.toSeq.sorted
+    // the counter map itself: consumers keep the keys as candidates
+    // (q186) or persist the (key, estimate) rows as a sketch artifact
+    // another sketch can merge with (q190's per-batch versions)
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
     override def bufferEncoder: Encoder[Map[String, Long]] =
       Encoders.kryo[Map[String, Long]]
-    override def outputEncoder: Encoder[Seq[String]] =
-      Encoders.kryo[Seq[String]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
   }
 }

@@ -1438,6 +1438,18 @@ object ExtQueries {
   private[graft] def skewedSig(s: SparkSession, d: String): DataFrame =
     Dedup.bandedSignatures(stampedDocs(s, d), "text", "doc_id", k = 8)
 
+  /** The positional word-8-gram hash stream over a (doc_id, text)
+    * frame — q59's gh space, occurrence-level (NOT per-doc distinct:
+    * the heavy-hitter queries count the stream). Shared by q186's
+    * batch sketch and q190's per-batch streaming sketches.
+    */
+  private def gramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TA.normWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 7),
+        i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
+          1, 16))).as("gh"))
+
   /** q178's deliberately skewed embedding table: vectors whose vec_id
     * md5 head is 0–7 (half the table) replaced by one constant
     * all-ones direction — the embedding-collapse degenerate shape
@@ -1505,6 +1517,95 @@ object ExtQueries {
           .otherwise(round(coalesce(col("n_kept"), lit(0L)).cast("double")
             / col("n_tokens"), 6)).as("kept_frac"),
         coalesce(col("clean_fp"), emptyFp).as("clean_fp"))
+  }
+
+  /** Per-(source, bin) 256-equal-width-bin histogram counts of
+    * n_chars under the boundary table `bounds` (source, lo, hi) —
+    * bin ids in INTEGER arithmetic (((x−lo)·256) div (hi−lo), exact
+    * in both engines), CLAMPED into [0, 255] so values outside the
+    * boundary slice's range (q189's release-fixed boundaries) land in
+    * the end bins; when the boundaries come from the same rows (q187)
+    * the clamp is a no-op. The sketch is mergeable by construction:
+    * counts are plain sums, and the per-source total is recoverable
+    * from the sketch itself (every doc lands in exactly one bin) —
+    * two map-side-combinable aggregates where the exact ladder needs
+    * the per-(source, value) distinct-counts shuffle.
+    */
+  private[graft] def histBinCounts(docs: DataFrame, bounds: DataFrame): DataFrame =
+    docs.join(broadcast(bounds), Seq("source"))
+      .select(col("source"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(greatest(
+            least(expr("((n_chars - lo) * 256) div (hi - lo)"), lit(255L)),
+            lit(0L))).as("bin"))
+      .groupBy(col("source"), col("lo"), col("hi"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The histogram-sketch quantile report shared by q187/q189:
+    * p50/p95 estimated from the merged bin counts (uniform-within-bin
+    * at the R-7 rank) next to the EXACT quantiles over `docs`, with
+    * absolute errors. Each estimate is computed as ONE exact-integer
+    * rational lo + num/den — the quantile p = pn/pd gives rank
+    * h = (n-1)*pn/pd entirely in integer space (floor rank div, ceil
+    * rank div-with-carry, fraction pmod/pd); the estimate at rank r
+    * in cell (bin, cum, cnt) is lo + (hi-lo)*(2*bin*cnt + 2*(r-cum)
+    * + 1)/(512*cnt), and the m/pd convex combination folds into the
+    * numerator. ONE double division + one addition per estimate — no
+    * multi-term float expression an FMA-capable engine can re-round
+    * differently (the round-at-6 family rule can't help here: the
+    * dyadic bin math lands EXACTLY on decimal .5 boundaries, where
+    * the engines' round-half rules diverge; floor at 1e-6 of
+    * identical doubles is identical). Integer range: num <=
+    * (hi-lo)*pd*1024*cnt^2 — exact in BIGINT/LongType at every
+    * fixture scale; a corpus deployment would widen to DECIMAL.
+    */
+  private[graft] def histReport(docs: DataFrame, binCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = binCounts
+      .withColumn("n", sum(col("cnt")).over(bySrc))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(bySrc.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the (bin, cum_before, cnt) cell holding the 0-based rank r —
+    // exactly one bin matches, so max() just extracts it
+    def rankCell(r: Column) =
+      max(when(col("cum_before") <= r && r < col("cum_before") + col("cnt"),
+        struct(col("bin"), col("cum_before"), col("cnt"))))
+    def estExpr(pn: Int, pd: Int, f: String, c: String) = {
+      val m = expr(s"pmod((hn - 1) * $pn, $pd)")
+      val rF = expr(s"((hn - 1) * $pn) div $pd")
+      val rC = expr(s"((hn - 1) * $pn + ${pd - 1}) div $pd")
+      def k(x: String, r: Column) =
+        lit(2) * col(s"$x.bin") * col(s"$x.cnt") +
+          lit(2) * (r - col(s"$x.cum_before")) + lit(1)
+      val num = (col("hi") - col("lo")) *
+        ((lit(pd) - m) * k(f, rF) * col(s"$c.cnt") +
+          m * k(c, rC) * col(s"$f.cnt"))
+      val den = lit(512L) * col(s"$f.cnt") * col(s"$c.cnt") * lit(pd)
+      floor((col("lo") + num.cast("double") / den.cast("double")) * 1e6) / 1e6
+    }
+    val hist = cum.groupBy(col("source"))
+      .agg(max(col("n")).as("hn"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        rankCell(expr("(n - 1) div 2")).as("c50f"),
+        rankCell(expr("(n - 1 + 1) div 2")).as("c50c"),
+        rankCell(expr("((n - 1) * 19) div 20")).as("c95f"),
+        rankCell(expr("((n - 1) * 19 + 19) div 20")).as("c95c"))
+      .select(col("source"),
+        estExpr(1, 2, "c50f", "c50c").as("p50_hist"),
+        estExpr(19, 20, "c95f", "c95c").as("p95_hist"))
+    val exact = sourceQuantiles(docs,
+      Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"))
+    exact.join(hist, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        col("p50_exact"), col("p50_hist"),
+        (floor(abs(col("p50_exact") - col("p50_hist")) * 1e6) / 1e6)
+          .as("p50_err"),
+        col("p95_exact"), col("p95_hist"),
+        (floor(abs(col("p95_exact") - col("p95_hist")) * 1e6) / 1e6)
+          .as("p95_err"))
+      .orderBy(col("source"))
   }
 
   /** q181's fuzzy-decontamination pipeline, factored so q188's
@@ -5045,16 +5146,11 @@ object ExtQueries {
       // three consumers (sketch, stream length, exact re-score) of the
       // exploded gram stream; cached for the query's own actions and
       // registered so the next maintenance-class build drains it
-      val grams = graft.util.Persist(stampedDocs(s, d)
-        .select(col("doc_id"), TA.normWords(col("text")).as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 7),
-          i => substring(md5(array_join(slice(col("w"), i, lit(8)), " ")),
-            1, 16))).as("gh")))
+      val grams = graft.util.Persist(gramStream(stampedDocs(s, d)))
       stepOnPersist(grams)
       val sketch = grams.select(col("gh")).as[String]
         .select(graft.etl.Aggregators.MisraGries(128).toColumn)
-        .collect()(0)
+        .collect()(0).keys.toSeq.sorted
       val n = grams.count()
       grams.filter(col("gh").isin(sketch: _*))
         .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
@@ -5078,76 +5174,10 @@ object ExtQueries {
     //      (≤ 2 bin widths, Wave14Spec) is what makes the cheap path
     //      trustworthy ----
     "q187_hist_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val ext = docs.groupBy(col("source"))
-        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
-          count(lit(1)).as("n"))
-      val binned = docs.join(broadcast(ext), Seq("source"))
-        .select(col("source"), col("lo"), col("hi"), col("n"),
-          when(col("hi") === col("lo"), lit(0L))
-            .otherwise(least(expr("((n_chars - lo) * 256) div (hi - lo)"),
-              lit(255L))).as("bin"))
-        .groupBy(col("source"), col("lo"), col("hi"), col("n"), col("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      val bySrc = Window.partitionBy(col("source"))
-      val cum = binned.withColumn("cum_before",
-        coalesce(sum(col("cnt")).over(bySrc.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // the (bin, cum_before, cnt) cell holding the 0-based rank r —
-      // exactly one bin matches, so max() just extracts it
-      def rankCell(r: Column) =
-        max(when(col("cum_before") <= r && r < col("cum_before") + col("cnt"),
-          struct(col("bin"), col("cum_before"), col("cnt"))))
-      // R-7 over the two within-bin order-statistic estimates, as ONE
-      // exact-integer rational lo + num/den: the quantile p = pn/pd
-      // gives rank h = (n-1)*pn/pd entirely in integer space (floor
-      // rank div, ceil rank div-with-carry, fraction pmod/pd); the
-      // estimate at rank r in cell (bin, cum, cnt) is
-      // lo + (hi-lo)*(2*bin*cnt + 2*(r-cum) + 1)/(512*cnt)
-      // (uniform-within-bin, mid-offset), and the m/pd convex
-      // combination folds into the numerator. ONE double division +
-      // one addition per estimate — no multi-term float expression an
-      // FMA-capable engine can re-round differently (the round-at-6
-      // family rule can't help here: the dyadic bin math lands
-      // EXACTLY on decimal .5 boundaries). Integer range:
-      // num <= (hi-lo)*pd*1024*cnt^2 — exact in BIGINT/LongType at
-      // every fixture scale; a corpus deployment would widen to
-      // DECIMAL
-      def estExpr(pn: Int, pd: Int, f: String, c: String) = {
-        val m = expr(s"pmod((hn - 1) * $pn, $pd)")
-        val rF = expr(s"((hn - 1) * $pn) div $pd")
-        val rC = expr(s"((hn - 1) * $pn + ${pd - 1}) div $pd")
-        def k(x: String, r: Column) =
-          lit(2) * col(s"$x.bin") * col(s"$x.cnt") +
-            lit(2) * (r - col(s"$x.cum_before")) + lit(1)
-        val num = (col("hi") - col("lo")) *
-          ((lit(pd) - m) * k(f, rF) * col(s"$c.cnt") +
-            m * k(c, rC) * col(s"$f.cnt"))
-        val den = lit(512L) * col(s"$f.cnt") * col(s"$c.cnt") * lit(pd)
-        floor((col("lo") + num.cast("double") / den.cast("double")) * 1e6) / 1e6
-      }
-      val hist = cum.groupBy(col("source"))
-        .agg(max(col("n")).as("hn"), max(col("lo")).as("lo"),
-          max(col("hi")).as("hi"),
-          rankCell(expr("(n - 1) div 2")).as("c50f"),
-          rankCell(expr("(n - 1 + 1) div 2")).as("c50c"),
-          rankCell(expr("((n - 1) * 19) div 20")).as("c95f"),
-          rankCell(expr("((n - 1) * 19 + 19) div 20")).as("c95c"))
-        .select(col("source"),
-          estExpr(1, 2, "c50f", "c50c").as("p50_hist"),
-          estExpr(19, 20, "c95f", "c95c").as("p95_hist"))
-      val exact = sourceQuantiles(docs,
-        Seq(0.5 -> "p50_exact", 0.95 -> "p95_exact"))
-      exact.join(hist, Seq("source"))
-        .select(col("source"), col("n_docs"),
-          col("p50_exact"), col("p50_hist"),
-          (floor(abs(col("p50_exact") - col("p50_hist")) * 1e6) / 1e6)
-            .as("p50_err"),
-          col("p95_exact"), col("p95_hist"),
-          (floor(abs(col("p95_exact") - col("p95_hist")) * 1e6) / 1e6)
-            .as("p95_err"))
-        .orderBy(col("source"))
+      val bounds = docs.groupBy(col("source"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      histReport(docs, histBinCounts(docs, bounds))
     }),
 
     // ---- decontamination REMEDY-COST report: the decision table the
@@ -5200,6 +5230,216 @@ object ExtQueries {
           spanFlag.filter(col("n_removed") === col("n_tokens")),
           sum(col("n_removed"))))
         .orderBy(col("method"))
+    }),
+
+    // ---- STREAMING histogram maintenance: the q187 sketch kept
+    //      current incrementally, the monitoring wall's ingest shape.
+    //      Boundaries are RELEASE-FIXED from the base slice (part of
+    //      the persisted sketch artifact — a streaming sketch cannot
+    //      know the global min/max, so delta values clamp into the end
+    //      bins; q187's clamp rule, now load-bearing); the base bin
+    //      counts batch-build once as a parquet artifact; delta docs
+    //      arrive as a 2-micro-batch file stream and each batch
+    //      appends its OWN (source, bin, cnt) rows through the
+    //      idempotent batch_id-partitioned K2 sink — the sketch is
+    //      mergeable BY CONSTRUCTION (counts are sums), so maintenance
+    //      costs |batch| binning work, never a corpus rescan. The
+    //      final report re-derives p50/p95 from the merged counts next
+    //      to the exact full-corpus quantiles — same discipline as
+    //      every incremental family: the stream must land the exact
+    //      report a full rebuild under the same boundaries lands ----
+    "q189_stream_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val baseDocs = docs.filter(!isDeltaDoc(col("doc_id")))
+      val boundsDir = CoreQueries.sharedInputDir(
+        s"graft_q189_bounds_${CoreQueries.dirToken(d)}") { p =>
+        baseDocs.groupBy(col("source"))
+          .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val bounds = s.read.parquet(boundsDir)
+      val baseSketchDir = CoreQueries.sharedInputDir(
+        s"graft_q189_base_${CoreQueries.dirToken(d)}") { p =>
+        histBinCounts(baseDocs, bounds).write.mode("overwrite").parquet(p)
+      }
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q189_in_${CoreQueries.dirToken(d)}") { p =>
+        delta.repartition(2).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q189_hist_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              histBinCounts(batch.toDF(), bounds), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val merged = s.read.parquet(out)
+        .select(col("source"), col("lo"), col("hi"), col("bin"), col("cnt"))
+        .unionByName(s.read.parquet(baseSketchDir))
+        .groupBy(col("source"), col("lo"), col("hi"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt"))
+      histReport(docs, merged)
+    }),
+
+    // ---- STREAMING heavy-hitter maintenance: q186's two-pass
+    //      discipline with the SKETCH side incremental — the base
+    //      corpus's Misra–Gries counters persist as a (gh, est)
+    //      parquet artifact, each delta micro-batch writes its own
+    //      batch-local sketch (≤k rows each, the only state that ever
+    //      moves), and the merged candidate set comes from the
+    //      mergeable-summaries merge of all persisted sketches. The
+    //      exact re-score then runs over base ∪ delta and keeps share
+    //      ≥ 1 % — the guarantee (every key with true share > 1/(k+1)
+    //      survives ANY merge order, including this
+    //      base-then-batches one) makes the output EQUAL q186's
+    //      batch result: the oracle IS q186's oracle, verbatim ----
+    "q190_stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      drainStepCache()
+      val mg = graft.etl.Aggregators.MisraGries(128)
+      val docs = stampedDocs(s, d)
+      val baseDir = CoreQueries.sharedInputDir(
+        s"graft_q190_base_${CoreQueries.dirToken(d)}") { p =>
+        val m = gramStream(docs.filter(!isDeltaDoc(col("doc_id"))))
+          .select(col("gh")).as[String].select(mg.toColumn).collect()(0)
+        m.toSeq.toDF("gh", "est").write.mode("overwrite").parquet(p)
+      }
+      val delta = docs.filter(isDeltaDoc(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q190_in_${CoreQueries.dirToken(d)}") { p =>
+        delta.repartition(2).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q190_hh_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val bs = batch.sparkSession
+            import bs.implicits._
+            val m = gramStream(batch.toDF())
+              .select(col("gh")).as[String].select(mg.toColumn).collect()(0)
+            graft.streaming.Streaming.writeBatch(
+              m.toSeq.toDF("gh", "est"), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // mergeable-summaries merge of the persisted sketches (each a
+      // ≤k-row artifact; the driver-side fold is the bounded collect)
+      val sketches: Seq[Map[String, Long]] =
+        s.read.parquet(out).select(col("batch_id"), col("gh"), col("est"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (id, rows) =>
+            id -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+          .toSeq.sortBy(_._1).map(_._2) :+
+        s.read.parquet(baseDir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cands = sketches.reduce(mg.merge).keys.toSeq.sorted
+      val grams = graft.util.Persist(gramStream(docs))
+      stepOnPersist(grams)
+      val n = grams.count()
+      grams.filter(col("gh").isin(cands: _*))
+        .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 100 >= lit(n))
+        .select(col("gh"), col("cnt"),
+          round(col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
+        .orderBy(col("gh"))
+    }),
+
+    // ---- PSI drift monitor: the monitoring wall's distribution-
+    //      shift number (population stability index, the standard
+    //      production drift metric) for n_chars per source between
+    //      the base slice and the delta ingest — the scalar that says
+    //      "this source's length distribution moved" before any
+    //      downstream quality/dedup rate does. 16 equal-width bins
+    //      under base-slice boundaries (q189's release-fixed rule,
+    //      clamped), add-1-smoothed bin shares on BOTH sides (q185's
+    //      smoothing discipline, so empty bins and delta-less sources
+    //      stay finite), psi = Σ (p_delta − p_base)·ln(p_delta/
+    //      p_base). The 16-bin spine is generated per source in the
+    //      scan (explode, not a join); everything else is two bounded
+    //      aggregates over the sketch rows ----
+    "q191_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(!isDeltaDoc(col("doc_id")))
+      val bounds = base.groupBy(col("source"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      def bins(df: DataFrame) = df.join(broadcast(bounds), Seq("source"))
+        .select(col("source"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(greatest(
+              least(expr("((n_chars - lo) * 16) div (hi - lo)"), lit(15L)),
+              lit(0L))).as("bin"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val spine = docs.select(col("source")).distinct()
+        .select(col("source"), explode(sequence(lit(0L), lit(15L))).as("bin"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      spine
+        .join(bins(base).withColumnRenamed("cnt", "cb"),
+          Seq("source", "bin"), "left")
+        .join(bins(docs.filter(isDeltaDoc(col("doc_id"))))
+          .withColumnRenamed("cnt", "cd"), Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"),
+          coalesce(col("cb"), lit(0L)).as("cb"),
+          coalesce(col("cd"), lit(0L)).as("cd"))
+        .withColumn("nb", sum(col("cb")).over(wSrc))
+        .withColumn("nd", sum(col("cd")).over(wSrc))
+        .withColumn("pb", (col("cb") + 1.0) / (col("nb") + 16.0))
+        .withColumn("pd", (col("cd") + 1.0) / (col("nd") + 16.0))
+        .groupBy(col("source"))
+        .agg(max(col("nb")).as("n_base"), max(col("nd")).as("n_delta"),
+          round(sum((col("pd") - col("pb")) * log(col("pd") / col("pb"))), 6)
+            .as("psi"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- concat-and-chunk sequence packing: the GPT-style packing a
+    //      training loader actually runs — per source shard, docs are
+    //      concatenated in deterministic doc_id order and the token
+    //      stream is cut into fixed 512-token sequences, documents
+    //      SPANNING boundaries (q61 packs whole docs under a budget;
+    //      this is the other standard layout, where nothing is padded
+    //      and every boundary doc is split). Per doc: its first/last
+    //      sequence index and offset within its first sequence — the
+    //      manifest a packed-shard reader needs to locate any doc.
+    //      One running-total window per source shard (q61's shape);
+    //      all arithmetic in integer space ----
+    "q192_concat_chunk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("off div 512").as("seq_first"),
+          expr("(off + n_tokens - 1) div 512").as("seq_last"),
+          pmod(col("off"), lit(512L)).as("offset_in_seq"))
+        .orderBy(col("doc_id"))
     }),
 
     "q160_stream_containment" -> ((s, d) => {
@@ -5396,6 +5636,91 @@ object ExtQueries {
            WHERE list_inner_product(vec, vec) > 0),
          avr AS (SELECT dim, round(var_pop(vec[dim + 1]), 6) AS v
            FROM au CROSS JOIN adims GROUP BY dim)"""
+
+  /** The exact heavy-hitter set (share ≥ 1 %) over the stamped
+    * corpus's positional gram stream — shared VERBATIM by q186 (batch
+    * sketch + re-score) and q190 (streaming sketch maintenance +
+    * re-score): the Misra–Gries guarantee makes both paths land this
+    * exact set regardless of how the stream was partitioned, so one
+    * oracle string gates the batch/stream equivalence by identity.
+    */
+  private lazy val hhExactSql: String = s"""
+         WITH hhd AS (SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN '$boilerplateText' ELSE text END AS text
+           FROM documents),
+         hhw AS (SELECT doc_id,
+             ${duckNormWords} AS words FROM hhd),
+         hhp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM hhw WHERE len(words) >= 8),
+         hhg AS (SELECT
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM hhp),
+         hht AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hhg),
+         hhc AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM hhg GROUP BY gh)
+         SELECT gh, cnt, round(cnt * 1.0 / n, 6) AS share
+         FROM hhc CROSS JOIN hht WHERE cnt * 100 >= n ORDER BY gh"""
+
+  /** Shared q187/q189 oracle CTEs — the DuckDB mirror of
+    * [[histBinCounts]] + [[histReport]]: per-source histogram under
+    * boundaries from `boundaryPred`'s slice (clamped bins), the
+    * merged-count cumulative frame (n recovered from the sketch
+    * itself), the integer-rational estimates, and the exact side over
+    * ALL documents. Ends with `${px}i(source, p50_hist, p95_hist)`
+    * and `${px}x(source, n_docs, p50_exact, p95_exact)`.
+    */
+  private def histSqlCtes(px: String, boundaryPred: String): String = s"""
+         ${px}e AS (SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+           FROM documents WHERE $boundaryPred GROUP BY source),
+         ${px}b AS (SELECT d.source, e.lo, e.hi,
+             CASE WHEN e.hi = e.lo THEN 0
+               ELSE greatest(
+                 least(((d.n_chars - e.lo) * 256) // (e.hi - e.lo), 255), 0)
+             END AS bin
+           FROM documents d JOIN ${px}e e USING (source)),
+         ${px}c AS (SELECT source, lo, hi, bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ${px}b GROUP BY source, lo, hi, bin),
+         ${px}m AS (SELECT source, lo, hi, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY source) AS n,
+             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM ${px}c),
+         ${px}h AS (SELECT source, MAX(n) AS hn, MAX(lo) AS lo,
+             MAX(hi) AS hi,
+             ${Seq(
+               ("50f", "(n - 1) // 2"), ("50c", "(n - 1 + 1) // 2"),
+               ("95f", "((n - 1) * 19) // 20"),
+               ("95c", "((n - 1) * 19 + 19) // 20")).map { case (t, r) =>
+                 s"""MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN bin END) AS b$t,
+                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN cum_before END) AS m$t,
+                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
+                     THEN cnt END) AS c$t"""
+               }.mkString(",")}
+           FROM ${px}m GROUP BY source),
+         ${px}i AS (SELECT source,
+             ${Seq(("50", 1, 2), ("95", 19, 20)).map { case (t, pn, pd) =>
+               val rF = s"(((hn - 1) * $pn) // $pd)"
+               val rC = s"(((hn - 1) * $pn + ${pd - 1}) // $pd)"
+               val m = s"(((hn - 1) * $pn) % $pd)"
+               val kF = s"(2 * b${t}f * c${t}f + 2 * ($rF - m${t}f) + 1)"
+               val kC = s"(2 * b${t}c * c${t}c + 2 * ($rC - m${t}c) + 1)"
+               s"""floor((lo + CAST((hi - lo) * (($pd - $m) * $kF * c${t}c
+                  + $m * $kC * c${t}f) AS DOUBLE)
+                  / CAST(512 * c${t}f * c${t}c * $pd AS DOUBLE))
+                  * 1000000) / 1000000 AS p${t}_hist"""
+             }.mkString(",")}
+           FROM ${px}h),
+         ${px}x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(quantile_cont(n_chars, 0.50), 6) AS p50_exact,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95_exact
+           FROM documents GROUP BY source)"""
 
   /** Shared q127/q128 oracle CTEs: IVF cell assignment + PQ encode +
     * the ADC candidate scoring, mirroring `Similarity.pqAdcTopK`
@@ -7934,73 +8259,11 @@ object ExtQueries {
     // heavy hitters: the oracle is the EXACT set (share >= 1%) over the
     // stamped corpus's positional gram stream — the sketch's guarantee
     // + exact re-score must land exactly this, any merge order
-    "q186_heavy_hitters" -> s"""
-         WITH hhd AS (SELECT doc_id,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                 IN ('0','1','2','3','4','5','6','7')
-               THEN '$boilerplateText' ELSE text END AS text
-           FROM documents),
-         hhw AS (SELECT doc_id,
-             ${duckNormWords} AS words FROM hhd),
-         hhp AS (SELECT doc_id, words,
-             unnest(generate_series(1, len(words) - 7)) AS i
-           FROM hhw WHERE len(words) >= 8),
-         hhg AS (SELECT
-             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
-           FROM hhp),
-         hht AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hhg),
-         hhc AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM hhg GROUP BY gh)
-         SELECT gh, cnt, round(cnt * 1.0 / n, 6) AS share
-         FROM hhc CROSS JOIN hht WHERE cnt * 100 >= n ORDER BY gh""",
+    "q186_heavy_hitters" -> hhExactSql,
     // histogram sketch: integer-exact bin ids, uniform-within-bin
     // estimate at the R-7 rank, exact quantiles via quantile_cont
     "q187_hist_quantiles" -> s"""
-         WITH hqe AS (SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi,
-             CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
-         hqb AS (SELECT d.source, e.lo, e.hi, e.n,
-             CASE WHEN e.hi = e.lo THEN 0
-               ELSE least(((d.n_chars - e.lo) * 256) // (e.hi - e.lo), 255)
-             END AS bin
-           FROM documents d JOIN hqe e USING (source)),
-         hqc AS (SELECT source, lo, hi, n, bin,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM hqb GROUP BY source, lo, hi, n, bin),
-         hqm AS (SELECT source, lo, hi, n, bin, cnt,
-             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
-           FROM hqc),
-         hqh AS (SELECT source, MAX(n) AS hn, MAX(lo) AS lo, MAX(hi) AS hi,
-             ${Seq(
-               ("50f", "(n - 1) // 2"), ("50c", "(n - 1 + 1) // 2"),
-               ("95f", "((n - 1) * 19) // 20"),
-               ("95c", "((n - 1) * 19 + 19) // 20")).map { case (t, r) =>
-                 s"""MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
-                     THEN bin END) AS b$t,
-                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
-                     THEN cum_before END) AS m$t,
-                    MAX(CASE WHEN cum_before <= $r AND $r < cum_before + cnt
-                     THEN cnt END) AS c$t"""
-               }.mkString(",")}
-           FROM hqm GROUP BY source),
-         hqi AS (SELECT source,
-             ${Seq(("50", 1, 2), ("95", 19, 20)).map { case (t, pn, pd) =>
-               val rF = s"(((hn - 1) * $pn) // $pd)"
-               val rC = s"(((hn - 1) * $pn + ${pd - 1}) // $pd)"
-               val m = s"(((hn - 1) * $pn) % $pd)"
-               val kF = s"(2 * b${t}f * c${t}f + 2 * ($rF - m${t}f) + 1)"
-               val kC = s"(2 * b${t}c * c${t}c + 2 * ($rC - m${t}c) + 1)"
-               s"""floor((lo + CAST((hi - lo) * (($pd - $m) * $kF * c${t}c
-                  + $m * $kC * c${t}f) AS DOUBLE)
-                  / CAST(512 * c${t}f * c${t}c * $pd AS DOUBLE))
-                  * 1000000) / 1000000 AS p${t}_hist"""
-             }.mkString(",")}
-           FROM hqh),
-         hqx AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             round(quantile_cont(n_chars, 0.50), 6) AS p50_exact,
-             round(quantile_cont(n_chars, 0.95), 6) AS p95_exact
-           FROM documents GROUP BY source)
+         WITH ${histSqlCtes("hq", "TRUE")}
          SELECT x.source, x.n_docs, x.p50_exact, h.p50_hist,
            floor(abs(x.p50_exact - h.p50_hist) * 1000000) / 1000000
              AS p50_err,
@@ -8076,6 +8339,78 @@ object ExtQueries {
          FROM (SELECT * FROM dcrow1 UNION ALL SELECT * FROM dcrow2
            UNION ALL SELECT * FROM dcrow3) CROSS JOIN dctot
          ORDER BY method"""),
+    // streaming histogram: the merged sketch must land the identical
+    // report a full rebuild under the base-slice boundaries lands —
+    // same CTE builder as q187, boundary slice = base docs
+    "q189_stream_histogram" -> s"""
+         WITH ${histSqlCtes("sh",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2')")}
+         SELECT x.source, x.n_docs, x.p50_exact, h.p50_hist,
+           floor(abs(x.p50_exact - h.p50_hist) * 1000000) / 1000000
+             AS p50_err,
+           x.p95_exact, h.p95_hist,
+           floor(abs(x.p95_exact - h.p95_hist) * 1000000) / 1000000
+             AS p95_err
+         FROM shx x JOIN shi h USING (source) ORDER BY x.source""",
+    // streaming heavy hitters: q186's oracle VERBATIM — the guarantee
+    // makes the streamed sketch land the identical exact set
+    "q190_stream_heavy_hitters" -> hhExactSql,
+    // PSI drift: 16-bin base-boundary histograms on both slices,
+    // add-1-smoothed shares, sum of (pd - pb) * ln(pd / pb)
+    "q191_psi_drift" -> """
+         WITH pbd AS (SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0','1','2')
+           GROUP BY source),
+         pbin AS (SELECT d.source,
+             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') THEN 'delta' ELSE 'base' END AS side,
+             CASE WHEN e.hi = e.lo THEN 0
+               ELSE greatest(
+                 least(((d.n_chars - e.lo) * 16) // (e.hi - e.lo), 15), 0)
+             END AS bin
+           FROM documents d JOIN pbd e USING (source)),
+         pcnt AS (SELECT source, side, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM pbin GROUP BY 1, 2, 3),
+         pspine AS (SELECT source, unnest(generate_series(0, 15)) AS bin
+           FROM (SELECT DISTINCT source FROM documents)),
+         pj AS (SELECT s.source, s.bin,
+             COALESCE(b.cnt, 0) AS cb, COALESCE(d.cnt, 0) AS cd
+           FROM pspine s
+           LEFT JOIN pcnt b ON b.source = s.source AND b.bin = s.bin
+             AND b.side = 'base'
+           LEFT JOIN pcnt d ON d.source = s.source AND d.bin = s.bin
+             AND d.side = 'delta'),
+         pn AS (SELECT source, bin, cb, cd,
+             SUM(cb) OVER (PARTITION BY source) AS nb,
+             SUM(cd) OVER (PARTITION BY source) AS nd
+           FROM pj)
+         SELECT source, CAST(MAX(nb) AS BIGINT) AS n_base,
+           CAST(MAX(nd) AS BIGINT) AS n_delta,
+           round(SUM(((cd + 1.0) / (nd + 16.0) - (cb + 1.0) / (nb + 16.0))
+             * ln(((cd + 1.0) / (nd + 16.0)) / ((cb + 1.0) / (nb + 16.0)))),
+             6) AS psi
+         FROM pn GROUP BY source ORDER BY source""",
+    // concat-chunk packing: one running-total window per source shard,
+    // all sequence arithmetic in integer space
+    "q192_concat_chunk" -> s"""
+         WITH ccd AS (SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents),
+         ccf AS (SELECT doc_id, source, n_tokens FROM ccd
+           WHERE n_tokens > 0),
+         cco AS (SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+           FROM ccf)
+         SELECT doc_id, source, n_tokens,
+           CAST(off // 512 AS BIGINT) AS seq_first,
+           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+           CAST(off % 512 AS BIGINT) AS offset_in_seq
+         FROM cco ORDER BY doc_id""",
     // the streaming ingest loop must land the identical full-rebuild
     // ledger — q162's oracle pins the whole family (q149/q160 pattern)
     "q179_stream_ledger" -> s"""

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * double codebooks — at build time, pqRefinedCodebook's discipline;
   * q186 runs its Misra-Gries sketch pass and stream-length count at
   * build time — two bounded driver artifacts, ≤128 strings + one
-  * long — before the audited exact re-score plan exists),
+  * long — before the audited exact re-score plan exists; q189/q190
+  * run their whole micro-batch ingest loops at build time, q179's
+  * shape, and the audited plans are the merged-sketch report and the
+  * exact re-score),
   * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose
