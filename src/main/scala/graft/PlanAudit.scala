@@ -62,7 +62,8 @@ object PlanAudit {
     "q178_cell_cap_rehearsal" -> "16-row broadcast centroid frame (q44's fan-out) — the rehearsal measures that assignment's own cell distribution",
     "q182_semantic_decon" -> "16-row broadcast centroid frame (q86's fan-out) feeding the cross-side contamination pairs; everything downstream is the cell-keyed equi-join",
     "q185_dsir_selection" -> "one-row p80-cut scalar crossJoin onto the per-doc weight frame (q150's fenced pattern); the llr table itself is a 128-row broadcast equi-join",
-    "q188_decon_cost" -> "one-row scalar crossJoins composing each remedy-cost row from its bounded count/sum aggregates (q150's fenced pattern) — three 5-column rows total")
+    "q188_decon_cost" -> "one-row scalar crossJoins composing each remedy-cost row from its bounded count/sum aggregates (q150's fenced pattern) — three 5-column rows total",
+    "q193_dsir_ingest" -> "one-row frozen-cut scalar crossJoin onto the delta weight frame (q185's fenced pattern); the base-trained llr table is a 128-row broadcast equi-join")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

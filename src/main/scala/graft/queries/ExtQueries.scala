@@ -1438,6 +1438,64 @@ object ExtQueries {
   private[graft] def skewedSig(s: SparkSession, d: String): DataFrame =
     Dedup.bandedSignatures(stampedDocs(s, d), "text", "doc_id", k = 8)
 
+  /** DSIR hashed-bigram occurrences over a documents-shaped frame:
+    * one row per bigram occurrence with its 128-way md5 bucket.
+    * Shared by q185 (whole-corpus model) and q193 (base-trained
+    * frozen model applied to the delta ingest).
+    */
+  private def dsirBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), TA.normWords(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => pmod(conv(substring(md5(concat(
+            element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))),
+            1, 4), 16, 10).cast("long"), lit(128)))).as("b"))
+
+  /** The ≤128-row smoothed log-likelihood-ratio table over a bigram-
+    * occurrence frame (target = src0's occurrences): llr(b) =
+    * ln((t_b+1)/(T+128)) − ln((r_b+1)/(R+128)), ROUNDED at 6 (the
+    * inlined-artifact contract — per-term identical across engines so
+    * the per-doc sums agree at the output rounding).
+    */
+  private def dsirLlr(occ: DataFrame): DataFrame = {
+    // full 128-bucket spine: the frozen model (q193) must define an
+    // llr for buckets the TRAINING slice never produced (smoothing
+    // covers them); for q185 the spine rows are never joined, so its
+    // output is unchanged
+    val spine = occ.sparkSession.range(128).select(col("id").as("b"))
+    val st0 = occ.groupBy(col("b"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_n"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("r_n"))
+    val st = graft.util.Persist(spine.join(st0, Seq("b"), "left")
+      .select(col("b"), coalesce(col("t_n"), lit(0L)).as("t_n"),
+        coalesce(col("r_n"), lit(0L)).as("r_n")))
+    stepOnPersist(st)
+    // totals via an unpartitioned window — st is ≤128 rows by
+    // construction, so the single-partition window is a no-op risk
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    st
+      .withColumn("tt", sum(col("t_n")).over(wAll))
+      .withColumn("rt", sum(col("r_n")).over(wAll))
+      .select(col("b"), round(
+        log((col("t_n") + 1.0) / (col("tt") + 128.0)) -
+        log((col("r_n") + 1.0) / (col("rt") + 128.0)), 6).as("llr"))
+  }
+
+  /** Per-doc DSIR weights: Σ occurrences · llr over the broadcast
+    * ≤128-row table, rounded at 6.
+    */
+  private def dsirWeights(occ: DataFrame, llr: DataFrame): DataFrame =
+    occ.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        round(sum(col("n") * col("llr")), 6).as("log_w"))
+
   /** The positional word-8-gram hash stream over a (doc_id, text)
     * frame — q59's gh space, occurrence-level (NOT per-doc distinct:
     * the heavy-hitter queries count the stream). Shared by q186's
@@ -5081,36 +5139,9 @@ object ExtQueries {
     //      (q150's fenced pattern), everything else is doc_id/bucket-
     //      keyed ----
     "q185_dsir_selection" -> ((s, d) => {
-      val occ = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), TA.normWords(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(transform(sequence(lit(1), size(col("w")) - 1),
-            i => pmod(conv(substring(md5(concat(
-              element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))),
-              1, 4), 16, 10).cast("long"), lit(128)))).as("b"))
-      val st = graft.util.Persist(occ.groupBy(col("b"))
-        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_n"),
-          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("r_n")))
-      stepOnPersist(st)
-      // totals via an unpartitioned window — st is ≤128 rows by
-      // construction, so the single-partition window is a no-op risk
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      val llr = st
-        .withColumn("tt", sum(col("t_n")).over(wAll))
-        .withColumn("rt", sum(col("r_n")).over(wAll))
-        .select(col("b"), round(
-          log((col("t_n") + 1.0) / (col("tt") + 128.0)) -
-          log((col("r_n") + 1.0) / (col("rt") + 128.0)), 6).as("llr"))
-      val dw = occ.filter(col("source") =!= "src0")
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-        .join(broadcast(llr), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("n_bigrams"),
-          round(sum(col("n") * col("llr")), 6).as("log_w"))
+      val occ = dsirBigrams(Tables.documents(s, d))
+      val llr = dsirLlr(occ)
+      val dw = dsirWeights(occ.filter(col("source") =!= "src0"), llr)
       val cut = sourceQuantiles(
         dw.select(lit("all").as("source"), col("log_w")),
         Seq(0.8 -> "cut"), valueCol = "log_w")
@@ -5120,6 +5151,79 @@ object ExtQueries {
           when(col("log_w") >= col("cut"), 1).otherwise(0)
             .cast("int").as("selected"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- DSIR at INGEST: the frozen-model shape a release actually
+    //      runs (train the importance model ONCE on the release's
+    //      base corpus, then score every newly crawled batch against
+    //      it) — q185's model (128-bucket smoothed llr, src0 target)
+    //      trained on the BASE slice only, its p80 cut derived from
+    //      the base candidates' weights, then APPLIED UNCHANGED to the
+    //      delta ingest. A delta doc is kept iff its weight clears
+    //      the release's frozen threshold — no retraining, no cut
+    //      drift, the exact frozen-scorer deployment. Same fenced
+    //      shapes as q185 (≤128-row llr broadcast, one-row cut
+    //      crossJoin); scoring the ingest costs |delta| bigram work ----
+    "q193_dsir_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val occBase = dsirBigrams(docs.filter(!isDeltaDoc(col("doc_id"))))
+      val llr = dsirLlr(occBase)
+      val baseW = dsirWeights(occBase.filter(col("source") =!= "src0"), llr)
+      val cut = sourceQuantiles(
+        baseW.select(lit("all").as("source"), col("log_w")),
+        Seq(0.8 -> "cut"), valueCol = "log_w")
+        .select(col("cut"))
+      val deltaW = dsirWeights(
+        dsirBigrams(docs.filter(isDeltaDoc(col("doc_id"))))
+          .filter(col("source") =!= "src0"), llr)
+      deltaW.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_bigrams"), col("log_w"),
+          when(col("log_w") >= col("cut"), 1).otherwise(0)
+            .cast("int").as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- packing PURITY: the attention-contamination report for the
+    //      q192 layout — a fixed 512-token sequence is "mixed" when
+    //      tokens from two or more documents share it (they attend
+    //      across document boundaries during training unless the
+    //      loader masks); per source: total sequences, mixed/pure
+    //      counts, pure fraction, and how many docs straddle a
+    //      boundary. Derived from the manifest alone: each doc fans
+    //      out to its seq_first..seq_last range (bounded by
+    //      doc_len/512 + 1), one (source, seq) aggregate ----
+    "q194_pack_purity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val manifest = docs
+        .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"),
+          expr("off div 512").as("seq_first"),
+          expr("(off + n_tokens - 1) div 512").as("seq_last"))
+      val seqDocs = manifest
+        .select(col("source"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+        .groupBy(col("source"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"))
+      val spanning = manifest
+        .groupBy(col("source"))
+        .agg(sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+          .as("n_spanning_docs"))
+      seqDocs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_mixed"),
+          sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_pure"))
+        .join(spanning, Seq("source"))
+        .select(col("source"), col("n_seqs"), col("n_pure"), col("n_mixed"),
+          round(col("n_pure").cast("double") / col("n_seqs"), 6)
+            .as("pure_frac"),
+          col("n_spanning_docs"))
+        .orderBy(col("source"))
     }),
 
     // ---- heavy-hitter detection, sketch-first: the 100 TB shape of
@@ -8411,6 +8515,78 @@ object ExtQueries {
            CAST((off + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
            CAST(off % 512 AS BIGINT) AS offset_in_seq
          FROM cco ORDER BY doc_id""",
+    // frozen-model DSIR: base-trained llr over the full 128-bucket
+    // spine, base-derived p80 cut, applied unchanged to the delta
+    "q193_dsir_ingest" -> s"""
+         WITH giw AS (SELECT doc_id, source, $duckNormWords AS words
+           FROM documents),
+         gip AS (SELECT doc_id, source, words,
+             unnest(generate_series(1, len(words) - 1)) AS i
+           FROM giw WHERE len(words) >= 2),
+         gio AS (SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS is_delta,
+             ${duckBucketMod("md5(words[i] || ' ' || words[i+1])", 128)} AS b
+           FROM gip),
+         gst AS (SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_n,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r_n
+           FROM gio WHERE NOT is_delta GROUP BY b),
+         gsp AS (SELECT unnest(generate_series(0, 127)) AS b),
+         gsf AS (SELECT s.b, COALESCE(t.t_n, 0) AS t_n,
+             COALESCE(t.r_n, 0) AS r_n
+           FROM gsp s LEFT JOIN gst t USING (b)),
+         gll AS (SELECT b, round(
+             ln((t_n + 1.0) / ((SUM(t_n) OVER ()) + 128.0))
+             - ln((r_n + 1.0) / ((SUM(r_n) OVER ()) + 128.0)), 6) AS llr
+           FROM gsf),
+         gbw AS (SELECT o.doc_id, round(SUM(l.llr), 6) AS log_w
+           FROM gio o JOIN gll l USING (b)
+           WHERE NOT o.is_delta AND o.source <> 'src0' GROUP BY o.doc_id),
+         gct AS (SELECT round(quantile_cont(log_w, 0.8), 6) AS cut FROM gbw),
+         gdw AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(SUM(l.llr), 6) AS log_w
+           FROM gio o JOIN gll l USING (b)
+           WHERE o.is_delta AND o.source <> 'src0' GROUP BY o.doc_id)
+         SELECT doc_id, n_bigrams, log_w,
+           CAST(CASE WHEN log_w >= cut THEN 1 ELSE 0 END AS INT) AS selected
+         FROM gdw CROSS JOIN gct ORDER BY doc_id""",
+    // packing purity: doc -> sequence-range fan-out, per-(source, seq)
+    // doc counts, pure/mixed split + boundary-spanning doc count
+    "q194_pack_purity" -> s"""
+         WITH ppd AS (SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents),
+         ppf AS (SELECT doc_id, source, n_tokens FROM ppd
+           WHERE n_tokens > 0),
+         ppo AS (SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+           FROM ppf),
+         ppm AS (SELECT doc_id, source,
+             CAST(off // 512 AS BIGINT) AS seq_first,
+             CAST((off + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+           FROM ppo),
+         pps AS (SELECT source,
+             unnest(generate_series(seq_first, seq_last)) AS seq FROM ppm),
+         ppc AS (SELECT source, seq, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM pps GROUP BY 1, 2),
+         ppsp AS (SELECT source,
+             CAST(SUM(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_spanning_docs
+           FROM ppm GROUP BY 1),
+         ppr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed,
+             CAST(SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pure
+           FROM ppc GROUP BY 1)
+         SELECT r.source, r.n_seqs, r.n_pure, r.n_mixed,
+           round(r.n_pure * 1.0 / r.n_seqs, 6) AS pure_frac,
+           p.n_spanning_docs
+         FROM ppr r JOIN ppsp p USING (source) ORDER BY r.source""",
     // the streaming ingest loop must land the identical full-rebuild
     // ledger — q162's oracle pins the whole family (q149/q160 pattern)
     "q179_stream_ledger" -> s"""
