@@ -90,94 +90,54 @@ object Bench {
     // lower median: for even run counts report the faster middle
     // sample (times(n/2) would be the max of 2 runs — an upward bias)
     def med(ts: Seq[Double]): Double = ts((ts.length - 1) / 2)
-    // The driver captures only the LAST 2000 chars of run output
-    // (measured from BENCH_r05.json: window 2000, the 77-full-name
-    // metric line was 1920 — 7 chars of headroom; r0{1,2,3} all show
-    // "parsed": null from exactly this overflow). Full names no longer
-    // fit at 83 queries, so per-query keys are the qNN prefix (unique
-    // by construction, and the driver's own contract example uses the
-    // short form): ~11 chars/entry keeps the line near 1.3KB with room
-    // to grow. 3-decimal rounding as before.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Per-query values at 2 decimals (VERDICT r8 #2): at ~11 chars per
-    // qNN entry (13 for q1xx) the 3-decimal line would re-overflow the
-    // driver's 2000-char tail window near 147 queries — the r01-r03
-    // "parsed": null failure. 10 ms resolution is far below the
-    // documented host-noise band, so nothing real is lost; cal keeps 3
-    // decimals (two values, and the ~0.1 s nominal needs the digit).
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt1(v: Double): String = BigDecimal(v)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    def fmtD1(v: Double): String = BigDecimal(v)
-      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def short(name: String): String = name.takeWhile(_ != '_')
-    // Next size step (r9): the 2-decimal line measured 1,833 chars at
-    // 150 queries — ~5 queries of headroom to the 1,900 safety mark.
-    // Above 155 registered queries, per-query values drop to 1 decimal
-    // (~1 char/entry, the line stays under the window to ~175 queries);
-    // full 3-decimal medians are ALWAYS also written to
-    // bench_detail.json in the working dir, so no resolution is ever
-    // lost to the tail window — the line is the transport, the file is
-    // the record.
-    def fmtQ(v: Double): String =
-      if (results.size > 155) fmtD1(v) else fmt2(v)
-    val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + fmtQ(med(ts)) }
-      .mkString("{", ",", "}")
-    // Sum the ROUNDED values so the printed total equals the sum of the
-    // printed per-query times exactly (consumer-side consistency).
-    val total = results.map(r => BigDecimal(fmtQ(med(r._2)))).sum.toDouble
-    // Post-run trust probes measured ONCE, before the detail write, and
-    // reused verbatim in both the detail file and any future line field
-    // (ADVICE r11: the detail writer previously ran its OWN calibrate(),
-    // so the two records disagreed and an extra probe ran in between).
+    // Transport restructure (VERDICT r13 #1): the driver captures only
+    // the LAST 2000 chars of run output, and at 194 queries even the
+    // 1-decimal per-query line measured ~2,129 chars — BENCH_r13.json
+    // came back "parsed": null with the total truncated away. Every
+    // incremental squeeze (short keys r5, 2-decimal r8, 1-decimal r9,
+    // dropped runs/spread/cal r11-r12) is exhausted, so the transport
+    // is now two lines in a fixed order:
+    //   1. FIRST: the full per-query record (same content as
+    //      bench_detail.json — 3-decimal medians, cal/load probes).
+    //      Grows without bound; any window truncation cuts only this.
+    //   2. LAST: a short (<500 chars at any registry size) fully
+    //      self-contained summary — total, trust probes, query count,
+    //      the 5 slowest rows — guaranteed inside the tail window.
+    // The driver parses the last JSON line it can see, so the parse
+    // target now survives no matter how large the registry grows; the
+    // committed BENCH_DETAIL_r{N}.json stays the durable record.
+    val total3 = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
+    // Post-run trust probes measured ONCE and reused verbatim in the
+    // detail file, the detail line, and the summary line (ADVICE r11:
+    // separate probes made the records disagree).
     val calPost = calibrate()
     val loadPost = osBean.getSystemLoadAverage
+    val detailQs = results
+      .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
+        s"""${fmt(calPost)}],"load":[${fmt1(loadPre)},""" +
+        s"""${fmt1(loadPost)}],"queries":$detailQs}"""
     try {
-      val detail = results
-        .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
-        .mkString("{", ",", "}")
-      val total3 = results.map(r => BigDecimal(fmt(med(r._2)))).sum.toDouble
-      // cal/load live HERE (the committed BENCH_DETAIL_r{N} is the
-      // self-contained trust record); the printed line dropped them at
-      // 170+ queries — see the line-lever note below
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-        (s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
-          s"""${fmt(calPost)}],"load":[${fmt1(loadPre)},""" +
-          s"""${fmt1(loadPost)}],"queries":$detail}""" + "\n")
-          .getBytes("UTF-8"))
+        (detailJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // forensics only — never fail the bench
-    // [min,max] across runs for the 5 slowest queries only (was 10;
-    // trimmed to make room for the calibration fields inside the
-    // driver's 2000-char tail window — the parsed r7 line was 1913
-    // chars): lets a reader separate host variance from real drift.
-    // Above 130 registered queries the field is dropped entirely —
-    // projected line length at 150 queries is ~1835 chars without it
-    // and over the window with it (arithmetic in BASELINE.md); the
-    // whole line with all per-query data beats the spread of 5.
-    val spreadTop =
-      if (results.size > 130) ""
-      else ",\"spread_top\":" + results.sortBy(r => -med(r._2)).take(5)
-        .map { case (k, ts) =>
-          "\"" + short(k) + "\":[" + fmt2(ts.head) + "," + fmt2(ts.last) + "]" }
-        .mkString("{", ",", "}")
-    // Line-size levers: sf prints as the basename, the constant runs
-    // field is dropped (r11), and past 170 queries cal/load move to
-    // bench_detail.json ONLY (r12 — the r11 line measured 1,884 chars
-    // at 170 queries; the ~45-char cal/load block buys ~9 queries of
-    // window headroom, and BENCH_DETAIL_r{N}.json has carried the same
-    // two probes at full resolution since r11). Readers machine-check
-    // trust from the committed detail file.
-    // ADVICE r12: the schema change is no longer silent — past the
-    // threshold the line carries an explicit "trust":"detail" marker,
-    // so a parser can distinguish 'probes moved to the committed
-    // BENCH_DETAIL_r{N}.json' from 'probes not run'.
-    val calLoad =
-      if (results.size > 170) ""","trust":"detail""""
-      else s""","cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}]"""
+    println(detailJson)
+    // 5 slowest rows at 1 decimal: enough to triage an expensive-row
+    // regression straight from the summary without the detail record.
+    val top5 = results.sortBy(r => -med(r._2)).take(5)
+      .map { case (k, ts) => "\"" + short(k) + "\":" + fmt1(med(ts)) }
+      .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec"$calLoad,"queries":$qs$spreadTop,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt2(total3)},"unit":"sec","n":${results.size},"cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}],"top":$top5,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -957,8 +957,8 @@ object Similarity {
     * artifact: `dim` doubles from ONE corpus aggregate — collect
     * discipline of the PQ codebook). Dimensions are ranked by
     * (rounded-at-6 variance desc, dim asc) and dealt to subspaces in
-    * SNAKE order (rank block b = r/subDim, within-block w = r%subDim:
-    * subspace = w on even blocks, subDim-1-w on odd blocks; position =
+    * SNAKE order (rank block b = r/m, within-block w = r%m:
+    * subspace = w on even blocks, m-1-w on odd blocks; position =
     * b) — so the top-m dims land one per subspace, the next m reverse,
     * and per-subspace variance sums stay near-equal. On an ISOTROPIC
     * corpus this is a no-op by construction (all variances tie at
@@ -1082,6 +1082,15 @@ object Similarity {
     * cap and zero-norm discipline are computed over BOTH sides
     * together, exactly as the corpus-wide dedup does, so the two
     * families cannot diverge on the degenerate-cell story.
+    *
+    * SAFETY CAVEAT (ADVICE r13): the cell cap silently DROPS whole
+    * over-cap cells from detection. For dedup that is a recall trade;
+    * for a decontamination safety filter a degenerate/collapsed cell
+    * is exactly where contaminated mass concentrates — held-out leaks
+    * in a hot cell would ship unflagged. Consumers MUST run
+    * [[hotCells]] as a pre-flight gate (q178's discipline) and treat
+    * any over-cap cell as a blocker (re-center / raise the cap /
+    * exact-check the hot cell) before trusting this output.
     */
   def semanticContamination(corpus: DataFrame, idCol: String,
       vecCol: String, heldSide: Column => Column, tau: Double,

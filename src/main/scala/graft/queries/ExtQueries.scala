@@ -4920,9 +4920,17 @@ object ExtQueries {
           }.start()
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val lastId = new java.io.File(bndRoot).listFiles()
+      // An empty delta slice produces zero batches: listFiles() on a
+      // never-created root returns null and .max on an empty array
+      // throws — fail with the actual configuration mistake instead.
+      val batchIds = Option(new java.io.File(bndRoot).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .map(_.getName).filter(_.startsWith("batch_id="))
-        .map(_.stripPrefix("batch_id=").toLong).max
+        .map(_.stripPrefix("batch_id=").toLong)
+      require(batchIds.nonEmpty,
+        s"q179: stream produced no versioned bundles under $bndRoot — " +
+          "empty delta slice or misconfigured fixture")
+      val lastId = batchIds.max
       s.read.parquet(s"$bndRoot/batch_id=$lastId/ledger")
         .orderBy(col("doc_id"))
     }),
@@ -5275,8 +5283,9 @@ object ExtQueries {
     //      256 longs per source) where the exact ladder needs the
     //      per-(source, value) distinct-counts shuffle — the trade a
     //      100 TB monitoring wall actually makes; the error bound
-    //      (≤ 2 bin widths, Wave14Spec) is what makes the cheap path
-    //      trustworthy ----
+    //      (≤ 1 bin width — within-bin interpolation of both order
+    //      statistics, gated by Wave14Spec) is what makes the cheap
+    //      path trustworthy ----
     "q187_hist_quantiles" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bounds = docs.groupBy(col("source"))
