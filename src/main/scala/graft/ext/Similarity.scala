@@ -759,6 +759,65 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** [[pqAdcTopKWith]] under an explicit dimension layout (the OPQ
+    * deployment twin, q197): the corpus encode and the query-side LUT
+    * both read subspace `sub` through `perm` — [[pqTrainIterationPerm]]'s
+    * gather — so the trained-layout codebook scores exactly the
+    * subvectors it was trained on. The coarse IVF stage is layout-
+    * INDEPENDENT (cells assign on the full vector), so candidate sets
+    * are identical across layouts and a recall delta is pure
+    * quantization effect, never routing luck. Kept separate from the
+    * slice-based [[pqAdcTopKWith]] on purpose: `slice` is one codegen
+    * call where the permuted gather is subDim `element_at`s, and the
+    * static/trained contiguous paths (q127–q136) should not pay that
+    * on every row for a layout they never vary.
+    */
+  def pqAdcTopKWithPerm(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebook: Map[Int, Seq[Seq[Double]]], perm: Seq[Int],
+      m: Int = 8, subDim: Int = 8,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    def codesFor(vec: Column): Column =
+      array((0 until m).map { sub =>
+        val sv = permSub(vec, perm, sub, subDim)
+        val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
+          val cent = array(vals.map(lit): _*)
+          val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+          struct(round(key, 6).as("d"), lit(i).as("i"))
+        }: _*)
+        array_min(cands).getField("i")
+      }: _*)
+    val c = assignCells(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec", cents, 1)
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+      .select(col("cell"), col("n_id"), codesFor(col("n_vec")).as("n_code"))
+    val q = assignCells(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = permSub(col("q_vec"), perm, sub, subDim)
+        array(codebook(sub).map { vals =>
+          dot(sv, array(vals.map(lit): _*))
+        }: _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", (0 until m).map { sub =>
+        element_at(element_at(col("lut"), sub + 1),
+          element_at(col("n_code"), sub + 1) + 1)
+      }.reduce(_ + _))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Exact brute-force INNER-PRODUCT top-k — the truth side for the
     * ADC recall eval (ADC approximates q·n, not cosine, so its recall
     * must be measured against the exact-IP ranking; [[bruteForceTopK]]

@@ -1496,6 +1496,72 @@ object ExtQueries {
       .agg(sum(col("n")).as("n_bigrams"),
         round(sum(col("n") * col("llr")), 6).as("log_w"))
 
+  /** Boundary-respecting sequence packer — greedy first-fit-decreasing
+    * over WHOLE documents (the loader practice q194's purity report
+    * motivates: a doc never splits across training sequences, so no
+    * sequence carries a truncated doc fragment; a doc longer than the
+    * budget is TRUNCATED to exactly one full sequence — the
+    * truncate-or-new-sequence rule). Per source shard, docs are taken
+    * in (capped-size DESC, doc_id ASC) order and placed into the FIRST
+    * open sequence with enough remaining budget; none fits → a new
+    * sequence opens. Input: (doc_id, source, n_tokens); output: q192's
+    * manifest shape collapsed to one sequence per doc (seq_id,
+    * offset_in_seq) plus the waste columns `n_kept` / `n_dropped`
+    * (truncation loss — the only tokens FFD ever loses; pad waste is
+    * per-sequence and reported by q196).
+    *
+    * The fold is genuinely sequential PER SOURCE SHARD — exactly the
+    * unit a real loader packs independently — so this is the
+    * documented mapPartitions last-resort: imperative per-partition
+    * state (the open-bin table) that no declarative operator
+    * expresses (q61/q192's prefix-sum trick only works when sequences
+    * never close early). One hash shuffle on source co-locates each
+    * shard; the fold is a single linear scan per shard. At 100 TB the
+    * shard key is (source × bounded file split) — the same bound that
+    * keeps q61's window finite — which caps both the sort and the
+    * open-bin state; the linear first-fit probe here is the
+    * fixture-scale form of the standard max-segment-tree over bin
+    * remainders (leftmost bin with remaining ≥ t in O(log bins)).
+    */
+  private[graft] def ffdPack(docs: DataFrame, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val prepared = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("source").cast("string").as("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        least(col("n_tokens"), lit(budget)).as("t"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("t").desc, col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("offset_in_seq", LongType, nullable = false),
+      StructField("n_kept", LongType, nullable = false),
+      StructField("n_dropped", LongType, nullable = false)))
+    val packed = prepared.rdd.mapPartitions { it =>
+      // hash-partitioned by source and sorted (source, t desc, doc_id):
+      // every source is contiguous within one partition, so one
+      // open-bin table per source suffices and resets on source change
+      var curSrc: String = null
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { r =>
+        val docId = r.getLong(0); val src = r.getString(1)
+        val n = r.getLong(2); val t = r.getLong(3)
+        if (src != curSrc) { curSrc = src; rem.clear() }
+        var i = 0
+        while (i < rem.length && rem(i) < t) i += 1
+        val (seq, off) =
+          if (i < rem.length) { val o = budget - rem(i); rem(i) -= t; (i.toLong, o) }
+          else { rem += (budget - t); (rem.length - 1L, 0L) }
+        Row(docId, src, n, seq, off, t, n - t)
+      }
+    }
+    docs.sparkSession.createDataFrame(packed, schema)
+  }
+
   /** The positional word-8-gram hash stream over a (doc_id, text)
     * frame — q59's gh space, occurrence-level (NOT per-doc distinct:
     * the heavy-hitter queries count the stream). Shared by q186's
@@ -5596,6 +5662,159 @@ object ExtQueries {
         .select(col("delta_id"), col("base_id"), col("n_common"),
           col("jaccard"), col("cont_delta"), col("cont_base"))
         .orderBy(col("delta_id"), col("base_id"))
+    }),
+
+    // ---- boundary-respecting sequence packing: the packer q194's
+    //      purity report motivates — greedy first-fit-decreasing over
+    //      whole docs ([[ffdPack]]), so NO doc ever straddles a
+    //      sequence boundary (q192 splits every boundary doc; q61
+    //      overflows the budget instead of closing the sequence).
+    //      Manifest per doc: its single sequence, offset within it,
+    //      tokens kept, and truncation loss (docs over the 512 budget
+    //      take one full sequence — the truncate-or-new-sequence
+    //      rule). The oracle replays the fold verbatim as a recursive
+    //      CTE over the same (capped DESC, doc_id) order ----
+    "q195_pack_ffd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      ffdPack(docs).orderBy(col("doc_id"))
+    }),
+
+    // ---- the packing-layout decision table: per source, what q192's
+    //      concat-and-chunk costs vs what the FFD packer costs —
+    //      sequences, pad waste (chunking pads only the final partial
+    //      sequence; FFD pays a remainder per OPEN sequence), FFD's
+    //      truncation loss (chunking never truncates), and the
+    //      boundary-spanning doc counts (the attention-contamination
+    //      currency of q194: chunking splits every boundary doc, FFD
+    //      splits NONE — computed from both manifests, not asserted).
+    //      Two bounded per-source aggregates over the two manifests ----
+    "q196_pack_compare" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cc = docs
+        .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("source"), col("n_tokens"),
+          expr("off div 512").as("seq_first"),
+          expr("(off + n_tokens - 1) div 512").as("seq_last"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+            .as("cc_n_spanning"))
+        .select(col("source"), col("total_tokens"),
+          expr("(total_tokens + 511) div 512").as("cc_n_seqs"),
+          (expr("(total_tokens + 511) div 512") * 512 - col("total_tokens"))
+            .as("cc_waste"),
+          col("cc_n_spanning"))
+      val ffd = ffdPack(docs)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("seq_id")).as("ffd_n_seqs"),
+          sum(col("n_kept")).as("kept"),
+          sum(col("n_dropped")).as("ffd_waste_trunc"),
+          sum(when(col("offset_in_seq") + col("n_kept") > 512, 1L)
+            .otherwise(0L)).as("ffd_n_spanning"))
+        .select(col("source"), col("ffd_n_seqs"),
+          (col("ffd_n_seqs") * 512 - col("kept")).as("ffd_waste_pad"),
+          col("ffd_waste_trunc"), col("ffd_n_spanning"))
+      cc.join(ffd, Seq("source"))
+        .select(col("source"), col("total_tokens"),
+          col("cc_n_seqs"), col("cc_waste"), col("cc_n_spanning"),
+          col("ffd_n_seqs"), col("ffd_waste_pad"), col("ffd_waste_trunc"),
+          col("ffd_n_spanning"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- OPQ deployed-recall twin (q136's discipline applied to
+    //      q184): the MSE gain only matters if it moves the RANKING a
+    //      deployed ADC scan produces, so measure recall@3 against the
+    //      same fenced exact-IP truth side under BOTH layouts — the
+    //      identity slice layout and the variance-balanced snake deal
+    //      — each with its own one-Lloyd-step codebook (the q184
+    //      training artifacts, inlined literals). The coarse IVF stage
+    //      reads the FULL vector, so candidate sets are identical
+    //      across layouts: any recall delta is pure quantization
+    //      effect, never routing luck. Wave15Spec pins the aggregate
+    //      ordering ----
+    "q197_opq_recall" -> ((s, d) => {
+      val (_, balanced) = opqVarLayout(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val aniso = anisoEmb(s, d)
+      val q = aniso.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+        .select(col("q_id"), col("n_id"))
+      def side(name: String, perm: Seq[Int]) = {
+        val cb = opqRefined(s, d, name, perm).groupBy(_._1)
+          .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
+        val approx = Similarity.pqAdcTopKWithPerm(q, aniso, "vec_id", "vec",
+            k = 3, cb, perm)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(approx,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_n")).as("n_hits"))
+          .select(lit(name).as("layout"), col("q_id"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(3.0), 6).as("recall_at_3"))
+      }
+      side("identity", identity).unionByName(side("balanced", balanced))
+        .orderBy(col("layout"), col("q_id"))
+    }),
+
+    // ---- the DSIR retrain trigger: WHEN does the frozen scorer
+    //      (q193) go stale? Monitor the frozen-cut keep DECISION as a
+    //      two-bucket distribution (kept/dropped per candidate source)
+    //      and PSI it between the base slice the model was trained on
+    //      and the delta ingest it now scores (q191's drift currency
+    //      applied to the selector's own output — the standard
+    //      "monitor the score distribution, not the features" rule).
+    //      PSI ≥ 0.1 (the conventional drift threshold) flags the
+    //      source for scorer retraining. Composes q193's frames: the
+    //      ≤128-row llr broadcast, the one-row frozen cut, and two
+    //      per-source keep counts — nothing corpus-proportional ----
+    "q198_dsir_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val occBase = dsirBigrams(docs.filter(!isDeltaDoc(col("doc_id"))))
+      val llr = dsirLlr(occBase)
+      val baseW = dsirWeights(occBase.filter(col("source") =!= "src0"), llr)
+      val cut = sourceQuantiles(
+        baseW.select(lit("all").as("source"), col("log_w")),
+        Seq(0.8 -> "cut"), valueCol = "log_w")
+        .select(col("cut"))
+      val deltaW = dsirWeights(
+        dsirBigrams(docs.filter(isDeltaDoc(col("doc_id"))))
+          .filter(col("source") =!= "src0"), llr)
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      def keptBy(w: DataFrame, nCol: String, kCol: String) =
+        w.crossJoin(broadcast(cut))
+          .join(srcOf, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(nCol),
+            sum(when(col("log_w") >= col("cut"), 1L).otherwise(0L)).as(kCol))
+      keptBy(baseW, "n_base", "kept_base")
+        .join(keptBy(deltaW, "n_delta", "kept_delta"), Seq("source"))
+        // add-1/add-2 smoothing keeps every ln finite on an all-kept or
+        // all-dropped side (q191's +1/+16 rule at two buckets)
+        .withColumn("pbk", (col("kept_base") + 1.0) / (col("n_base") + 2.0))
+        .withColumn("pdk", (col("kept_delta") + 1.0) / (col("n_delta") + 2.0))
+        .withColumn("psi", round(
+          (col("pdk") - col("pbk")) * log(col("pdk") / col("pbk")) +
+          ((lit(1.0) - col("pdk")) - (lit(1.0) - col("pbk"))) *
+            log((lit(1.0) - col("pdk")) / (lit(1.0) - col("pbk"))), 6))
+        .select(col("source"), col("n_base"), col("kept_base"),
+          round(col("kept_base").cast("double") / col("n_base"), 6)
+            .as("keep_base"),
+          col("n_delta"), col("kept_delta"),
+          round(col("kept_delta").cast("double") / col("n_delta"), 6)
+            .as("keep_delta"),
+          col("psi"),
+          when(col("psi") >= 0.1, 1).otherwise(0).cast("int").as("retrain"))
+        .orderBy(col("source"))
     }))
 
   private def duckToks(expr: String) =
@@ -5749,6 +5968,89 @@ object ExtQueries {
            WHERE list_inner_product(vec, vec) > 0),
          avr AS (SELECT dim, round(var_pop(vec[dim + 1]), 6) AS v
            FROM au CROSS JOIN adims GROUP BY dim)"""
+
+  /** Shared q184/q197 oracle CTEs: the static PQ init codebook and
+    * the two dim→(sub, pos) layout maps — identity (`aimap`, the
+    * contiguous slice) and variance-balanced (`abmap`, the snake deal
+    * over the variance ranks). Requires [[anisoCtes]]'s `avr`/`adims`
+    * in scope.
+    */
+  private lazy val opqLayoutCtes: String = s"""
+         opqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         ark AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1 AS r
+           FROM avr),
+         abmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM ark),
+         aimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos)"""
+
+  /** Shared q184/q197 per-layout oracle block: the subvector gather
+    * under layout map `mp`, the static-init encode, and the
+    * one-Lloyd-step refined codebook `${px}rc(sub, c, rvec)` —
+    * mirroring [[opqRefined]] exactly (rounded-argmin/low-c ties,
+    * round-at-6 means). Requires `au`, `opqc`, `aposs` in scope.
+    */
+  private def opqTrainSqlFor(px: String, mp: String): String = s"""
+         ${px}sv AS (SELECT u.vec_id, m.sub,
+             list(u.vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM au u CROSS JOIN $mp m GROUP BY u.vec_id, m.sub),
+         ${px}k0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM ${px}sv s JOIN opqc p ON p.sub = s.sub),
+         ${px}cd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM ${px}k0) t WHERE rn = 1),
+         ${px}ref AS (SELECT cd.sub, cd.c, aposs.pos,
+             round(avg(cd.sv[aposs.pos + 1]), 6) AS cv
+           FROM ${px}cd cd CROSS JOIN aposs GROUP BY 1, 2, 3),
+         ${px}rc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM ${px}ref GROUP BY 1, 2)"""
+
+  /** The FFD packing fold as a recursive oracle CTE chain ending in
+    * `${px}fold` — one recursion step per (source, rank) placing the
+    * rank-r doc by first-fit over the carried open-bin remainder LIST
+    * (DuckDB's list state replays [[ffdPack]]'s per-shard fold
+    * verbatim; `NULLIF(..., 0)` because list_position signals absence
+    * as 0). The token CTEs are MATERIALIZED: the recursive join
+    * otherwise re-inlines (and re-pays) the tokenizing regexp on
+    * every iteration.
+    */
+  private def ffdFoldSqlFor(px: String): String = s"""
+         ${px}d AS MATERIALIZED (SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents),
+         ${px}f AS MATERIALIZED (SELECT doc_id, source, n_tokens,
+             LEAST(n_tokens, 512) AS t,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY LEAST(n_tokens, 512) DESC, doc_id) AS r
+           FROM ${px}d WHERE n_tokens > 0),
+         ${px}fold AS (
+           SELECT source, CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS rem,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS seq_id, CAST(NULL AS BIGINT) AS off,
+             CAST(NULL AS BIGINT) AS t
+           FROM (SELECT DISTINCT source FROM ${px}f)
+           UNION ALL
+           SELECT f.source, f.r + 1,
+             CASE WHEN l.fit IS NULL THEN list_append(f.rem, 512 - d.t)
+               ELSE f.rem[1:l.fit-1] || [f.rem[l.fit] - d.t]
+                 || f.rem[l.fit+1:len(f.rem)] END,
+             d.doc_id, d.n_tokens,
+             CAST(CASE WHEN l.fit IS NULL THEN len(f.rem)
+               ELSE l.fit - 1 END AS BIGINT),
+             CAST(CASE WHEN l.fit IS NULL THEN 0
+               ELSE 512 - f.rem[l.fit] END AS BIGINT),
+             d.t
+           FROM ${px}fold f
+           JOIN ${px}f d ON d.source = f.source AND d.r = f.r + 1,
+           LATERAL (SELECT NULLIF(list_position(
+             list_transform(f.rem, x -> x >= d.t), true), 0) AS fit) l
+         )"""
 
   /** The exact heavy-hitter set (share ≥ 1 %) over the stamped
     * corpus's positional gram stream — shared VERBATIM by q186 (batch
@@ -8298,33 +8600,9 @@ object ExtQueries {
     // layouts over the shared scaled fixture
     "q184_opq_gain" -> s"""
          WITH $anisoCtes
-         , opqc(sub, c, pvec) AS (VALUES $pqCentroids),
-         ark AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1 AS r
-           FROM avr),
-         abmap AS (SELECT dim,
-             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
-               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
-             CAST(r // 8 AS BIGINT) AS pos FROM ark),
-         aimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
-             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
-         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         , $opqLayoutCtes,
          ${Seq(("ai", "aimap"), ("ab", "abmap")).map { case (px, mp) => s"""
-         ${px}sv AS (SELECT u.vec_id, m.sub,
-             list(u.vec[m.dim + 1] ORDER BY m.pos) AS sv
-           FROM au u CROSS JOIN $mp m GROUP BY u.vec_id, m.sub),
-         ${px}k0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
-             list_inner_product(p.pvec, p.pvec)
-               - 2 * list_inner_product(s.sv, p.pvec) AS key
-           FROM ${px}sv s JOIN opqc p ON p.sub = s.sub),
-         ${px}cd AS (SELECT vec_id, sub, sv, c FROM (
-             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
-               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
-             FROM ${px}k0) t WHERE rn = 1),
-         ${px}ref AS (SELECT cd.sub, cd.c, aposs.pos,
-             round(avg(cd.sv[aposs.pos + 1]), 6) AS cv
-           FROM ${px}cd cd CROSS JOIN aposs GROUP BY 1, 2, 3),
-         ${px}rc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
-           FROM ${px}ref GROUP BY 1, 2),
+         ${opqTrainSqlFor(px, mp)},
          ${px}k1 AS (SELECT s.vec_id, s.sub, s.sv, r.c,
              list_inner_product(r.rvec, r.rvec)
                - 2 * list_inner_product(s.sv, r.rvec) AS key
@@ -8777,7 +9055,158 @@ object ExtQueries {
          FROM s2 LEFT JOIN s1 ON s1.band = s2.band
            LEFT JOIN ad ON ad.band = s2.band
            LEFT JOIN rm ON rm.band = s2.band
-         ORDER BY band""")
+         ORDER BY band""",
+    // FFD packing: the fold replayed verbatim as a recursive CTE over
+    // the same (capped-size DESC, doc_id) order and first-fit rule
+    "q195_pack_ffd" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("fp")}
+         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
+           t AS n_kept, n_tokens - t AS n_dropped
+         FROM fpfold WHERE doc_id IS NOT NULL ORDER BY doc_id""",
+    // packing-layout comparison: the q192 window stats and the FFD
+    // fold aggregated per source on one spine
+    "q196_pack_compare" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("pc")},
+         pcagg AS (SELECT source,
+             CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS ffd_n_seqs,
+             SUM(t) AS kept,
+             CAST(SUM(n_tokens - t) AS BIGINT) AS ffd_waste_trunc,
+             CAST(SUM(CASE WHEN off + t > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ffd_n_spanning
+           FROM pcfold WHERE doc_id IS NOT NULL GROUP BY 1),
+         pccw AS (SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM pcf),
+         pccc AS (SELECT source, SUM(n_tokens) AS total_tokens,
+             CAST(SUM(CASE WHEN (off + n_tokens - 1) // 512 > off // 512
+               THEN 1 ELSE 0 END) AS BIGINT) AS cc_n_spanning
+           FROM pccw GROUP BY 1)
+         SELECT c.source, CAST(c.total_tokens AS BIGINT) AS total_tokens,
+           CAST((c.total_tokens + 511) // 512 AS BIGINT) AS cc_n_seqs,
+           CAST(((c.total_tokens + 511) // 512) * 512 - c.total_tokens
+             AS BIGINT) AS cc_waste,
+           c.cc_n_spanning, a.ffd_n_seqs,
+           CAST(a.ffd_n_seqs * 512 - a.kept AS BIGINT) AS ffd_waste_pad,
+           a.ffd_waste_trunc, a.ffd_n_spanning
+         FROM pccc c JOIN pcagg a USING (source) ORDER BY c.source""",
+    // OPQ deployed recall: layouts + trained codebooks re-derived by
+    // the shared q184 chain, then the full ADC scan (q136's CTEs)
+    // under each layout against one exact-IP truth side
+    "q197_opq_recall" -> s"""
+         WITH $anisoCtes
+         , $opqLayoutCtes,
+         cent(cell, cvec) AS (VALUES $ivfCentroids),
+         oca AS (SELECT n_id, cell FROM (
+           SELECT vec_id AS n_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM au, cent) t WHERE rn = 1),
+         oqq AS (SELECT vec_id AS q_id, vec AS q_vec FROM au
+           WHERE vec_id < 50),
+         oqa AS (SELECT q_id, cell FROM (
+           SELECT q_id, cell, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell)
+             AS rn
+           FROM oqq, cent) t WHERE rn <= 4),
+         oprs AS (SELECT oqa.q_id, oca.n_id FROM oqa JOIN oca USING (cell)
+           WHERE oqa.q_id <> oca.n_id),
+         oes AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM oqq q, au cc WHERE q.q_id <> cc.vec_id),
+         oex AS (SELECT q_id, n_id FROM oes WHERE rank <= 3),
+         ${Seq(("ai", "aimap"), ("ab", "abmap")).map { case (px, mp) => s"""
+         ${opqTrainSqlFor(px, mp)},
+         ${px}code AS (SELECT vec_id, sub, c FROM (
+             SELECT s.vec_id, s.sub, r.c, ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.sub
+               ORDER BY round(list_inner_product(r.rvec, r.rvec)
+                 - 2 * list_inner_product(s.sv, r.rvec), 6), r.c) AS rn
+             FROM ${px}sv s JOIN ${px}rc r ON r.sub = s.sub) t WHERE rn = 1),
+         ${px}tm AS (SELECT pr.q_id, pr.n_id, k.sub,
+             list_inner_product(qs.sv, r.rvec) AS term
+           FROM oprs pr
+           JOIN ${px}code k ON k.vec_id = pr.n_id
+           JOIN ${px}rc r ON r.sub = k.sub AND r.c = k.c
+           JOIN ${px}sv qs ON qs.vec_id = pr.q_id AND qs.sub = k.sub),
+         ${px}adc AS (SELECT q_id, n_id, $pqTermPivot AS adc
+           FROM ${px}tm GROUP BY q_id, n_id),
+         ${px}ap AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(adc, 6) DESC, n_id) AS rank FROM ${px}adc) t
+           WHERE rank <= 3),
+         ${px}rec AS (SELECT oex.q_id, CAST(COUNT(ap.n_id) AS BIGINT)
+               AS n_hits,
+             round(COUNT(ap.n_id) / 3.0, 6) AS recall_at_3
+           FROM oex LEFT JOIN ${px}ap ap
+             ON oex.q_id = ap.q_id AND oex.n_id = ap.n_id
+           GROUP BY oex.q_id)"""
+           }.mkString(",")}
+         SELECT 'balanced' AS layout, q_id, n_hits, recall_at_3 FROM abrec
+         UNION ALL
+         SELECT 'identity' AS layout, q_id, n_hits, recall_at_3 FROM airec
+         ORDER BY layout, q_id""",
+    // DSIR retrain trigger: q193's frozen-model chain with per-source
+    // keep counts on both slices, two-bucket PSI on the keep decision
+    "q198_dsir_drift" -> s"""
+         WITH drw AS (SELECT doc_id, source, $duckNormWords AS words
+           FROM documents),
+         drp AS (SELECT doc_id, source, words,
+             unnest(generate_series(1, len(words) - 1)) AS i
+           FROM drw WHERE len(words) >= 2),
+         dro AS (SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2') AS is_delta,
+             ${duckBucketMod("md5(words[i] || ' ' || words[i+1])", 128)} AS b
+           FROM drp),
+         drt AS (SELECT b,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_n,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r_n
+           FROM dro WHERE NOT is_delta GROUP BY b),
+         drs AS (SELECT unnest(generate_series(0, 127)) AS b),
+         drf AS (SELECT s.b, COALESCE(t.t_n, 0) AS t_n,
+             COALESCE(t.r_n, 0) AS r_n
+           FROM drs s LEFT JOIN drt t USING (b)),
+         drl AS (SELECT b, round(
+             ln((t_n + 1.0) / ((SUM(t_n) OVER ()) + 128.0))
+             - ln((r_n + 1.0) / ((SUM(r_n) OVER ()) + 128.0)), 6) AS llr
+           FROM drf),
+         drbw AS (SELECT o.doc_id, o.source, round(SUM(l.llr), 6) AS log_w
+           FROM dro o JOIN drl l USING (b)
+           WHERE NOT o.is_delta AND o.source <> 'src0'
+           GROUP BY o.doc_id, o.source),
+         drct AS (SELECT round(quantile_cont(log_w, 0.8), 6) AS cut FROM drbw),
+         drdw AS (SELECT o.doc_id, o.source, round(SUM(l.llr), 6) AS log_w
+           FROM dro o JOIN drl l USING (b)
+           WHERE o.is_delta AND o.source <> 'src0'
+           GROUP BY o.doc_id, o.source),
+         drb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_base,
+             CAST(SUM(CASE WHEN log_w >= cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_base
+           FROM drbw CROSS JOIN drct GROUP BY source),
+         drd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_delta,
+             CAST(SUM(CASE WHEN log_w >= cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_delta
+           FROM drdw CROSS JOIN drct GROUP BY source),
+         drj AS (SELECT b.source, b.n_base, b.kept_base,
+             d.n_delta, d.kept_delta,
+             (b.kept_base + 1.0) / (b.n_base + 2.0) AS pbk,
+             (d.kept_delta + 1.0) / (d.n_delta + 2.0) AS pdk
+           FROM drb b JOIN drd d USING (source)),
+         drj2 AS (SELECT source, n_base, kept_base, n_delta, kept_delta,
+             round((pdk - pbk) * ln(pdk / pbk)
+               + ((1.0 - pdk) - (1.0 - pbk))
+                 * ln((1.0 - pdk) / (1.0 - pbk)), 6) AS psi
+           FROM drj)
+         SELECT source, n_base, kept_base,
+           round(CAST(kept_base AS DOUBLE) / n_base, 6) AS keep_base,
+           n_delta, kept_delta,
+           round(CAST(kept_delta AS DOUBLE) / n_delta, 6) AS keep_delta,
+           psi, CAST(CASE WHEN psi >= 0.1 THEN 1 ELSE 0 END AS INT) AS retrain
+         FROM drj2 ORDER BY source""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * long — before the audited exact re-score plan exists; q189/q190
   * run their whole micro-batch ingest loops at build time, q179's
   * shape, and the audited plans are the merged-sketch report and the
-  * exact re-score),
+  * exact re-score; q197 collects the two q184 trained codebooks at
+  * build time — opqRefined's memoized 1024-double artifacts),
   * and the persisted-artifact consumers (dedupDropSets for
   * q113/q117/q124/q138, corpusSignatures, the owner/count tables),
   * whose first cold-session plan build writes the artifact and whose
@@ -38,12 +39,28 @@ import org.apache.spark.sql.functions._
   */
 class PlanAuditSpec extends SparkSpec {
 
-  test("registry sweep: no cartesian / unexpected BNLJ / plan error in any query") {
-    val rs = PlanAudit.sweep(spark, sf0001)
-    // the sweep must actually cover the registry (guards a refactor
-    // that silently empties the query map)
-    assert(rs.size == SparkEntry.queries.size)
-    assert(rs.size >= 100, s"registry unexpectedly small: ${rs.size}")
+  test("registry sweep: no cartesian / unexpected BNLJ / plan error " +
+      "(pure plan-construction half)") {
+    val fast = SparkEntry.queries.view
+      .filterKeys(!PlanAudit.eagerAtBuild(_)).toMap
+    // the two halves must exactly tile the registry (guards a renamed
+    // query silently dropping out of both sweeps)
+    assert(PlanAudit.eagerAtBuild.subsetOf(SparkEntry.queries.keySet),
+      "eagerAtBuild names a query that is not registered")
+    assert(fast.size + PlanAudit.eagerAtBuild.size == SparkEntry.queries.size)
+    assert(fast.size >= 100, s"registry unexpectedly small: ${fast.size}")
+    val rs = PlanAudit.sweep(spark, sf0001, fast)
+    val bad = PlanAudit.failures(rs)
+    assert(bad.isEmpty, "plan audit failures:\n" +
+      bad.map { case (n, v, d) => s"  $n: $v $d" }.mkString("\n"))
+  }
+
+  test("registry sweep: eager-at-build half (ingest loops, trainings)",
+      SlowPlanAudit) {
+    val eager = SparkEntry.queries.view
+      .filterKeys(PlanAudit.eagerAtBuild).toMap
+    val rs = PlanAudit.sweep(spark, sf0001, eager)
+    assert(rs.size == PlanAudit.eagerAtBuild.size)
     val bad = PlanAudit.failures(rs)
     assert(bad.isEmpty, "plan audit failures:\n" +
       bad.map { case (n, v, d) => s"  $n: $v $d" }.mkString("\n"))
