@@ -65,7 +65,8 @@ object PlanAudit {
     "q188_decon_cost" -> "one-row scalar crossJoins composing each remedy-cost row from its bounded count/sum aggregates (q150's fenced pattern) — three 5-column rows total",
     "q193_dsir_ingest" -> "one-row frozen-cut scalar crossJoin onto the delta weight frame (q185's fenced pattern); the base-trained llr table is a 128-row broadcast equi-join",
     "q197_opq_recall" -> "brute-force exact-IP truth side (q136's fenced design) + bounded centroid assignment for each layout's trained-codebook ADC side",
-    "q198_dsir_drift" -> "one-row frozen-cut scalar crossJoin onto each slice's weight frame (q193's fenced pattern, once per side); the llr table is a 128-row broadcast equi-join")
+    "q198_dsir_drift" -> "one-row frozen-cut scalar crossJoin onto each slice's weight frame (q193's fenced pattern, once per side); the llr table is a 128-row broadcast equi-join",
+    "q199_decon_safety" -> "16-row broadcast centroid frame twice (q86/q182's fan-out: once for the safety stats, once inside the capped contamination side); the flag join is cell-keyed")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -635,6 +635,29 @@ object Similarity {
       .filter(col("cell_size") > cellCap)
   }
 
+  /** The [[semanticContamination]] pre-flight gate (ADVICE r13), per
+    * IVF cell: total population (the cap's own base — post-assignment,
+    * pre-norm-filter, exactly what the valve measures) SPLIT by held
+    * side. The decon cap silently drops whole over-cap cells, so
+    * `n_held` inside an over-cap cell is held mass the filter never
+    * screened — the deployment rule is: zero over-cap cells, or
+    * re-center / raise the cap / exact-check the hot cell before
+    * trusting the decon output. Same bounded 16-row centroid fan-out
+    * as [[hotCells]]; one keyed aggregate, no pair work.
+    */
+  def cellSafetyStats(corpus: DataFrame, idCol: String, vecCol: String,
+      heldSide: Column => Column, nCells: Int = 16): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
+      "id", "vec", cents, 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_size"),
+        sum(when(heldSide(col("id")), 1L).otherwise(0L)).as("n_held"),
+        sum(when(!heldSide(col("id")), 1L).otherwise(0L)).as("n_train"))
+  }
+
   // ================= Product quantization (IVF-PQ) =================
 
   /** Component i of PQ sub-codebook centroid `c` in subspace `sub`

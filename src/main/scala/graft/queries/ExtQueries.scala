@@ -5815,6 +5815,37 @@ object ExtQueries {
           col("psi"),
           when(col("psi") >= 0.1, 1).otherwise(0).cast("int").as("retrain"))
         .orderBy(col("source"))
+    }),
+
+    // ---- the decon SAFETY report (ADVICE r13 operationalized): the
+    //      cell cap silently drops whole over-cap cells from semantic
+    //      decontamination, and for a SAFETY filter a collapsed cell
+    //      is exactly where contaminated mass concentrates — so this
+    //      row set makes the drop visible instead of documented: per
+    //      cell, population split by held side, the over-cap flag at
+    //      the decon run's own cap, the flags the CAPPED run actually
+    //      emitted from that cell, and `held_unscreened` — held mass
+    //      inside a dropped cell, i.e. leaks the filter never looked
+    //      at. Run on the collapsed-embedding rehearsal (q178's
+    //      fixture, rehearsal cap 100) so the engaged regime is the
+    //      one gated: the hot cell ships over_cap=1, n_flags=0, and
+    //      every one of its held vectors unscreened. Deployment rule:
+    //      held_unscreened must be 0 before trusting q182's output ----
+    "q199_decon_safety" -> ((s, d) => {
+      def isHeld(idc: Column): Column =
+        substring(md5(idc.cast("string")), 1, 1) === "0"
+      val emb = skewedEmb(s, d)
+      val stats = Similarity.cellSafetyStats(emb, "vec_id", "embedding", isHeld)
+      val flags = Similarity.semanticContamination(emb, "vec_id", "embedding",
+          isHeld, tau = 0.4, cellCap = 100)
+        .groupBy(col("cell")).agg(count(lit(1)).as("nf"))
+      stats.join(flags, Seq("cell"), "left")
+        .select(col("cell"), col("cell_size"), col("n_held"), col("n_train"),
+          when(col("cell_size") > 100, 1L).otherwise(0L).as("over_cap"),
+          coalesce(col("nf"), lit(0L)).as("n_flags"),
+          when(col("cell_size") > 100, col("n_held")).otherwise(0L)
+            .as("held_unscreened"))
+        .orderBy(col("cell"))
     }))
 
   private def duckToks(expr: String) =
@@ -9206,7 +9237,55 @@ object ExtQueries {
            n_delta, kept_delta,
            round(CAST(kept_delta AS DOUBLE) / n_delta, 6) AS keep_delta,
            psi, CAST(CASE WHEN psi >= 0.1 THEN 1 ELSE 0 END AS INT) AS retrain
-         FROM drj2 ORDER BY source""")
+         FROM drj2 ORDER BY source""",
+    // decon safety: q178's skewed-fixture assignment split by held
+    // side, the capped cross-side contamination replay (q182's chain
+    // at the engaged rehearsal cap), and the unscreened-held account
+    "q199_decon_safety" -> s"""
+         WITH skcents(cell, cvec) AS (VALUES $ivfCentroids),
+         ske0 AS (SELECT vec_id AS id,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+               THEN list_transform(generate_series(1, 64), x -> 1.0::DOUBLE)
+               ELSE embedding::DOUBLE[] END AS vec
+           FROM embeddings),
+         ska0 AS (SELECT id, vec FROM ske0
+           WHERE vec IS NOT NULL AND len(vec) > 0),
+         skasg AS (SELECT id, vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM ska0, skcents),
+         skcl AS (SELECT id, vec, cell FROM skasg WHERE rn = 1),
+         sksz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size,
+             CAST(SUM(CASE WHEN substr(md5(id::VARCHAR), 1, 1) = '0'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+             CAST(SUM(CASE WHEN substr(md5(id::VARCHAR), 1, 1) <> '0'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+           FROM skcl GROUP BY 1),
+         skc AS (SELECT skcl.id, skcl.vec, skcl.cell,
+             sqrt(list_inner_product(skcl.vec, skcl.vec)) AS nrm
+           FROM skcl JOIN sksz ON skcl.cell = sksz.cell
+           WHERE sksz.cell_size <= 100
+             AND list_inner_product(skcl.vec, skcl.vec) > 0),
+         skt AS (SELECT id, vec, cell, nrm FROM skc
+           WHERE substr(md5(id::VARCHAR), 1, 1) <> '0'),
+         skh AS (SELECT id, vec, cell, nrm FROM skc
+           WHERE substr(md5(id::VARCHAR), 1, 1) = '0'),
+         skp AS (SELECT t.cell, t.id AS vec_id, h.id AS held_id,
+             list_inner_product(t.vec, h.vec) / (t.nrm * h.nrm) AS sim
+           FROM skt t JOIN skh h ON t.cell = h.cell),
+         ske AS (SELECT cell, vec_id, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY round(sim, 6) DESC, held_id) AS rn
+           FROM skp WHERE round(sim, 6) >= 0.4),
+         skf AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_flags
+           FROM ske WHERE rn = 1 GROUP BY 1)
+         SELECT z.cell, z.cell_size, z.n_held, z.n_train,
+           CAST(z.cell_size > 100 AS BIGINT) AS over_cap,
+           COALESCE(f.n_flags, 0) AS n_flags,
+           CASE WHEN z.cell_size > 100 THEN z.n_held ELSE 0 END
+             AS held_unscreened
+         FROM sksz z LEFT JOIN skf f USING (cell) ORDER BY z.cell""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

@@ -142,4 +142,35 @@ class Wave17Spec extends SparkSpec {
       assert(math.abs(psi - expect) < 1e-6, s"${r.getString(0)} psi replay")
     }
   }
+
+  test("q199 decon safety: the engaged cap's silent drop is visible " +
+      "and accounted") {
+    val rows = SparkEntry.queries("q199_decon_safety")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val over = rows.filter(_._5 == 1L)
+    // the rehearsal must ENGAGE: the collapsed stamp concentrates ~half
+    // the corpus into one argmax cell, far over the rehearsal cap
+    assert(over.nonEmpty, "no over-cap cell — the rehearsal is vacuous")
+    over.foreach { case (cell, size, held, _, _, flags, unscreened) =>
+      assert(size > 100, s"cell $cell flagged over-cap at size $size")
+      assert(flags == 0L, s"over-cap cell $cell emitted flags — the valve " +
+        "did not drop it")
+      assert(unscreened == held, s"cell $cell unscreened-held accounting")
+      assert(held > 0L, s"cell $cell holds no held mass — the safety " +
+        "story is vacuous")
+    }
+    rows.filter(_._5 == 0L).foreach { case (cell, size, held, train, _, _, u) =>
+      assert(size <= 100 && u == 0L, s"cell $cell under-cap accounting")
+      assert(held + train == size, s"cell $cell side split")
+    }
+    // the per-cell flag counts must total the capped run's output
+    val direct = graft.ext.Similarity.semanticContamination(
+      graft.queries.ExtQueries.skewedEmb(spark, sf0001), "vec_id", "embedding",
+      idc => substring(md5(idc.cast("string")), 1, 1) === "0",
+      tau = 0.4, cellCap = 100).count()
+    assert(rows.map(_._6).sum == direct, "flag totals diverge from the " +
+      "capped contamination run")
+  }
 }
