@@ -5846,6 +5846,23 @@ object ExtQueries {
           when(col("cell_size") > 100, col("n_held")).otherwise(0L)
             .as("held_unscreened"))
         .orderBy(col("cell"))
+    }),
+
+    // ---- the FFD packer in the TRAINING currency: q195's fold priced
+    //      by the q96-trained BPE token counts instead of whitespace
+    //      words (q125 did the same currency swap for the q61 budget
+    //      packer) — proving the packer is token-model-agnostic: BPE
+    //      fertility (~1.3 tokens/word on this corpus) inflates every
+    //      size, so the layout genuinely differs from q195's. Fixture
+    //      docs stay under the 512 budget in both currencies; the
+    //      truncation branch is pinned by Wave17Spec's hand-computed
+    //      toy fold. Same manifest schema as q195; the oracle replays
+    //      the fold over the shared BPE encode CTEs ----
+    "q200_bpe_ffd" -> ((s, d) => {
+      val docs = bpeEncoded(s, d)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      ffdPack(docs).orderBy(col("doc_id"))
     }))
 
   private def duckToks(expr: String) =
@@ -6051,10 +6068,11 @@ object ExtQueries {
     * otherwise re-inlines (and re-pays) the tokenizing regexp on
     * every iteration.
     */
-  private def ffdFoldSqlFor(px: String): String = s"""
-         ${px}d AS MATERIALIZED (SELECT doc_id, source,
+  private def ffdFoldSqlFor(px: String,
+      tokensSql: String = s"""SELECT doc_id, source,
              CAST(len($duckNormWords) AS BIGINT) AS n_tokens
-           FROM documents),
+           FROM documents"""): String = s"""
+         ${px}d AS MATERIALIZED ($tokensSql),
          ${px}f AS MATERIALIZED (SELECT doc_id, source, n_tokens,
              LEAST(n_tokens, 512) AS t,
              ROW_NUMBER() OVER (PARTITION BY source
@@ -9285,7 +9303,17 @@ object ExtQueries {
            COALESCE(f.n_flags, 0) AS n_flags,
            CASE WHEN z.cell_size > 100 THEN z.n_held ELSE 0 END
              AS held_unscreened
-         FROM sksz z LEFT JOIN skf f USING (cell) ORDER BY z.cell""")
+         FROM sksz z LEFT JOIN skf f USING (cell) ORDER BY z.cell""",
+    // BPE-priced FFD: the same recursive fold over the shared BPE
+    // encode CTEs' token counts (q125's currency swap for q195)
+    "q200_bpe_ffd" -> s"""
+         WITH RECURSIVE $bpeEncodeCtes,
+         ${ffdFoldSqlFor("bf",
+           """SELECT doc_id, source,
+             CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens FROM enc""")}
+         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
+           t AS n_kept, n_tokens - t AS n_dropped
+         FROM bffold WHERE doc_id IS NOT NULL ORDER BY doc_id""")
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

@@ -48,8 +48,13 @@ class Wave17Spec extends SparkSpec {
     assert(got(8L) == ("srcB", 10L, 1L, 0L, 10L, 0L))
   }
 
-  test("q195 FFD manifest: conservation, no overflow, contiguous offsets") {
-    val rows = SparkEntry.queries("q195_pack_ffd")(spark, sf0001).collect()
+  /** The FFD manifest invariants, shared by the word-priced (q195) and
+    * BPE-priced (q200) packers: never split, conservation under the
+    * truncation rule, no bin overflow, contiguous offsets, contiguous
+    * sequence ids.
+    */
+  private def assertFfdManifest(queryName: String): Unit = {
+    val rows = SparkEntry.queries(queryName)(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.nonEmpty)
@@ -76,6 +81,14 @@ class Wave17Spec extends SparkSpec {
       assert(seqs.head == 0L && seqs.last == seqs.length - 1L,
         s"$src seq ids not contiguous")
     }
+  }
+
+  test("q195 FFD manifest: conservation, no overflow, contiguous offsets") {
+    assertFfdManifest("q195_pack_ffd")
+  }
+
+  test("q200 BPE-priced FFD: same invariants in the training currency") {
+    assertFfdManifest("q200_bpe_ffd")
   }
 
   test("q196 comparison: FFD spans nothing, waste identities hold") {
