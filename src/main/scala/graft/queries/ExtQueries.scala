@@ -5693,10 +5693,13 @@ object ExtQueries {
     //      Two bounded per-source aggregates over the two manifests ----
     "q196_pack_compare" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      // two consumers (the chunking window and the FFD fold) of the
+      // tokenized frame — persist so the doc scan + tokenization runs
+      // once (q64's policy switch applies at corpus scale)
+      val docs = graft.util.Persist(Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0)
+        .filter(col("n_tokens") > 0))
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val cc = docs
