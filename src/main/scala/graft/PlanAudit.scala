@@ -83,10 +83,9 @@ object PlanAudit {
     "q141_incremental_clusters", "q142_cluster_ingest_chain",
     "q144_stream_clusters", "q149_stream_spans", "q160_stream_containment",
     "q171_ledger_chain", "q172_maintained_card", "q173_maintained_diff",
-    "q174_ledger_bloom", "q179_stream_ledger", "q183_aniso_audit",
-    "q184_opq_gain", "q186_heavy_hitters", "q188_decon_cost",
-    "q189_stream_histogram", "q190_stream_heavy_hitters",
-    "q193_dsir_ingest", "q197_opq_recall")
+    "q179_stream_ledger", "q183_aniso_audit", "q184_opq_gain",
+    "q186_heavy_hitters", "q189_stream_histogram",
+    "q190_stream_heavy_hitters", "q197_opq_recall")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

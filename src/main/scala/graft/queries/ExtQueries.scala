@@ -1523,9 +1523,15 @@ object ExtQueries {
     * fixture-scale form of the standard max-segment-tree over bin
     * remainders (leftmost bin with remaining ≥ t in O(log bins)).
     */
-  private[graft] def ffdPack(docs: DataFrame, budget: Long = 512L): DataFrame = {
+  private[graft] def ffdPack(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // the 512-token budget is the registry-wide packing constant
+    // (q61/q192/q194 and the recursive-CTE oracle all hardcode it) —
+    // deliberately NOT a parameter here: a per-call budget would
+    // silently diverge from the oracle fold and the q196 waste
+    // arithmetic, which carry the same literal
+    val budget = 512L
     val prepared = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         col("source").cast("string").as("source"),
@@ -5750,8 +5756,12 @@ object ExtQueries {
       val identity: Seq[Int] = 0 until 64
       val aniso = anisoEmb(s, d)
       val q = aniso.filter(col("vec_id") < 50)
-      val exact = Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
-        .select(col("q_id"), col("n_id"))
+      // BOTH layout branches of the union join against the truth side —
+      // persist it so the fenced 50×corpus exact-IP ranking (the row's
+      // dominant scan) runs once, not once per branch
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+          .select(col("q_id"), col("n_id")))
       def side(name: String, perm: Seq[Int]) = {
         val cb = opqRefined(s, d, name, perm).groupBy(_._1)
           .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
