@@ -1497,7 +1497,10 @@ object ExtQueries {
         round(sum(col("n") * col("llr")), 6).as("log_w"))
 
   /** Boundary-respecting sequence packer — greedy first-fit-decreasing
-    * over WHOLE documents (the loader practice q194's purity report
+    * (the classic FFD bin-packing heuristic, Johnson 1973, applied to
+    * training-sequence assembly as in Krell et al. 2022, "Efficient
+    * Sequence Packing without Cross-contamination") over WHOLE
+    * documents (the loader practice q194's purity report
     * motivates: a doc never splits across training sequences, so no
     * sequence carries a truncated doc fragment; a doc longer than the
     * budget is TRUNCATED to exactly one full sequence — the
