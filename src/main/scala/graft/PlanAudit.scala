@@ -66,7 +66,8 @@ object PlanAudit {
     "q193_dsir_ingest" -> "one-row frozen-cut scalar crossJoin onto the delta weight frame (q185's fenced pattern); the base-trained llr table is a 128-row broadcast equi-join",
     "q197_opq_recall" -> "brute-force exact-IP truth side (q136's fenced design) + bounded centroid assignment for each layout's trained-codebook ADC side",
     "q198_dsir_drift" -> "one-row frozen-cut scalar crossJoin onto each slice's weight frame (q193's fenced pattern, once per side); the llr table is a 128-row broadcast equi-join",
-    "q199_decon_safety" -> "16-row broadcast centroid frame twice (q86/q182's fan-out: once for the safety stats, once inside the capped contamination side); the flag join is cell-keyed")
+    "q199_decon_safety" -> "16-row broadcast centroid frame twice (q86/q182's fan-out: once for the safety stats, once inside the capped contamination side); the flag join is cell-keyed",
+    "q201_lsh_band_sweep" -> "q114's fenced exact truth side (bounded ~3.4% sample broadcast) shared by all three rows, plus one-row scalar crossJoins composing each sweep row; every candidate join is (band, sigkey)-keyed")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -94,6 +94,31 @@ object Dedup {
       .filter(col("minhash").isNotNull)
   }
 
+  /** [[bandedSignatures]] generalized over rows-per-band r ∈ {1, 2, 4}:
+    * the 16 nibble minima regrouped into 16/r bands of r, band j
+    * reading minima (j, j + 16/r, j + 2·16/r, …) — the (b, r) knob of
+    * the LSH S-curve (P[candidate] = 1 − (1 − s^r)^b; Leskovec et al.,
+    * "Mining of Massive Datasets" ch. 3). r = 2 with its (j, j+8)
+    * pairing is exactly [[bandedSignatures]]'s production scheme;
+    * r = 1 is the raw 16-band high-recall end; r = 4 the high-
+    * precision end. A band key exists only when ALL r minima are
+    * present (the [[bandedSignatures]] null guard at every r).
+    */
+  def bandedSignaturesR(df: DataFrame, textCol: String, idCol: String,
+      r: Int, k: Int = 8): DataFrame = {
+    require(Set(1, 2, 4).contains(r), s"unsupported rows-per-band $r")
+    val nBands = 16 / r
+    val sig = df.select(col(idCol).as("doc_id"),
+      minhashBands(col(textCol), k).as("mh"))
+    val keys = (0 until nBands).map { j =>
+      val parts = (0 until r).map(t => element_at(col("mh"), j + t * nBands + 1))
+      when(parts.map(_.isNotNull).reduce(_ && _), concat_ws("#", parts: _*))
+    }
+    sig.select(col("doc_id"),
+        posexplode(array(keys: _*)).as(Seq("band", "minhash")))
+      .filter(col("minhash").isNotNull)
+  }
+
   /** Candidate near-dup pairs: bucket-group on (band, minhash) and
     * emit ordered pairs within each bucket — never a cross product.
     * `n_bands` = how many bands collide (16 with raw

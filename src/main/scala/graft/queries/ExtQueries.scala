@@ -5879,6 +5879,64 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"))
         .filter(col("n_tokens") > 0)
       ffdPack(docs).orderBy(col("doc_id"))
+    }),
+
+    // ---- the LSH BANDING sweep — the missing knob in the calibration
+    //      set (q102 precision, q114 recall, q118 tau, q121 nProbe,
+    //      q126 merges, q116 threshold): the (b, r) S-curve itself.
+    //      One row per rows-per-band r ∈ {1, 2, 4} over the SAME 16
+    //      nibble minima ([[Dedup.bandedSignaturesR]]): candidate pair
+    //      count, precision against the 3-gram-Jaccard ≥ 0.5 verify
+    //      (q102's rule), and recall against the fenced sampled exact
+    //      truth (q114's design, ONE truth side shared by all three
+    //      rows). Candidate sets are nested by construction
+    //      (r=4 ⊆ r=2 ⊆ r=1 — an r-band match implies every sub-band
+    //      match), so pairs and recall are monotone in r; Wave17Spec
+    //      pins both monotonicities and r=2 ≡ the production scheme.
+    //      Cost: the signature scan runs once per banding but each is
+    //      one bucket-keyed shuffle; the truth side is the q114 fenced
+    //      broadcast ----
+    "q201_lsh_band_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pre = graft.util.Persist(docs.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("pre")))
+      val sample = pre.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
+      val truth = graft.util.Persist(pre.crossJoin(broadcast(sample))
+        .filter(col("doc_id") =!= col("q_id"))
+        .filter(Dedup.ngramJaccard(col("q_pre"), col("pre"), 3) >= 0.5)
+        .select(col("q_id"), col("doc_id").as("n_id")))
+      def rowFor(r: Int) = {
+        val cand = graft.util.Persist(Dedup.minhashCandidates(
+            Dedup.bandedSignaturesR(docs, "text", "doc_id", r))
+          .select(col("a_id"), col("b_id")))
+        val prec = cand
+          .join(pre.select(col("doc_id").as("a_id"), col("pre").as("a_pre")),
+            Seq("a_id"))
+          .join(pre.select(col("doc_id").as("b_id"), col("pre").as("b_pre")),
+            Seq("b_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum((Dedup.ngramJaccard(col("a_pre"), col("b_pre"), 3)
+              >= 0.5).cast("long")), lit(0L)).as("n_verified"))
+        val candDir = cand.select(col("a_id").as("q_id"), col("b_id").as("n_id"))
+          .unionByName(cand.select(col("b_id").as("q_id"), col("a_id").as("n_id")))
+          .filter(col("q_id") % 29 === 0)
+          .withColumn("hit", lit(1))
+        val rec = truth.join(candDir, Seq("q_id", "n_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_found"))
+        prec.crossJoin(rec)
+          .select(lit(r).cast("long").as("rows_per_band"),
+            lit(16 / r).cast("long").as("n_bands"),
+            col("n_pairs"), col("n_verified"),
+            when(col("n_pairs") === 0, 0.0)
+              .otherwise(round(col("n_verified").cast("double") /
+                col("n_pairs"), 6)).as("lsh_precision"),
+            col("n_truth"), col("n_found"),
+            round(col("n_found").cast("double") / col("n_truth"), 6)
+              .as("lsh_recall"))
+      }
+      rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(4))
+        .orderBy(col("rows_per_band"))
     }))
 
   private def duckToks(expr: String) =
@@ -6116,6 +6174,51 @@ object ExtQueries {
            LATERAL (SELECT NULLIF(list_position(
              list_transform(f.rem, x -> x >= d.t), true), 0) AS fit) l
          )"""
+
+  /** One rows-per-band leg of the q201 banding-sweep oracle: band keys
+    * over the shared `swpiv` nibble-minima pivot (NULL propagates
+    * through `||`, mirroring [[graft.ext.Dedup.bandedSignaturesR]]'s
+    * all-present guard), the capped bucket join, distinct candidate
+    * pairs, and the q102-precision / q114-recall aggregates against
+    * the shared `swg`/`swtruth` sides.
+    */
+  private def bandSweepSqlFor(px: String, r: Int): String = {
+    val nBands = 16 / r
+    val keys = (0 until nBands).map { j =>
+      (0 until r).map(t => s"b${j + t * nBands}").mkString(" || '#' || ") +
+        s" AS k$j"
+    }.mkString(", ")
+    val karr = (0 until nBands).map(j => s"k$j").mkString("[", ", ", "]")
+    s"""${px}keyed AS (SELECT doc_id, $keys FROM swpiv),
+         ${px}lng0 AS (SELECT doc_id,
+             unnest(generate_series(0, ${nBands - 1})) AS band,
+             unnest($karr) AS sigkey FROM ${px}keyed),
+         ${px}lng AS (SELECT l.doc_id, l.band, l.sigkey FROM ${px}lng0 l
+           JOIN (SELECT band, sigkey, COUNT(*) AS bs
+                 FROM ${px}lng0 WHERE sigkey IS NOT NULL GROUP BY 1, 2) s
+           ON l.band = s.band AND l.sigkey = s.sigkey
+           WHERE l.sigkey IS NOT NULL AND s.bs <= 10000),
+         ${px}cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM ${px}lng a JOIN ${px}lng b ON a.band = b.band
+             AND a.sigkey = b.sigkey AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         ${px}prec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_verified
+           FROM (SELECT
+               CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / CAST(len(ga.grams) + len(gb.grams)
+                 - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jac
+             FROM ${px}cand c JOIN swg ga ON c.a_id = ga.doc_id
+             JOIN swg gb ON c.b_id = gb.doc_id) t),
+         ${px}cdir AS (SELECT a_id AS q_id, b_id AS n_id FROM ${px}cand
+             WHERE a_id % 29 = 0
+           UNION ALL SELECT b_id, a_id FROM ${px}cand WHERE b_id % 29 = 0),
+         ${px}rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(c.n_id) AS BIGINT) AS n_found
+           FROM swtruth t LEFT JOIN ${px}cdir c
+             ON t.q_id = c.q_id AND t.n_id = c.n_id)"""
+  }
 
   /** The exact heavy-hitter set (share ≥ 1 %) over the stamped
     * corpus's positional gram stream — shared VERBATIM by q186 (batch
@@ -9329,7 +9432,47 @@ object ExtQueries {
              CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens FROM enc""")}
          SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
            t AS n_kept, n_tokens - t AS n_dropped
-         FROM bffold WHERE doc_id IS NOT NULL ORDER BY doc_id""")
+         FROM bffold WHERE doc_id IS NOT NULL ORDER BY doc_id""",
+    // LSH banding sweep: one shared nibble-minima pivot + one shared
+    // exact truth side, then the q102 precision and q114 recall
+    // chains instantiated per rows-per-band
+    "q201_lsh_band_sweep" -> {
+      val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
+        s"MIN(minhash) FILTER (band = '$h') AS b$i"
+      }.mkString(", ")
+      s"""
+         WITH swpos AS (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+           FROM documents),
+         swsh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+           FROM swpos),
+         swsig AS (SELECT doc_id, substr(md5(shingle), 1, 1) AS band,
+           MIN(md5(shingle)) AS minhash FROM swsh GROUP BY 1, 2),
+         swpiv AS (SELECT doc_id, $cols FROM swsig GROUP BY doc_id),
+         swgpos AS (SELECT doc_id, substr(text, 1, 120) AS pre,
+             unnest(generate_series(1,
+               greatest(len(substr(text, 1, 120)) - 2, 1))) AS i
+           FROM documents),
+         swg AS (SELECT doc_id, list(DISTINCT substr(pre, i, 3)) AS grams
+           FROM swgpos GROUP BY 1),
+         swtruth AS (SELECT gq.doc_id AS q_id, go.doc_id AS n_id
+           FROM swg gq JOIN swg go
+             ON gq.doc_id % 29 = 0 AND go.doc_id <> gq.doc_id
+           WHERE CAST(len(list_intersect(gq.grams, go.grams)) AS DOUBLE) /
+             CAST(len(gq.grams) + len(go.grams)
+               - len(list_intersect(gq.grams, go.grams)) AS DOUBLE) >= 0.5),
+         ${Seq(1, 2, 4).map(r => bandSweepSqlFor(s"sw$r", r)).mkString(",")}
+         SELECT * FROM (${Seq(1, 2, 4).map(r => s"""
+           SELECT CAST($r AS BIGINT) AS rows_per_band,
+             CAST(${16 / r} AS BIGINT) AS n_bands, p.n_pairs, p.n_verified,
+             CASE WHEN p.n_pairs = 0 THEN 0.0
+               ELSE round(CAST(p.n_verified AS DOUBLE) / p.n_pairs, 6) END
+               AS lsh_precision,
+             r.n_truth, r.n_found,
+             round(CAST(r.n_found AS DOUBLE) / r.n_truth, 6) AS lsh_recall
+           FROM sw${r}prec p CROSS JOIN sw${r}rec r""").mkString(" UNION ALL ")})
+         ORDER BY rows_per_band"""
+    })
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

@@ -186,4 +186,29 @@ class Wave17Spec extends SparkSpec {
     assert(rows.map(_._6).sum == direct, "flag totals diverge from the " +
       "capped contamination run")
   }
+
+  test("q201 banding sweep: nested candidate sets, r=2 is the " +
+      "production scheme") {
+    val rows = SparkEntry.queries("q201_lsh_band_sweep")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    // an r-band match implies every sub-band match, so candidate sets
+    // nest (r=4 ⊆ r=2 ⊆ r=1): pairs and found counts are monotone
+    assert(rows(1L)._1 >= rows(2L)._1 && rows(2L)._1 >= rows(4L)._1,
+      "pair counts not monotone in banding")
+    assert(rows(1L)._5 >= rows(2L)._5 && rows(2L)._5 >= rows(4L)._5,
+      "recall hits not monotone in banding")
+    // one shared truth side: identical denominators on every row
+    assert(rows.values.map(_._4).toSet.size == 1, "truth side diverged")
+    // the r=2 leg IS the production bandedSignatures scheme
+    val prodPairs = graft.ext.Dedup.minhashCandidates(
+      graft.ext.Dedup.bandedSignatures(
+        graft.util.Tables.documents(spark, sf0001), "text", "doc_id"))
+      .count()
+    assert(rows(2L)._1 == prodPairs, "r=2 diverged from bandedSignatures")
+    // non-vacuous at the high-recall end
+    assert(rows(1L)._1 > 0L)
+  }
 }
