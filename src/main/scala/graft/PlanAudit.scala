@@ -67,7 +67,8 @@ object PlanAudit {
     "q197_opq_recall" -> "brute-force exact-IP truth side (q136's fenced design) + bounded centroid assignment for each layout's trained-codebook ADC side",
     "q198_dsir_drift" -> "one-row frozen-cut scalar crossJoin onto each slice's weight frame (q193's fenced pattern, once per side); the llr table is a 128-row broadcast equi-join",
     "q199_decon_safety" -> "16-row broadcast centroid frame twice (q86/q182's fan-out: once for the safety stats, once inside the capped contamination side); the flag join is cell-keyed",
-    "q201_lsh_band_sweep" -> "q114's fenced exact truth side (bounded ~3.4% sample broadcast) shared by all three rows, plus one-row scalar crossJoins composing each sweep row; every candidate join is (band, sigkey)-keyed")
+    "q201_lsh_band_sweep" -> "one-row scalar crossJoins composing each sweep row (prec x rec); the truth side and per-banding candidate tables are persisted-artifact scans, every candidate join (band, sigkey)-keyed",
+    "q202_lsh_operating_point" -> "q201's one-row sweep-row crossJoins plus the one-row argmin scalar crossJoin over the 3-row theory frame (q48's pattern); the Riemann grid is a 200-row single-partition range")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -21,6 +21,14 @@ object TimeOne {
     val (name, dir) = (args(0), args(1))
     // warm
     SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    // drop the warm run's persisted frames: Bench clears the cache
+    // between runs, so an honest isolation must too — without this,
+    // artifact-heavy queries time their HOT path (q201 measured 3.5 s
+    // here vs 40.8 s under the bench protocol in round 14; the
+    // session-shared parquet artifacts legitimately stay, matching
+    // Bench's amortization, but persist() blocks must not)
+    spark.catalog.clearCache()
+    System.gc()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     println(f"TIMED ${(System.nanoTime()-t0)/1e9}%.2f s  $name")

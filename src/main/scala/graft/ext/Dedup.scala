@@ -105,16 +105,29 @@ object Dedup {
     * present (the [[bandedSignatures]] null guard at every r).
     */
   def bandedSignaturesR(df: DataFrame, textCol: String, idCol: String,
-      r: Int, k: Int = 8): DataFrame = {
+      r: Int, k: Int = 8): DataFrame =
+    bandedSignaturesFromMinima(df.select(col(idCol).as("doc_id"),
+      minhashBands(col(textCol), k).as("mh")), r)
+
+  /** [[bandedSignaturesR]]'s banding step alone, over an ALREADY
+    * MATERIALIZED minima frame `(doc_id, mh: array<string>[16])` —
+    * the key regrouping is pure array arithmetic, so callers that
+    * need several bandings of the same corpus (the q201 sweep, the
+    * production r=2 signature table) persist the minima ONCE and
+    * derive every banding from it instead of re-running the full-text
+    * shingle+minhash scan per banding (measured: the scan is ~3x the
+    * whole sweep's remaining work). r = 2 reproduces
+    * [[bandedSignatures]] exactly (same (j, j+8) pairing, same
+    * all-present null guard, same band indices).
+    */
+  def bandedSignaturesFromMinima(minima: DataFrame, r: Int): DataFrame = {
     require(Set(1, 2, 4).contains(r), s"unsupported rows-per-band $r")
     val nBands = 16 / r
-    val sig = df.select(col(idCol).as("doc_id"),
-      minhashBands(col(textCol), k).as("mh"))
     val keys = (0 until nBands).map { j =>
       val parts = (0 until r).map(t => element_at(col("mh"), j + t * nBands + 1))
       when(parts.map(_.isNotNull).reduce(_ && _), concat_ws("#", parts: _*))
     }
-    sig.select(col("doc_id"),
+    minima.select(col("doc_id"),
         posexplode(array(keys: _*)).as(Seq("band", "minhash")))
       .filter(col("minhash").isNotNull)
   }

@@ -84,8 +84,74 @@ object ExtQueries {
       s"graft_sig8_${CoreQueries.dirToken(d)}") { p =>
       // overwrite: a failed partial first write leaves the directory
       // behind, and ErrorIfExists would then fail every retry for the
-      // rest of the session instead of clobbering the partial output
-      Dedup.bandedSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+      // rest of the session instead of clobbering the partial output.
+      // Derived from the shared minima artifact (NOT raw text): the
+      // banding step is pure array arithmetic, so the session pays the
+      // full-text shingle+minhash scan exactly once across this table
+      // AND the q201 sweep's r=1/r=4 bandings.
+      Dedup.bandedSignaturesFromMinima(corpusMinima(s, d), r = 2)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The 16 per-nibble minhash minima per doc — the one full-text
+    * shingle+hash scan the whole LSH family derives from, persisted
+    * once per session ([[corpusSignatures]]' discipline one stage
+    * earlier). At corpus scale this is the table a build would
+    * version alongside the signature table: |docs| rows x 16 short
+    * strings.
+    */
+  private def corpusMinima(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_minima16_${CoreQueries.dirToken(d)}") { p =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.minhashBands(col("text"), 8).as("mh"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** One banding leg's candidate-pair table for the q201 sweep —
+    * distinct (a_id, b_id) from [[Dedup.minhashCandidates]] over the
+    * r-banded signatures, session-materialized like the signature
+    * table itself (and like the containment family's persisted pair
+    * artifact, q156/q158): a sweep's candidate tables are corpus-
+    * version artifacts a 100 TB calibration would write once and have
+    * every verify/report stage SCAN, not regenerate. The r=2 leg
+    * derives from [[corpusSignatures]] so the sweep's production row
+    * is byte-identical to the table production consumers read.
+    */
+  private def bandSweepCandidates(s: SparkSession, d: String,
+      r: Int): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_bandcand${r}_${CoreQueries.dirToken(d)}") { p =>
+      val sig = if (r == 2) corpusSignatures(s, d)
+        else Dedup.bandedSignaturesFromMinima(corpusMinima(s, d), r)
+      Dedup.minhashCandidates(sig).select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** The q114/q201 fenced exact truth side — (q_id, n_id) pairs whose
+    * 120-char-prefix 3-gram Jaccard is >= 0.5, q_id restricted to the
+    * bounded doc_id % 29 sample — written once per session: the
+    * brute-force verify pass costs one sample-broadcast streaming scan
+    * and is consumed by two registered evals (recall + sweep), three
+    * bench runs each.
+    */
+  private def lshRecallTruth(s: SparkSession, d: String): DataFrame = {
+    val dir = CoreQueries.sharedInputDir(
+      s"graft_lshtruth_${CoreQueries.dirToken(d)}") { p =>
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
+      val sample = pre.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
+      pre.crossJoin(broadcast(sample))
+        .filter(col("doc_id") =!= col("q_id"))
+        .filter(Dedup.ngramJaccard(col("q_pre"), col("pre"), 3) >= 0.5)
+        .select(col("q_id"), col("doc_id").as("n_id"))
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(dir)
@@ -1526,15 +1592,23 @@ object ExtQueries {
     * fixture-scale form of the standard max-segment-tree over bin
     * remainders (leftmost bin with remaining ≥ t in O(log bins)).
     */
+  /** The 512-token sequence budget of the FFD packing family — ONE
+    * constant interpolated into [[ffdPack]], q196's waste arithmetic,
+    * and the [[ffdFoldSqlFor]]/q196 oracle SQL (ADVICE r14: the
+    * literal was re-spelled independently at each site, defeating the
+    * "must never diverge" comment that keeps ffdPack non-parametric).
+    * Wave17Spec's conservation invariants reference it too.
+    */
+  private[graft] val packBudget = 512L
+
   private[graft] def ffdPack(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    // the 512-token budget is the registry-wide packing constant
-    // (q61/q192/q194 and the recursive-CTE oracle all hardcode it) —
+    // the budget is the registry-wide packing constant —
     // deliberately NOT a parameter here: a per-call budget would
     // silently diverge from the oracle fold and the q196 waste
-    // arithmetic, which carry the same literal
-    val budget = 512L
+    // arithmetic, which interpolate the same [[packBudget]]
+    val budget = packBudget
     val prepared = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         col("source").cast("string").as("source"),
@@ -3108,15 +3182,10 @@ object ExtQueries {
       // codegen'd expression re-shingles both 120-char prefixes per
       // pair in primitive space (6.4 s at sf0.1) and beats the
       // precomputed-gram-array + array_intersect form (32.5 s — array
-      // ops on string arrays leave codegen and allocate per call)
-      val pre = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 120).as("pre"))
-      val sample = pre.filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
-      val truth = pre.crossJoin(broadcast(sample))
-        .filter(col("doc_id") =!= col("q_id"))
-        .filter(Dedup.ngramJaccard(col("q_pre"), col("pre"), 3) >= 0.5)
-        .select(col("q_id"), col("doc_id").as("n_id"))
+      // ops on string arrays leave codegen and allocate per call).
+      // The verify pass now lives in the session-shared lshRecallTruth
+      // artifact (the q201 sweep reads the same truth side).
+      val truth = lshRecallTruth(s, d)
       val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
         .filter(col("n_bands") >= 2)
       val candDir = cand.select(col("a_id").as("q_id"), col("b_id").as("n_id"))
@@ -5714,26 +5783,27 @@ object ExtQueries {
       val cc = docs
         .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .select(col("source"), col("n_tokens"),
-          expr("off div 512").as("seq_first"),
-          expr("(off + n_tokens - 1) div 512").as("seq_last"))
+          expr(s"off div $packBudget").as("seq_first"),
+          expr(s"(off + n_tokens - 1) div $packBudget").as("seq_last"))
         .groupBy(col("source"))
         .agg(sum(col("n_tokens")).as("total_tokens"),
           sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
             .as("cc_n_spanning"))
         .select(col("source"), col("total_tokens"),
-          expr("(total_tokens + 511) div 512").as("cc_n_seqs"),
-          (expr("(total_tokens + 511) div 512") * 512 - col("total_tokens"))
-            .as("cc_waste"),
+          expr(s"(total_tokens + ${packBudget - 1}) div $packBudget")
+            .as("cc_n_seqs"),
+          (expr(s"(total_tokens + ${packBudget - 1}) div $packBudget")
+            * packBudget - col("total_tokens")).as("cc_waste"),
           col("cc_n_spanning"))
       val ffd = ffdPack(docs)
         .groupBy(col("source"))
         .agg(countDistinct(col("seq_id")).as("ffd_n_seqs"),
           sum(col("n_kept")).as("kept"),
           sum(col("n_dropped")).as("ffd_waste_trunc"),
-          sum(when(col("offset_in_seq") + col("n_kept") > 512, 1L)
+          sum(when(col("offset_in_seq") + col("n_kept") > packBudget, 1L)
             .otherwise(0L)).as("ffd_n_spanning"))
         .select(col("source"), col("ffd_n_seqs"),
-          (col("ffd_n_seqs") * 512 - col("kept")).as("ffd_waste_pad"),
+          (col("ffd_n_seqs") * packBudget - col("kept")).as("ffd_waste_pad"),
           col("ffd_waste_trunc"), col("ffd_n_spanning"))
       cc.join(ffd, Seq("source"))
         .select(col("source"), col("total_tokens"),
@@ -5850,16 +5920,22 @@ object ExtQueries {
     "q199_decon_safety" -> ((s, d) => {
       def isHeld(idc: Column): Column =
         substring(md5(idc.cast("string")), 1, 1) === "0"
+      // ONE cap constant feeds both the contamination run and the
+      // over-cap/unscreened report columns (ADVICE r14: four
+      // independent copies of the literal could silently diverge from
+      // the cap the run actually used)
+      val rehearsalCap = 100
       val emb = skewedEmb(s, d)
       val stats = Similarity.cellSafetyStats(emb, "vec_id", "embedding", isHeld)
       val flags = Similarity.semanticContamination(emb, "vec_id", "embedding",
-          isHeld, tau = 0.4, cellCap = 100)
+          isHeld, tau = 0.4, cellCap = rehearsalCap)
         .groupBy(col("cell")).agg(count(lit(1)).as("nf"))
       stats.join(flags, Seq("cell"), "left")
         .select(col("cell"), col("cell_size"), col("n_held"), col("n_train"),
-          when(col("cell_size") > 100, 1L).otherwise(0L).as("over_cap"),
+          when(col("cell_size") > rehearsalCap, 1L).otherwise(0L)
+            .as("over_cap"),
           coalesce(col("nf"), lit(0L)).as("n_flags"),
-          when(col("cell_size") > 100, col("n_held")).otherwise(0L)
+          when(col("cell_size") > rehearsalCap, col("n_held")).otherwise(0L)
             .as("held_unscreened"))
         .orderBy(col("cell"))
     }),
@@ -5893,23 +5969,83 @@ object ExtQueries {
     //      (r=4 ⊆ r=2 ⊆ r=1 — an r-band match implies every sub-band
     //      match), so pairs and recall are monotone in r; Wave17Spec
     //      pins both monotonicities and r=2 ≡ the production scheme.
-    //      Cost: the signature scan runs once per banding but each is
-    //      one bucket-keyed shuffle; the truth side is the q114 fenced
-    //      broadcast ----
-    "q201_lsh_band_sweep" -> ((s, d) => {
+    //      Cost: ONE full-text minhash scan total (the shared
+    //      corpusMinima artifact; the r=2 leg IS the production
+    //      signature table), per-banding candidate-pair tables
+    //      session-materialized once (bandSweepCandidates — the
+    //      containment family's persisted-pair-artifact policy), and
+    //      the truth side is the shared lshRecallTruth artifact q114
+    //      reads. Per-invocation work is then the verify itself:
+    //      exact 3-gram Jaccard over every candidate pair (the r=1
+    //      leg's ~5M pairs at sf0.1 ARE the row's evidence — the
+    //      high-recall end's wasted candidate budget, priced exactly).
+    //      The first cut re-ran the raw shingle+minhash scan and pair
+    //      generation per banding per invocation and rebuilt q114's
+    //      brute-force truth inline: 40.8 s cold at sf0.1 vs ~12 s
+    //      under the artifact policy (bench protocol, idle host) ----
+    "q201_lsh_band_sweep" -> ((s, d) =>
+      bandSweepRows(s, d).orderBy(col("rows_per_band"))),
+
+    // ---- the OPERATING-POINT pick the q201 sweep motivates: the
+    //      textbook S-curve error decomposition per (b, r) — FP area
+    //      (∫ below the 0.5 operating threshold of
+    //      P[cand] = 1 − (1 − s^r)^b: candidate budget spent on
+    //      non-dups) and FN area (∫ of the miss rate above it), by a
+    //      200-point midpoint Riemann sum (Leskovec et al., MMDS ch. 3
+    //      — the curve has no elementary antiderivative), joined to
+    //      the MEASURED precision/recall of the same three bandings
+    //      and argmin-picked. The powers are explicit squaring chains
+    //      ((q*q)*(q*q)…) mirrored exactly in the oracle — pow() libm
+    //      identities are not something to bet a hash gate on. One
+    //      200-row single-partition range + the sweep's shared
+    //      artifacts; the argmin is a one-row scalar crossJoin ----
+    "q202_lsh_operating_point" -> ((s, d) => {
+      val k = 200
+      def powChain(base: Column, e: Int): Column = {
+        require(e > 0 && (e & (e - 1)) == 0, s"power-of-two exponent: $e")
+        Iterator.iterate(base)(c => c * c)
+          .drop(Integer.numberOfTrailingZeros(e)).next()
+      }
+      val grid = s.range(0, k, 1, 1).select(col("id"),
+        ((col("id").cast("double") + 0.5) / k).as("sv"))
+      val theory = Seq(1, 2, 4).map { r =>
+        val b = 16 / r
+        // qb = (1 - s^r)^b is the miss rate; P[candidate] = 1 - qb.
+        // The FN sum uses qb DIRECTLY, not 1 - (1 - qb): the latter is
+        // not bitwise qb near 0 and the oracle mirrors this exact form
+        val qb = powChain(lit(1.0) - powChain(col("sv"), r), b)
+        grid.agg(
+          round(sum(when(col("id") < k / 2, lit(1.0) - qb).otherwise(0.0)) / k,
+            6).as("fp_area"),
+          round(sum(when(col("id") >= k / 2, qb).otherwise(0.0)) / k, 6)
+            .as("fn_area"))
+          .select(lit(r).cast("long").as("rows_per_band"),
+            lit(16 / r).cast("long").as("n_bands"),
+            col("fp_area"), col("fn_area"),
+            round(col("fp_area") + col("fn_area"), 6).as("total_err"))
+      }.reduce(_ unionByName _)
+      val best = theory.agg(min(col("total_err")).as("best_err"))
+      theory.crossJoin(broadcast(best))
+        .withColumn("is_chosen",
+          (col("total_err") === col("best_err")).cast("long"))
+        .drop("best_err")
+        .join(bandSweepRows(s, d).select(col("rows_per_band"), col("n_pairs"),
+          col("lsh_precision"), col("lsh_recall")), Seq("rows_per_band"))
+        .orderBy(col("rows_per_band"))
+    }))
+
+  /** The q201 banding-sweep rows (shared with q202's operating-point
+    * card): per rows-per-band r ∈ {1, 2, 4}, the candidate count,
+    * q102-style verified precision, and q114-style sampled recall,
+    * all off the session-shared minima/candidate/truth artifacts.
+    */
+  private def bandSweepRows(s: SparkSession, d: String): DataFrame = {
       val docs = Tables.documents(s, d)
       val pre = graft.util.Persist(docs.select(col("doc_id"),
         substring(col("text"), 1, 120).as("pre")))
-      val sample = pre.filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id").as("q_id"), col("pre").as("q_pre"))
-      val truth = graft.util.Persist(pre.crossJoin(broadcast(sample))
-        .filter(col("doc_id") =!= col("q_id"))
-        .filter(Dedup.ngramJaccard(col("q_pre"), col("pre"), 3) >= 0.5)
-        .select(col("q_id"), col("doc_id").as("n_id")))
+      val truth = lshRecallTruth(s, d)
       def rowFor(r: Int) = {
-        val cand = graft.util.Persist(Dedup.minhashCandidates(
-            Dedup.bandedSignaturesR(docs, "text", "doc_id", r))
-          .select(col("a_id"), col("b_id")))
+        val cand = bandSweepCandidates(s, d, r)
         val prec = cand
           .join(pre.select(col("doc_id").as("a_id"), col("pre").as("a_pre")),
             Seq("a_id"))
@@ -5932,12 +6068,14 @@ object ExtQueries {
               .otherwise(round(col("n_verified").cast("double") /
                 col("n_pairs"), 6)).as("lsh_precision"),
             col("n_truth"), col("n_found"),
-            round(col("n_found").cast("double") / col("n_truth"), 6)
-              .as("lsh_recall"))
+            // mirror the precision branch's zero guard: an empty truth
+            // sample on another fixture must read 0.0, not null
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("lsh_recall"))
       }
       rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(4))
-        .orderBy(col("rows_per_band"))
-    }))
+  }
 
   private def duckToks(expr: String) =
     s"list_filter(string_split_regex(trim(lower($expr)), '\\s+'), x -> x <> '')"
@@ -6148,9 +6286,9 @@ object ExtQueries {
            FROM documents"""): String = s"""
          ${px}d AS MATERIALIZED ($tokensSql),
          ${px}f AS MATERIALIZED (SELECT doc_id, source, n_tokens,
-             LEAST(n_tokens, 512) AS t,
+             LEAST(n_tokens, $packBudget) AS t,
              ROW_NUMBER() OVER (PARTITION BY source
-               ORDER BY LEAST(n_tokens, 512) DESC, doc_id) AS r
+               ORDER BY LEAST(n_tokens, $packBudget) DESC, doc_id) AS r
            FROM ${px}d WHERE n_tokens > 0),
          ${px}fold AS (
            SELECT source, CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS rem,
@@ -6160,14 +6298,14 @@ object ExtQueries {
            FROM (SELECT DISTINCT source FROM ${px}f)
            UNION ALL
            SELECT f.source, f.r + 1,
-             CASE WHEN l.fit IS NULL THEN list_append(f.rem, 512 - d.t)
+             CASE WHEN l.fit IS NULL THEN list_append(f.rem, $packBudget - d.t)
                ELSE f.rem[1:l.fit-1] || [f.rem[l.fit] - d.t]
                  || f.rem[l.fit+1:len(f.rem)] END,
              d.doc_id, d.n_tokens,
              CAST(CASE WHEN l.fit IS NULL THEN len(f.rem)
                ELSE l.fit - 1 END AS BIGINT),
              CAST(CASE WHEN l.fit IS NULL THEN 0
-               ELSE 512 - f.rem[l.fit] END AS BIGINT),
+               ELSE $packBudget - f.rem[l.fit] END AS BIGINT),
              d.t
            FROM ${px}fold f
            JOIN ${px}f d ON d.source = f.source AND d.r = f.r + 1,
@@ -9241,23 +9379,26 @@ object ExtQueries {
              CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS ffd_n_seqs,
              SUM(t) AS kept,
              CAST(SUM(n_tokens - t) AS BIGINT) AS ffd_waste_trunc,
-             CAST(SUM(CASE WHEN off + t > 512 THEN 1 ELSE 0 END) AS BIGINT)
-               AS ffd_n_spanning
+             CAST(SUM(CASE WHEN off + t > $packBudget THEN 1 ELSE 0 END)
+               AS BIGINT) AS ffd_n_spanning
            FROM pcfold WHERE doc_id IS NOT NULL GROUP BY 1),
          pccw AS (SELECT doc_id, source, n_tokens,
              COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
            FROM pcf),
          pccc AS (SELECT source, SUM(n_tokens) AS total_tokens,
-             CAST(SUM(CASE WHEN (off + n_tokens - 1) // 512 > off // 512
-               THEN 1 ELSE 0 END) AS BIGINT) AS cc_n_spanning
+             CAST(SUM(CASE WHEN (off + n_tokens - 1) // $packBudget
+               > off // $packBudget THEN 1 ELSE 0 END) AS BIGINT)
+               AS cc_n_spanning
            FROM pccw GROUP BY 1)
          SELECT c.source, CAST(c.total_tokens AS BIGINT) AS total_tokens,
-           CAST((c.total_tokens + 511) // 512 AS BIGINT) AS cc_n_seqs,
-           CAST(((c.total_tokens + 511) // 512) * 512 - c.total_tokens
-             AS BIGINT) AS cc_waste,
+           CAST((c.total_tokens + ${packBudget - 1}) // $packBudget AS BIGINT)
+             AS cc_n_seqs,
+           CAST(((c.total_tokens + ${packBudget - 1}) // $packBudget)
+             * $packBudget - c.total_tokens AS BIGINT) AS cc_waste,
            c.cc_n_spanning, a.ffd_n_seqs,
-           CAST(a.ffd_n_seqs * 512 - a.kept AS BIGINT) AS ffd_waste_pad,
+           CAST(a.ffd_n_seqs * $packBudget - a.kept AS BIGINT)
+             AS ffd_waste_pad,
            a.ffd_waste_trunc, a.ffd_n_spanning
          FROM pccc c JOIN pcagg a USING (source) ORDER BY c.source""",
     // OPQ deployed recall: layouts + trained codebooks re-derived by
@@ -9436,12 +9577,83 @@ object ExtQueries {
     // LSH banding sweep: one shared nibble-minima pivot + one shared
     // exact truth side, then the q102 precision and q114 recall
     // chains instantiated per rows-per-band
-    "q201_lsh_band_sweep" -> {
-      val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
-        s"MIN(minhash) FILTER (band = '$h') AS b$i"
-      }.mkString(", ")
-      s"""
-         WITH swpos AS (SELECT doc_id, text,
+    "q201_lsh_band_sweep" -> s"""
+         WITH $bandSweepOracleCtes
+         SELECT * FROM (${Seq(1, 2, 4).map(r => s"""
+           SELECT CAST($r AS BIGINT) AS rows_per_band,
+             CAST(${16 / r} AS BIGINT) AS n_bands, p.n_pairs, p.n_verified,
+             CASE WHEN p.n_pairs = 0 THEN 0.0
+               ELSE round(CAST(p.n_verified AS DOUBLE) / p.n_pairs, 6) END
+               AS lsh_precision,
+             r.n_truth, r.n_found,
+             CASE WHEN r.n_truth = 0 THEN 0.0
+               ELSE round(CAST(r.n_found AS DOUBLE) / r.n_truth, 6) END
+               AS lsh_recall
+           FROM sw${r}prec p CROSS JOIN sw${r}rec r""").mkString(" UNION ALL ")})
+         ORDER BY rows_per_band""",
+    // operating-point card: the shared sweep CTEs feed the measured
+    // legs; the theory legs are the same 200-point midpoint Riemann
+    // sum with the SAME explicit squaring chains as the Spark side
+    // (libm pow() is not hash-gate material)
+    "q202_lsh_operating_point" -> s"""
+         WITH $bandSweepOracleCtes,
+         opgrid AS (SELECT i, (CAST(i AS DOUBLE) + 0.5) / 200 AS sv
+           FROM (SELECT unnest(generate_series(0, 199)) AS i)),
+         opth AS (${Seq(1, 2, 4).map { r =>
+           val b = 16 / r
+           val sr = duckPowChain("sv", r)
+           val qb = duckPowChain(s"(1.0 - $sr)", b)
+           s"""
+           SELECT CAST($r AS BIGINT) AS rows_per_band,
+             CAST($b AS BIGINT) AS n_bands, fp_area, fn_area,
+             round(fp_area + fn_area, 6) AS total_err
+           FROM (SELECT
+             round(SUM(CASE WHEN i < 100 THEN 1.0 - $qb ELSE 0.0 END)
+               / 200, 6) AS fp_area,
+             round(SUM(CASE WHEN i >= 100 THEN $qb ELSE 0.0 END)
+               / 200, 6) AS fn_area
+           FROM opgrid)"""
+         }.mkString(" UNION ALL ")}),
+         opbest AS (SELECT MIN(total_err) AS best_err FROM opth),
+         opm AS (${Seq(1, 2, 4).map(r => s"""
+           SELECT CAST($r AS BIGINT) AS rows_per_band, p.n_pairs,
+             CASE WHEN p.n_pairs = 0 THEN 0.0
+               ELSE round(CAST(p.n_verified AS DOUBLE) / p.n_pairs, 6) END
+               AS lsh_precision,
+             CASE WHEN r.n_truth = 0 THEN 0.0
+               ELSE round(CAST(r.n_found AS DOUBLE) / r.n_truth, 6) END
+               AS lsh_recall
+           FROM sw${r}prec p CROSS JOIN sw${r}rec r""").mkString(" UNION ALL ")})
+         SELECT t.rows_per_band, t.n_bands, t.fp_area, t.fn_area,
+           t.total_err, CAST(t.total_err = b.best_err AS BIGINT) AS is_chosen,
+           m.n_pairs, m.lsh_precision, m.lsh_recall
+         FROM opth t CROSS JOIN opbest b
+         JOIN opm m USING (rows_per_band)
+         ORDER BY t.rows_per_band""")
+
+  /** Power-of-two power as an explicit squaring chain —
+    * `((x*x)*(x*x))…` — the DuckDB mirror of q202's Spark-side
+    * `powChain`: both engines then evaluate the IDENTICAL sequence of
+    * IEEE multiplications, where `pow()` would bet the hash gate on
+    * two libm implementations agreeing to the last ulp.
+    */
+  private def duckPowChain(base: String, e: Int): String = {
+    require(e > 0 && (e & (e - 1)) == 0, s"power-of-two exponent: $e")
+    Iterator.iterate(base)(x => s"($x*$x)")
+      .drop(Integer.numberOfTrailingZeros(e)).next()
+  }
+
+  /** The q201/q202 banding-sweep oracle WITH-body: the shared
+    * nibble-minima pivot (`swpiv`), the shared 3-gram truth side
+    * (`swg`/`swtruth`), and one [[bandSweepSqlFor]] leg per
+    * rows-per-band — factored so the sweep row (q201) and the
+    * operating-point card (q202) cannot desynchronize.
+    */
+  private lazy val bandSweepOracleCtes: String = {
+    val cols = "0123456789abcdef".zipWithIndex.map { case (h, i) =>
+      s"MIN(minhash) FILTER (band = '$h') AS b$i"
+    }.mkString(", ")
+    s"""swpos AS (SELECT doc_id, text,
              unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
            FROM documents),
          swsh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
@@ -9461,18 +9673,8 @@ object ExtQueries {
            WHERE CAST(len(list_intersect(gq.grams, go.grams)) AS DOUBLE) /
              CAST(len(gq.grams) + len(go.grams)
                - len(list_intersect(gq.grams, go.grams)) AS DOUBLE) >= 0.5),
-         ${Seq(1, 2, 4).map(r => bandSweepSqlFor(s"sw$r", r)).mkString(",")}
-         SELECT * FROM (${Seq(1, 2, 4).map(r => s"""
-           SELECT CAST($r AS BIGINT) AS rows_per_band,
-             CAST(${16 / r} AS BIGINT) AS n_bands, p.n_pairs, p.n_verified,
-             CASE WHEN p.n_pairs = 0 THEN 0.0
-               ELSE round(CAST(p.n_verified AS DOUBLE) / p.n_pairs, 6) END
-               AS lsh_precision,
-             r.n_truth, r.n_found,
-             round(CAST(r.n_found AS DOUBLE) / r.n_truth, 6) AS lsh_recall
-           FROM sw${r}prec p CROSS JOIN sw${r}rec r""").mkString(" UNION ALL ")})
-         ORDER BY rows_per_band"""
-    })
+         ${Seq(1, 2, 4).map(r => bandSweepSqlFor(s"sw$r", r)).mkString(",")}"""
+  }
 
   private lazy val incrementalSpanSql: String = s"""
          WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),

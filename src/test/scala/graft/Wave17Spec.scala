@@ -60,16 +60,17 @@ class Wave17Spec extends SparkSpec {
     assert(rows.nonEmpty)
     // a doc appears exactly once — the packer never splits
     assert(rows.map(_._1).distinct.length == rows.length)
-    // conservation: kept + dropped == n_tokens, kept == min(n, 512)
+    // conservation: kept + dropped == n_tokens, kept == min(n, budget)
+    val budget = graft.queries.ExtQueries.packBudget
     rows.foreach { case (id, _, n, _, _, kept, dropped) =>
       assert(kept + dropped == n, s"doc $id conservation")
-      assert(kept == math.min(n, 512L), s"doc $id truncation rule")
+      assert(kept == math.min(n, budget), s"doc $id truncation rule")
     }
-    // per (source, seq): fill ≤ 512 and offsets are the prefix sums of
-    // kept in offset order (the bin is a contiguous token layout)
+    // per (source, seq): fill ≤ budget and offsets are the prefix sums
+    // of kept in offset order (the bin is a contiguous token layout)
     rows.groupBy(r => (r._2, r._4)).foreach { case ((src, seq), ds) =>
       val fill = ds.map(_._6).sum
-      assert(fill <= 512, s"($src, $seq) overflows: $fill")
+      assert(fill <= budget, s"($src, $seq) overflows: $fill")
       val inOrder = ds.sortBy(_._5)
       val offs = inOrder.map(_._5)
       val pref = inOrder.map(_._6).scanLeft(0L)(_ + _).init
