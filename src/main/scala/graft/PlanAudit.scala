@@ -68,7 +68,9 @@ object PlanAudit {
     "q198_dsir_drift" -> "one-row frozen-cut scalar crossJoin onto each slice's weight frame (q193's fenced pattern, once per side); the llr table is a 128-row broadcast equi-join",
     "q199_decon_safety" -> "16-row broadcast centroid frame twice (q86/q182's fan-out: once for the safety stats, once inside the capped contamination side); the flag join is cell-keyed",
     "q201_lsh_band_sweep" -> "one-row scalar crossJoins composing each sweep row (prec x rec); the truth side and per-banding candidate tables are persisted-artifact scans, every candidate join (band, sigkey)-keyed",
-    "q202_lsh_operating_point" -> "q201's one-row sweep-row crossJoins plus the one-row argmin scalar crossJoin over the 3-row theory frame (q48's pattern); the Riemann grid is a 200-row single-partition range")
+    "q202_lsh_operating_point" -> "q201's one-row sweep-row crossJoins plus the one-row argmin scalar crossJoin over the 3-row theory frame (q48's pattern); the Riemann grid is a 200-row single-partition range",
+    "q204_effective_epochs" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded per-language frame (q166's fenced pattern)",
+    "q205_doremi_step" -> "two one-row broadcast scalars (max-quality/total and the EG normalizer Z) against the source-cardinality-bounded frame (q152's fenced pattern)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -53,6 +53,28 @@ object ExtQueries {
         substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
         explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
 
+  /** The q108 frozen-logistic per-doc quality score — (doc_id, source,
+    * quality_score rounded at 6) — factored so q108 (the gate) and
+    * q205 (the DoReMi step consuming per-source means of the SAME
+    * score) cannot desynchronize on a coefficient.
+    */
+  private def docQuality(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        TA.wsTokens(col("text")).as("toks"),
+        TA.wsTokens(lower(col("text"))).as("ltoks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("double").as("n_words"),
+        TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
+        TA.punctRatio(col("text")).as("punct"),
+        TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
+    val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
+      lit(0.4) * abs(col("mwl") - lit(5.0)) +
+      lit(0.15) * log(lit(1.0) + col("n_words"))
+    f.select(col("doc_id"), col("source"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+  }
+
   /** The corpus vocabulary rule shared by q63 (vocab construction) and
     * q88 (OOV scoring): whitespace tokens of lowercased text, top `k`
     * by (freq desc, term asc) — a TakeOrderedAndProject, so the result
@@ -3034,24 +3056,11 @@ object ExtQueries {
     //      model "inference" adds zero shuffles to the feature scan.
     //      keep compares the ROUNDED score so both engines decide the
     //      boundary identically ----
-    "q108_quality_classifier" -> ((s, d) => {
-      val f = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TA.wsTokens(col("text")).as("toks"),
-          TA.wsTokens(lower(col("text"))).as("ltoks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("double").as("n_words"),
-          TA.meanWordLenFromTokens(col("text"), col("toks")).as("mwl"),
-          TA.punctRatio(col("text")).as("punct"),
-          TA.stopwordRatioFromTokens(col("ltoks")).as("stop"))
-      val z = lit(0.5) + lit(4.0) * col("stop") - lit(6.0) * col("punct") -
-        lit(0.4) * abs(col("mwl") - lit(5.0)) +
-        lit(0.15) * log(lit(1.0) + col("n_words"))
-      f.select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+    "q108_quality_classifier" -> ((s, d) =>
+      docQuality(s, d)
+        .select(col("doc_id"), col("quality_score"))
         .withColumn("keep", (col("quality_score") >= 0.5).cast("int"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // ---- quality-priority survivor per near-dup cluster: q45's
     //      MinHash connected components, but the survivor is the
@@ -6032,6 +6041,176 @@ object ExtQueries {
         .join(bandSweepRows(s, d).select(col("rows_per_band"), col("n_pairs"),
           col("lsh_precision"), col("lsh_recall")), Seq("rows_per_band"))
         .orderBy(col("rows_per_band"))
+    }),
+
+    // ---- cross-SOURCE overlap matrix: per source pair, the near-dup
+    //      candidate mass (production r=2 banding, n_bands >= 2 —
+    //      q45's rule, read off the persisted signature table) and the
+    //      exactly-shared content-hash count — the ingest dashboard
+    //      that says WHICH feeds re-crawl each other (q117 says how
+    //      much each source duplicates; this says with whom, the
+    //      decision input for dropping a mirror feed wholesale before
+    //      paying per-doc dedup on it). Source-pair-bounded output;
+    //      the near-dup legs are doc_id-keyed joins onto the candidate
+    //      pairs, the exact leg a content-hash-keyed self-join of the
+    //      DISTINCT (source, hash) projection ----
+    "q203_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      val cand = Dedup.minhashCandidates(corpusSignatures(s, d))
+        .filter(col("n_bands") >= 2).select(col("a_id"), col("b_id"))
+      val nd = cand
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+          Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+          Seq("b_id"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+      val hs = docs.select(col("source"),
+        substring(md5(col("text")), 1, 16).as("h")).distinct()
+      val ex = hs.select(col("h"), col("source").as("sa"))
+        .join(hs.select(col("h"), col("source").as("sb")), Seq("h"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+        .agg(countDistinct(col("h")).as("n_exact_hashes"))
+      nd.join(ex, Seq("source_a", "source_b"), "full")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+          coalesce(col("n_exact_hashes"), lit(0L)).as("n_exact_hashes"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // ---- per-language EFFECTIVE EPOCHS under a token budget: the
+    //      α=0.7 temperature weights (q166's token currency) allocate
+    //      a one-corpus-sized budget B = total tokens per language
+    //      (sized so the boosted tail crosses 1 epoch while the head
+    //      stays under — both decay branches exercise); epochs =
+    //      alloc/T
+    //      says how often that language's data repeats, and the
+    //      repeated-epoch value discount of data-constrained scaling
+    //      (Muennighoff et al. 2023, NeurIPS — repeated data is worth
+    //      geometrically less) prices the allocation: effective
+    //      tokens = T·Σ_{e≤E} δ^{e-1} with δ = 0.5, fractional last
+    //      epoch at its decayed value, so efficiency = effective/alloc
+    //      says what fraction of the budget buys new information.
+    //      Language-cardinality-bounded; one one-row normalizer
+    //      scalar (q166's fenced pattern) ----
+    "q204_effective_epochs" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+      val t = toks.agg(sum(col("n_tokens")).as("tot"),
+        sum(pow(col("n_tokens").cast("double"), lit(0.7))).as("z07"))
+      val ntD = col("n_tokens").cast("double")
+      val w = pow(ntD, lit(0.7)) / col("z07")
+      val alloc = w * col("tot").cast("double")
+      val e = alloc / ntD
+      val fullD = floor(e).cast("double")
+      val dk = pow(lit(0.5), fullD)
+      val eff = ntD * (lit(2.0) * (lit(1.0) - dk) + (e - fullD) * dk)
+      toks.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_tokens"),
+          round(w, 6).as("w_a07"),
+          round(alloc, 2).as("alloc_tokens"),
+          round(e, 6).as("eff_epochs"),
+          round(eff, 2).as("effective_tokens"),
+          round(eff / alloc, 6).as("efficiency"),
+          (round(e, 6) > 1.0).cast("long").as("repeats"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- one DoReMi-style mixture-reweighting step (Xie et al. 2023,
+    //      NeurIPS): per-source excess loss — here the frozen q108
+    //      logistic quality as the (negated) proxy reference, excess =
+    //      max_source(mean quality) − mean quality — drives an
+    //      exponentiated-gradient update of the sampling weights,
+    //      w' ∝ w₀·exp(η·excess) with η = 1 off the document-share
+    //      prior. The output card is the retrained mixture a loader
+    //      would consume next round (q152/q161's slot, learned instead
+    //      of temperature-heuristic). Source-cardinality-bounded; two
+    //      one-row scalars (max/total and the normalizer Z) ----
+    "q205_doremi_step" -> ((s, d) => {
+      val bySrc = docQuality(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality_score")), 6).as("mean_quality"))
+      val mx = bySrc.agg(max(col("mean_quality")).as("max_q"),
+        sum(col("n_docs")).as("tot_docs"))
+      val staged = bySrc.crossJoin(broadcast(mx))
+        .withColumn("excess_loss", round(col("max_q") - col("mean_quality"), 6))
+        .withColumn("w0", col("n_docs").cast("double") / col("tot_docs"))
+        .withColumn("g", col("w0") * exp(col("excess_loss")))
+      val z = staged.agg(sum(col("g")).as("z"))
+      staged.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("mean_quality"),
+          col("excess_loss"), round(col("w0"), 6).as("w0"),
+          round(col("g") / col("z"), 6).as("w_new"),
+          round(col("g") / col("z") / col("w0"), 6).as("boost"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- per-doc DUPLICATION PROFILE: what fraction of each doc's
+    //      8-token spans (q92's span grid exactly) occurs in MORE THAN
+    //      ONE document — the symmetric "duplicated text mass"
+    //      statistic of Lee et al. 2022 (§4: ~14% of C4's text is
+    //      duplicated), which q92's first-occurrence policy cannot
+    //      report (the first copy keeps everything and reads as
+    //      clean). Cross-doc only — within-doc repeats are q60's
+    //      metric. One span-key groupBy + one span-key-keyed join
+    //      back; nothing corpus-quadratic ----
+    "q206_duplication_profile" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TA.wsTokens(lower(col("text"))).as("toks"))
+        .withColumn("n_spans", ceil(size(col("toks")) / lit(8.0)).cast("long"))
+      val spans = toks.filter(col("n_spans") >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n_spans") - 1),
+            i => array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+            .as(Seq("span_idx", "span")))
+        .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("k"))
+      val counts = spans.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      spans.join(counts, Seq("k"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- contamination VELOCITY: q59's exact 8-gram decontamination
+    //      rule broken down by ingest batch (second md5 nibble mod 4 —
+    //      a deterministic stand-in for arrival order), the monitoring
+    //      row that says WHICH ingest window brought the eval leak —
+    //      read next to q191's drift wall, it is the trigger for
+    //      auditing a specific crawl window instead of re-screening
+    //      the whole corpus. Same broadcast held-set join as q59; one
+    //      batch-cardinality-bounded aggregate on top ----
+    "q207_contamination_velocity" -> ((s, d) => {
+      val grams = splitGrams(s, d)
+      val heldOut = grams.filter(col("hb") === "0").select(col("gh")).distinct()
+      val perDoc = grams.filter(col("hb") =!= "0")
+        .join(broadcast(heldOut), Seq("gh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+      val batches = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("hb"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 2, 1), 16, 10)
+            .cast("long"), lit(4L)).as("batch_id"))
+        .filter(col("hb") =!= "0")
+      batches.join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("shared_grams")).as("n_flagged"),
+          coalesce(sum(col("shared_grams")), lit(0L)).as("n_shared_grams"))
+        .select(col("batch_id"), col("n_docs"), col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_docs"), 6)
+            .as("flag_rate"),
+          col("n_shared_grams"))
+        .orderBy(col("batch_id"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -7779,20 +7958,7 @@ object ExtQueries {
          FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id
          ORDER BY doc_id""",
     "q108_quality_classifier" -> s"""
-         WITH t AS (SELECT doc_id, text, ${duckToks("text")} AS toks FROM documents),
-         f AS (SELECT doc_id,
-             CAST(len(toks) AS DOUBLE) AS n_words,
-             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE) AS mwl,
-             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-               / CAST(len(text) AS DOUBLE) AS punct,
-             CAST(len(list_filter(toks, x ->
-                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
-               / CAST(len(toks) AS DOUBLE) AS stop
-           FROM t),
-         z AS (SELECT doc_id, 0.5 + 4.0 * stop - 6.0 * punct
-             - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words) AS zz FROM f),
-         sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z)
+         WITH $duckQualityCtes
          SELECT doc_id, quality_score,
            CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS keep
          FROM sc ORDER BY doc_id""",
@@ -9629,7 +9795,155 @@ object ExtQueries {
            m.n_pairs, m.lsh_precision, m.lsh_recall
          FROM opth t CROSS JOIN opbest b
          JOIN opm m USING (rows_per_band)
-         ORDER BY t.rows_per_band""")
+         ORDER BY t.rows_per_band""",
+    // near-dup legs off the shared banded-signature chain (q45's
+    // n_bands >= 2 rule); exact leg a hash-keyed self-join of the
+    // DISTINCT (source, hash) projection
+    "q203_source_overlap" -> s"""
+         WITH $bandedSigSql,
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM lng a JOIN lng b ON a.band = b.band AND a.sigkey = b.sigkey
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         nd AS (SELECT least(x.source, y.source) AS source_a,
+             greatest(x.source, y.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+           FROM cand c JOIN documents x ON c.a_id = x.doc_id
+           JOIN documents y ON c.b_id = y.doc_id GROUP BY 1, 2),
+         hs AS (SELECT DISTINCT source, substr(md5(text), 1, 16) AS h
+           FROM documents),
+         ex AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_exact_hashes
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT COALESCE(n.source_a, e.source_a) AS source_a,
+           COALESCE(n.source_b, e.source_b) AS source_b,
+           COALESCE(n.n_neardup_pairs, CAST(0 AS BIGINT)) AS n_neardup_pairs,
+           COALESCE(e.n_exact_hashes, CAST(0 AS BIGINT)) AS n_exact_hashes
+         FROM nd n FULL JOIN ex e
+           ON n.source_a = e.source_a AND n.source_b = e.source_b
+         ORDER BY 1, 2""",
+    // same expression tree as the Spark side, staged through CTE
+    // aliases (w -> alloc -> e -> dk -> eff) so every float op happens
+    // in the identical order
+    "q204_effective_epochs" -> s"""
+         WITH lt AS (SELECT lang,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS nt FROM documents),
+         pl AS (SELECT lang, SUM(nt) AS n_tokens FROM lt GROUP BY 1),
+         tz AS (SELECT SUM(n_tokens) AS tot,
+           SUM(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z07 FROM pl),
+         ex1 AS (SELECT lang, n_tokens,
+             (power(CAST(n_tokens AS DOUBLE), 0.7) / z07) AS w,
+             ((power(CAST(n_tokens AS DOUBLE), 0.7) / z07)
+               * CAST(tot AS DOUBLE)) AS alloc,
+             CAST(n_tokens AS DOUBLE) AS ntd
+           FROM pl, tz),
+         ex2 AS (SELECT lang, n_tokens, w, alloc, ntd,
+             (alloc / ntd) AS e FROM ex1),
+         ex3 AS (SELECT *, floor(e) AS fl, power(0.5, floor(e)) AS dk
+           FROM ex2),
+         ex4 AS (SELECT *,
+             (ntd * (2.0 * (1.0 - dk) + (e - fl) * dk)) AS eff FROM ex3)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w, 6) AS w_a07, round(alloc, 2) AS alloc_tokens,
+           round(e, 6) AS eff_epochs, round(eff, 2) AS effective_tokens,
+           round(eff / alloc, 6) AS efficiency,
+           CAST(round(e, 6) > 1.0 AS BIGINT) AS repeats
+         FROM ex4 ORDER BY lang""",
+    // per-source means of the SAME per-doc score the q108 gate pins
+    // (shared quality CTEs), then the EG update staged exactly as the
+    // Spark side: rounded mean -> rounded excess -> w0*exp -> Z
+    "q205_doremi_step" -> s"""
+         WITH $duckQualityCtes,
+         bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(AVG(quality_score), 6) AS mean_quality
+           FROM sc GROUP BY 1),
+         mx AS (SELECT MAX(mean_quality) AS max_q,
+           SUM(n_docs) AS tot_docs FROM bs),
+         st AS (SELECT source, n_docs, mean_quality,
+             round(max_q - mean_quality, 6) AS excess_loss,
+             (CAST(n_docs AS DOUBLE) / tot_docs) AS w0
+           FROM bs, mx),
+         st2 AS (SELECT *, (w0 * exp(excess_loss)) AS g FROM st),
+         zz AS (SELECT SUM(g) AS z FROM st2)
+         SELECT source, n_docs, mean_quality, excess_loss,
+           round(w0, 6) AS w0, round(g / z, 6) AS w_new,
+           round(g / z / w0, 6) AS boost
+         FROM st2, zz ORDER BY source""",
+    // q92's span grid verbatim (8-token non-overlapping spans over
+    // lowercased whitespace tokens, 16-hex keys); nd counts DISTINCT
+    // docs per key so within-doc repeats never flag
+    "q206_duplication_profile" -> s"""
+         WITH tk AS (SELECT doc_id, ${duckToks("text")} AS toks
+           FROM documents),
+         pn AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_spans FROM tk),
+         sp AS (SELECT doc_id,
+             substr(md5(array_to_string(toks[i*8+1 : i*8+8], ' ')), 1, 16) AS k
+           FROM (SELECT doc_id, toks,
+               unnest(generate_series(0, n_spans - 1)) AS i
+             FROM pn WHERE n_spans >= 1)),
+         ct AS (SELECT k, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+         SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN ct.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(CAST(SUM(CASE WHEN ct.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+         FROM sp JOIN ct USING (k) GROUP BY sp.doc_id ORDER BY sp.doc_id""",
+    // q59's decon CTEs + the second-nibble batch rule; n_docs counts
+    // ALL train docs (short docs with no grams included), flagged and
+    // gram totals ride a left join
+    "q207_contamination_velocity" -> s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         held AS (SELECT DISTINCT gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         train AS (SELECT doc_id, gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+           FROM train JOIN held USING (gh) GROUP BY doc_id),
+         bt AS (SELECT doc_id,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 4)
+               AS BIGINT) AS batch_id
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         SELECT bt.batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(pd.shared_grams) AS BIGINT) AS n_flagged,
+           round(CAST(COUNT(pd.shared_grams) AS DOUBLE) / COUNT(*), 6)
+             AS flag_rate,
+           CAST(COALESCE(SUM(pd.shared_grams), 0) AS BIGINT)
+             AS n_shared_grams
+         FROM bt LEFT JOIN pd USING (doc_id)
+         GROUP BY 1 ORDER BY 1""")
+
+  /** The q108 frozen-logistic score as oracle CTEs ending in
+    * `sc(doc_id, source, quality_score)` — the SQL twin of
+    * [[docQuality]], shared by the q108 gate and the q205 DoReMi step
+    * so the two cannot desynchronize on a coefficient.
+    */
+  private lazy val duckQualityCtes: String = s"""
+         t AS (SELECT doc_id, source, text, ${duckToks("text")} AS toks
+           FROM documents),
+         f AS (SELECT doc_id, source,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS mwl,
+             CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(len(text) AS DOUBLE) AS punct,
+             CAST(len(list_filter(toks, x ->
+                 list_contains(['the','and','of','a','to','in','is','it'], x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop
+           FROM t),
+         z AS (SELECT doc_id, source, 0.5 + 4.0 * stop - 6.0 * punct
+             - 0.4 * abs(mwl - 5.0) + 0.15 * ln(1.0 + n_words) AS zz FROM f),
+         sc AS (SELECT doc_id, source,
+           round(1.0 / (1.0 + exp(-zz)), 6) AS quality_score FROM z)"""
 
   /** Power-of-two power as an explicit squaring chain —
     * `((x*x)*(x*x))…` — the DuckDB mirror of q202's Spark-side
