@@ -33,5 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dstderr.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default (box has 128 GiB): headroom for the biggest-data rows
+  // (5M-pair verifies, versioned-bundle writers) in a 200-query
+  // single-JVM bench session. NOTE the round-15 investigation of
+  // in-session q201 inflation ultimately traced the noise to host-level
+  // CPU steal (microVM co-tenant; loadavg 15+ with zero local CPU
+  // consumers), not heap — the bump is kept as cheap insurance, not as
+  // a proven fix. The cal probes in Bench remain the trust signal.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
