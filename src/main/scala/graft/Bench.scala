@@ -60,13 +60,33 @@ object Bench {
     }.min
     val calPre = calibrate()
     val loadPre = osBean.getSystemLoadAverage
+    // Per-QUERY micro-probe (round 15): the session-level cal probes
+    // bracket the whole run, but this box exhibits host-level CPU-steal
+    // BURSTS (loadavg 15+ with zero local consumers) that smear
+    // individual rows while both session probes read clean — q201
+    // measured 4 s and 48 s in adjacent windows on identical code. A
+    // fixed ~10x-smaller probe before every timed run, medianed like
+    // the query itself, gives each row its own trust signal: a row
+    // whose probe matches the session nominal is believable, a row
+    // whose probe is 2x+ nominal was hit by a burst. ~0.02 s nominal,
+    // so the whole registry pays ~15 s per bench. Recorded in the
+    // detail record only (the summary line stays short).
+    def microProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 5000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 1000007 * 31 + id) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // optional trailing args restrict the bench to a query subset (dev
     // iteration / regression isolation); the driver passes none
     val only = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to runs).map { _ =>
+        probes += microProbe()
         val t0 = System.nanoTime()
         // noop sink forces full evaluation of every output column
         // (count() would let Catalyst prune the projections under test)
@@ -85,7 +105,7 @@ object Bench {
         System.gc()
         dt
       }.sorted
-      name -> times
+      (name, times, probes.sorted.toSeq)
     }
     // lower median: for even run counts report the faster middle
     // sample (times(n/2) would be the max of 2 runs — an upward bias)
@@ -120,12 +140,19 @@ object Bench {
     val calPost = calibrate()
     val loadPost = osBean.getSystemLoadAverage
     val detailQs = results
-      .map { case (k, ts) => "\"" + short(k) + "\":" + fmt(med(ts)) }
+      .map { case (k, ts, _) => "\"" + short(k) + "\":" + fmt(med(ts)) }
+      .mkString("{", ",", "}")
+    // per-query median micro-probe (same ordering as queries): the
+    // row-level trust signal — compare against the session nominal
+    // (~0.02 s on this box) to spot which rows a steal burst hit
+    val detailProbes = results
+      .map { case (k, _, ps) => "\"" + short(k) + "\":" + fmt(med(ps)) }
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
         s"""${fmt(calPost)}],"load":[${fmt1(loadPre)},""" +
-        s"""${fmt1(loadPost)}],"queries":$detailQs}"""
+        s"""${fmt1(loadPost)}],"queries":$detailQs,""" +
+        s""""probes":$detailProbes}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detailJson + "\n").getBytes("UTF-8"))
@@ -134,7 +161,7 @@ object Bench {
     // 5 slowest rows at 1 decimal: enough to triage an expensive-row
     // regression straight from the summary without the detail record.
     val top5 = results.sortBy(r => -med(r._2)).take(5)
-      .map { case (k, ts) => "\"" + short(k) + "\":" + fmt1(med(ts)) }
+      .map { case (k, ts, _) => "\"" + short(k) + "\":" + fmt1(med(ts)) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt2(total3)},"unit":"sec","n":${results.size},"cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}],"top":$top5,"sf":"$sfName"}""")
