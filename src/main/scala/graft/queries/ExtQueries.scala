@@ -6101,6 +6101,10 @@ object ExtQueries {
         .select(col("lang"),
           size(TA.wsTokens(col("text"))).cast("long").as("nt"))
         .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        // a language whose docs are all empty text would divide the
+        // epoch arithmetic by zero (Infinity on both engines is not a
+        // gate to bet on); a zero-token language has no allocation row
+        .filter(col("n_tokens") > 0)
       val t = toks.agg(sum(col("n_tokens")).as("tot"),
         sum(pow(col("n_tokens").cast("double"), lit(0.7))).as("z07"))
       val ntD = col("n_tokens").cast("double")
@@ -9829,7 +9833,8 @@ object ExtQueries {
     "q204_effective_epochs" -> s"""
          WITH lt AS (SELECT lang,
              CAST(len(${duckToks("text")}) AS BIGINT) AS nt FROM documents),
-         pl AS (SELECT lang, SUM(nt) AS n_tokens FROM lt GROUP BY 1),
+         pl AS (SELECT lang, SUM(nt) AS n_tokens FROM lt GROUP BY 1
+           HAVING SUM(nt) > 0),
          tz AS (SELECT SUM(n_tokens) AS tot,
            SUM(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z07 FROM pl),
          ex1 AS (SELECT lang, n_tokens,
