@@ -70,7 +70,15 @@ object PlanAudit {
     "q201_lsh_band_sweep" -> "one-row scalar crossJoins composing each sweep row (prec x rec); the truth side and per-banding candidate tables are persisted-artifact scans, every candidate join (band, sigkey)-keyed",
     "q202_lsh_operating_point" -> "q201's one-row sweep-row crossJoins plus the one-row argmin scalar crossJoin over the 3-row theory frame (q48's pattern); the Riemann grid is a 200-row single-partition range",
     "q204_effective_epochs" -> "one-row broadcast of the (total, Z_alpha) normalizer scalars against the lang-cardinality-bounded per-language frame (q166's fenced pattern)",
-    "q205_doremi_step" -> "two one-row broadcast scalars (max-quality/total and the EG normalizer Z) against the source-cardinality-bounded frame (q152's fenced pattern)")
+    "q205_doremi_step" -> "two one-row broadcast scalars (max-quality/total and the EG normalizer Z) against the source-cardinality-bounded frame (q152's fenced pattern)",
+    "q208_shard_manifest" -> "one-row broadcast of the total-kept-tokens scalar against the 8-row shard frame (q48's fenced pattern)",
+    "q209_curriculum_phases" -> "two-scalar tercile-threshold broadcast against the doc scan + one-row token-total scalar on the 3-row phase frame (q153/q48's fenced patterns)",
+    "q210_repeat_value_curve" -> "one-row (total, Z_alpha) normalizer scalar against the lang-cardinality-bounded frame (q204's fenced pattern, swept over 4 budget literals)",
+    "q212_doremi_chained" -> "four one-row scalar crossJoins (batch maxima/total + three EG normalizers) against the source-cardinality-bounded frame (q205's fenced pattern, chained)",
+    "q213_index_staleness" -> "brute-force exact truth side (q25/q76's fenced design) + two 16-row centroid-assignment BNLJs (q44's fan-out, one per index side)",
+    "q214_stream_mixture" -> "one-row scalar crossJoin inside the release-prior artifact build on a cold session (q48's pattern); the audited read-back plan's joins are all source-keyed",
+    "q215_curriculum_packing" -> "two-scalar tercile-threshold broadcast against the doc scan (q209's fenced pattern) feeding the packing fold",
+    "q216_ivf_operating_point" -> "brute-force exact truth side (q25/q76's fenced design) + five 16-row centroid-assignment BNLJs (q121's fan-outs) + per-level one-row count/recall scalar crossJoins (q48's pattern)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -89,7 +97,8 @@ object PlanAudit {
     "q171_ledger_chain", "q172_maintained_card", "q173_maintained_diff",
     "q179_stream_ledger", "q183_aniso_audit", "q184_opq_gain",
     "q186_heavy_hitters", "q189_stream_histogram",
-    "q190_stream_heavy_hitters", "q197_opq_recall")
+    "q190_stream_heavy_hitters", "q197_opq_recall",
+    "q214_stream_mixture")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

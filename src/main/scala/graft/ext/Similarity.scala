@@ -382,8 +382,15 @@ object Similarity {
       .select((Seq(id, vec) ++ extra :+ "cell").map(col): _*)
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
+  /** The IVF candidate stage alone: every (q_id, n_id, sim) pair the
+    * coarse quantizer admits — corpus vectors assigned to their single
+    * best cell, queries to their `nProbe` best, joined on cell. This
+    * IS [[ivfTopK]] before ranking (ivfTopK composes it), exposed so
+    * cost/recall operating-point cards (q216) can measure the scan
+    * work the probe budget buys without re-deriving the plan.
+    */
+  def ivfCandidatePairs(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
     val cents = centroidFrame(corpus.sparkSession, nCells, dim)
@@ -399,12 +406,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec", nProbe)
       .withColumn("q_norm", norm(col("q_vec")))
       .filter(col("q_norm") > 0)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
     q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    ivfCandidatePairs(queries, corpus, idCol, vecCol, nCells, nProbe)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))

@@ -58,8 +58,17 @@ object ExtQueries {
     * q205 (the DoReMi step consuming per-source means of the SAME
     * score) cannot desynchronize on a coefficient.
     */
-  private def docQuality(s: SparkSession, d: String): DataFrame = {
-    val f = Tables.documents(s, d)
+  private def docQuality(s: SparkSession, d: String): DataFrame =
+    qualityOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** [[docQuality]] over an arbitrary (doc_id, source, text) frame —
+    * factored so the streaming mixture maintenance (q214) can score
+    * each arriving micro-batch with the IDENTICAL frozen coefficients
+    * the batch chain (q212) and the q108 gate use.
+    */
+  private def qualityOf(docs: DataFrame): DataFrame = {
+    val f = docs
       .select(col("doc_id"), col("source"), col("text"),
         TA.wsTokens(col("text")).as("toks"),
         TA.wsTokens(lower(col("text"))).as("ltoks"))
@@ -73,6 +82,60 @@ object ExtQueries {
       lit(0.15) * log(lit(1.0) + col("n_words"))
     f.select(col("doc_id"), col("source"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+  }
+
+  /** The curriculum phase frame shared by q209 (the schedule card) and
+    * q215 (phase-aware packing): per doc, the q108 frozen score, its
+    * ws-token count, and the 1/2/3 phase from EXACT score terciles
+    * (the distributed R-7 quantile shape — q153's discipline — so the
+    * thresholds are a 2-scalar broadcast and assignment is a pure
+    * scan). One definition so the schedule and the packer cannot
+    * desynchronize on a threshold.
+    */
+  private def curriculumFrame(s: SparkSession, d: String): DataFrame = {
+    val q = docQuality(s, d)
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val th = sourceQuantiles(q, Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+        keys = Seq.empty, valueCol = "quality_score")
+      .select(col("t1"), col("t2"))
+    q.join(toks, Seq("doc_id")).crossJoin(broadcast(th))
+      .withColumn("phase",
+        when(col("quality_score") <= col("t1"), 1L)
+          .when(col("quality_score") <= col("t2"), 2L)
+          .otherwise(3L))
+  }
+
+  /** Writes `batches` into `p` as ONE parquet file each, named
+    * ingest_k.parquet with strictly increasing (fixed, deterministic)
+    * modification times — so a maxFilesPerTrigger=1 file stream
+    * delivers them as micro-batches 0..n-1 in EXACTLY this order
+    * (FileStreamSource picks oldest-first; name order agrees as a
+    * tie-break). The ordered-ingest harness for maintenance loops
+    * whose update rule is order-DEPENDENT (q214's EG chain), where
+    * the q179-style arbitrary-membership ingest would not be gateable
+    * against the deterministic batch oracle.
+    */
+  private def writeOrderedBatches(p: String, batches: Seq[DataFrame]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    batches.zipWithIndex.foreach { case (b, k) =>
+      val stage = s"$p/_stage_$k"
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$p/ingest_$k.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L +
+        k * 60000L))
+      // drop the stage dir (underscore-prefixed = hidden to Spark
+      // readers anyway, but keep the ingest dir clean)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(stage))
+    }
   }
 
   /** The corpus vocabulary rule shared by q63 (vocab construction) and
@@ -6215,6 +6278,461 @@ object ExtQueries {
             .as("flag_rate"),
           col("n_shared_grams"))
         .orderBy(col("batch_id"))
+    }),
+
+    // ---- loader SHARD MANIFEST: the FFD-packed sequences (q195's
+    //      manifest) dealt into 8 loader shards by content hash of the
+    //      sequence key (source, seq_id) — shard assignment must be
+    //      reproducible across re-runs and independent of scan order,
+    //      so it hashes the key, never a row number. The card a
+    //      multi-host training run reads before launch: per shard,
+    //      sequences, docs, kept tokens, pad tokens, and the load
+    //      ratio vs the 8-way-even ideal (at 100 TB the CLT makes
+    //      hash sharding near-even — millions of ≤512-token sequences
+    //      per shard — and this card is the proof artifact; 8 is
+    //      fixture-scale, the rule is shard-count-agnostic). One
+    //      groupBy on the packed manifest + one 8-row aggregate; the
+    //      total is a one-row fenced scalar (q48's pattern) ----
+    "q208_shard_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val seqs = ffdPack(docs)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_kept")).as("kept"))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(8L)))
+      // two consumers (the card and its one-row total) of the 8-row
+      // aggregate — persist so the packing fold runs once
+      val ag = graft.util.Persist(seqs.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("nd")).as("n_docs"),
+          sum(col("kept")).as("kept_tokens"))
+        .withColumn("pad_tokens",
+          col("n_seqs") * packBudget - col("kept_tokens")))
+      val tot = ag.agg(sum(col("kept_tokens")).as("tt"))
+      ag.crossJoin(broadcast(tot))
+        .select(col("shard_id"), col("n_seqs"), col("n_docs"),
+          col("kept_tokens"), col("pad_tokens"),
+          round(col("kept_tokens").cast("double") /
+            (col("tt").cast("double") / 8.0), 6).as("load_ratio"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // ---- CURRICULUM schedule: the corpus dealt into 3 quality phases
+    //      (low → high) by EXACT terciles of the q108 frozen logistic
+    //      score — thresholds via the distributed R-7 quantile shape
+    //      (q153's discipline: grouped value counts, never a
+    //      corpus-sized sort; the value space is score-resolution-
+    //      bounded at 6 decimals), phase assignment a pure scan
+    //      against the 2-scalar broadcast. The card a curriculum
+    //      loader consumes: per phase, docs, tokens, mean quality,
+    //      token share, and the cumulative share (the schedule
+    //      position where each phase starts). Token conservation is
+    //      Wave19Spec-pinned ----
+    "q209_curriculum_phases" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ph = curriculumFrame(s, d)
+      val per = ph.groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("quality_score")), 6).as("mean_quality"))
+      val tot = per.agg(sum(col("n_tokens")).as("tt"))
+      // 3-row frame: the global-order window is phase-cardinality-
+      // bounded, never corpus-sized
+      val w = Window.orderBy(col("phase"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per.crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          round(col("n_tokens").cast("double") / col("tt"), 6))
+        .withColumn("cum_token_share",
+          round(sum(col("n_tokens")).over(w).cast("double") / col("tt"), 6))
+        .select(col("phase"), col("n_docs"), col("n_tokens"),
+          col("mean_quality"), col("token_share"), col("cum_token_share"))
+        .orderBy(col("phase"))
+    }),
+
+    // ---- the REPEAT-VALUE CURVE: q204's data-constrained allocation
+    //      (Muennighoff et al. 2023, NeurIPS) swept across token
+    //      budgets {0.5×, 1×, 2×, 4×} the corpus — the scaling
+    //      decision table that says how much of a bigger compute
+    //      budget repeated data actually converts into effective
+    //      tokens (δ = 0.5 epoch decay), and when languages cross the
+    //      ~4-epoch wall where further repetition is near-worthless.
+    //      Lang-cardinality × 4 budget rows inside; 4-row output; one
+    //      one-row (total, Z) normalizer scalar (q204's fenced
+    //      pattern) ----
+    "q210_repeat_value_curve" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val t = toks.agg(sum(col("n_tokens")).as("tot"),
+        sum(pow(col("n_tokens").cast("double"), lit(0.7))).as("z07"))
+      val ntD = col("n_tokens").cast("double")
+      val wgt = pow(ntD, lit(0.7)) / col("z07")
+      val alloc = wgt * col("tot").cast("double") * col("m")
+      val e = alloc / ntD
+      val fullD = floor(e).cast("double")
+      val dk = pow(lit(0.5), fullD)
+      val eff = ntD * (lit(2.0) * (lit(1.0) - dk) + (e - fullD) * dk)
+      toks.crossJoin(broadcast(t))
+        .withColumn("m", explode(array(lit(0.5), lit(1.0), lit(2.0), lit(4.0))))
+        .select(col("m"), alloc.as("alloc"), eff.as("eff"),
+          (round(e, 6) > 1.0).cast("long").as("rep"),
+          (round(e, 6) > 4.0).cast("long").as("over4"))
+        .groupBy(col("m"))
+        .agg(round(sum(col("alloc")), 2).as("budget_tokens"),
+          round(sum(col("eff")), 2).as("effective_tokens"),
+          round(sum(col("eff")) / sum(col("alloc")), 6).as("efficiency"),
+          sum(col("rep")).as("n_langs_repeat"),
+          sum(col("over4")).as("n_langs_over4"))
+        .select(col("m").as("budget_x"), col("budget_tokens"),
+          col("effective_tokens"), col("efficiency"),
+          col("n_langs_repeat"), col("n_langs_over4"))
+        .orderBy(col("budget_x"))
+    }),
+
+    // ---- two-key QUOTA sampling: a balanced eval slice drawn per
+    //      (lang × source) cell — rank by content hash of doc_id
+    //      (reproducible, scan-order-free), keep the first 8 per cell
+    //      (on the fixture the quota BINDS on the large cells and not
+    //      the small ones, so both regimes are gated; the rule is
+    //      quota-agnostic). The card: eligibility, take, coverage,
+    //      sampled tokens, and the md5 fingerprint of the exact taken
+    //      id set — the gate pins WHICH docs were drawn, not just how
+    //      many. Per-cell window sort (cell-bounded); no scalar, no
+    //      crossJoin ----
+    "q211_quota_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_eligible"),
+          sum(when(col("rn") <= 8, 1L).otherwise(0L)).as("n_taken"),
+          coalesce(sum(when(col("rn") <= 8, col("n_tokens"))), lit(0L))
+            .as("sample_tokens"),
+          substring(md5(array_join(transform(
+            sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))),
+            x => x.cast("string")), ",")), 1, 16).as("sample_fp"))
+        .select(col("lang"), col("source"), col("n_eligible"), col("n_taken"),
+          round(col("n_taken").cast("double") / col("n_eligible"), 6)
+            .as("coverage"),
+          col("sample_tokens"), col("sample_fp"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---- CHAINED DoReMi maintenance: q205's one-step exponentiated-
+    //      gradient update applied SEQUENTIALLY over three ingest
+    //      batches (first-md5-nibble mod 3 — q207's deterministic
+    //      arrival-order stand-in) — the mixture-weights twin of the
+    //      incremental ledger family: the deployed sampling weights
+    //      are a maintained artifact, re-estimated per ingest window
+    //      from that window's per-source excess loss, never refit from
+    //      scratch. w₀ = doc-share prior; wₖ₊₁ ∝ wₖ·exp(excessₖ) with
+    //      excessₖ = max_source(mean qualityₖ) − mean qualityₖ
+    //      (missing source-batch cells update by 0 — no evidence, no
+    //      move). Source-cardinality-bounded throughout; the batch
+    //      maxima and the three EG normalizers are one-row fenced
+    //      scalars (q205's pattern, chained) ----
+    "q212_doremi_chained" -> ((s, d) => {
+      val batchOf = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 1), 16, 10).cast("long"), lit(3L))
+      // one corpus scan: the per-(source, batch) means pivot to one
+      // source-cardinality frame every chained step reads
+      val pv = graft.util.Persist(docQuality(s, d)
+        .withColumn("batch", batchOf)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(when(col("batch") === 0, col("quality_score"))), 6)
+            .as("m0"),
+          round(avg(when(col("batch") === 1, col("quality_score"))), 6)
+            .as("m1"),
+          round(avg(when(col("batch") === 2, col("quality_score"))), 6)
+            .as("m2")))
+      val mx = pv.agg(max(col("m0")).as("x0"), max(col("m1")).as("x1"),
+        max(col("m2")).as("x2"), sum(col("n_docs")).as("tot"))
+      val s0 = pv.crossJoin(broadcast(mx))
+        .withColumn("w0", col("n_docs").cast("double") / col("tot"))
+        .withColumn("e0", coalesce(round(col("x0") - col("m0"), 6), lit(0.0)))
+        .withColumn("e1", coalesce(round(col("x1") - col("m1"), 6), lit(0.0)))
+        .withColumn("e2", coalesce(round(col("x2") - col("m2"), 6), lit(0.0)))
+      val g1 = s0.withColumn("g1", col("w0") * exp(col("e0")))
+      val w1 = g1.crossJoin(broadcast(g1.agg(sum(col("g1")).as("z1"))))
+        .withColumn("w1", col("g1") / col("z1"))
+      val g2 = w1.withColumn("g2", col("w1") * exp(col("e1")))
+      val w2 = g2.crossJoin(broadcast(g2.agg(sum(col("g2")).as("z2"))))
+        .withColumn("w2", col("g2") / col("z2"))
+      val g3 = w2.withColumn("g3", col("w2") * exp(col("e2")))
+      val w3 = g3.crossJoin(broadcast(g3.agg(sum(col("g3")).as("z3"))))
+        .withColumn("w3", col("g3") / col("z3"))
+      w3.select(col("source"), col("n_docs"), col("m0"), col("m1"), col("m2"),
+          round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+          round(col("w2"), 6).as("w2"), round(col("w3"), 6).as("w3"),
+          round(col("w3") / col("w0"), 6).as("boost"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- index STALENESS cost: what q137's incremental maintenance
+    //      BUYS — recall@3 against the exact full-corpus truth for the
+    //      STALE index (base vectors only: the didn't-maintain
+    //      counterfactual, delta vectors invisible) vs the MAINTAINED
+    //      index (full corpus), same IVF search (16 cells, 4 probes)
+    //      on both sides. Queries whose true neighbors arrived in the
+    //      delta can only lose them under the stale index; `gain` is
+    //      the per-query hit count maintenance recovered — the number
+    //      that justifies running the q137 loop at all. Fenced eval:
+    //      bounded 50-query truth side (q25's design), cell-keyed
+    //      candidate joins on both index sides ----
+    "q213_index_staleness" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val truth = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 3)
+        .select(col("q_id"), col("n_id"))
+      val stale = Similarity.ivfTopK(q, emb.filter(!isDelta(col("vec_id"))),
+          "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+        .select(col("q_id").as("s_q"), col("n_id").as("s_n"))
+      val maint = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+          nCells = 16, nProbe = 4)
+        .select(col("q_id").as("m_q"), col("n_id").as("m_n"))
+      truth
+        .join(stale, col("q_id") === col("s_q") && col("n_id") === col("s_n"),
+          "left")
+        .join(maint, col("q_id") === col("m_q") && col("n_id") === col("m_n"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          count(col("s_n")).as("stale_hits"),
+          count(col("m_n")).as("maintained_hits"))
+        .select(col("q_id"), col("stale_hits"), col("maintained_hits"),
+          round(col("stale_hits").cast("double") / col("n_truth"), 6)
+            .as("stale_recall"),
+          round(col("maintained_hits").cast("double") / col("n_truth"), 6)
+            .as("maintained_recall"),
+          (col("maintained_hits") - col("stale_hits")).as("gain"))
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- STREAMING mixture maintenance: the q212 chain executed as a
+    //      real ordered ingest — the deployed sampling weights as a
+    //      maintained artifact (the sixth incremental family, after
+    //      the detectors, the index, the sketches, and the ledger).
+    //      The doc-share prior is release-known (persisted before the
+    //      stream starts — you know last release's source mix); each
+    //      arriving micro-batch is scored with the frozen q108
+    //      coefficients ([[qualityOf]]) and applies ONE EG step to the
+    //      previous weight version, writing version k. The EG chain is
+    //      order-DEPENDENT, so the ingest uses [[writeOrderedBatches]]
+    //      (one file per md5 batch, fixed increasing mtimes) instead
+    //      of q179's arbitrary-membership ingest — and the final card
+    //      is gated on q212's UNCHANGED oracle: streaming maintenance
+    //      is value-identical to the batch chain. Per-batch cost is
+    //      |batch| scoring + a source-cardinality join; nothing
+    //      corpus-proportional recomputes ----
+    "q214_stream_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val batchOf = pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 1), 16, 10).cast("long"), lit(3L))
+      val priorDir = CoreQueries.sharedInputDir(
+        s"graft_q214_prior_${CoreQueries.dirToken(d)}") { p =>
+        val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = cnt.agg(sum(col("n_docs")).as("tot"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (col("n_docs").cast("double") / col("tot")).as("w"))
+          .repartition(1).write.mode("overwrite").parquet(p)
+      }
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q214_in_${CoreQueries.dirToken(d)}") { p =>
+        writeOrderedBatches(p, Seq(0L, 1L, 2L).map(k =>
+          docs.filter(batchOf === k)))
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q214_smix_")
+      val wRoot = s"$dir/w"; val mRoot = s"$dir/m"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, docs.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val means = qualityOf(batch.toDF()).groupBy(col("source"))
+              .agg(round(avg(col("quality_score")), 6).as("m"))
+            graft.streaming.Streaming.writeBatch(means, id, mRoot,
+              append = true)
+            val prior = if (id == 0L)
+                s.read.parquet(priorDir)
+                  .select(col("source"), col("n_docs"), col("w"))
+              else s.read.parquet(s"$wRoot/batch_id=${id - 1}")
+            val mx = means.agg(max(col("m")).as("x"))
+            val stepped = prior.join(means, Seq("source"), "left")
+              .crossJoin(broadcast(mx))
+              .withColumn("e",
+                coalesce(round(col("x") - col("m"), 6), lit(0.0)))
+              .withColumn("g", col("w") * exp(col("e")))
+            val z = stepped.agg(sum(col("g")).as("z"))
+            stepped.crossJoin(broadcast(z))
+              .select(col("source"), col("n_docs"),
+                (col("g") / col("z")).as("w"))
+              .write.mode("overwrite").parquet(s"$wRoot/batch_id=$id")
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w0 = s.read.parquet(priorDir)
+        .select(col("source"), col("n_docs"), col("w").as("wv0"))
+      val ms = s.read.parquet(mRoot).groupBy(col("source"))
+        .agg(max(when(col("batch_id") === 0, col("m"))).as("m0"),
+          max(when(col("batch_id") === 1, col("m"))).as("m1"),
+          max(when(col("batch_id") === 2, col("m"))).as("m2"))
+      val wk = (0 to 2).map(k => s.read.parquet(s"$wRoot/batch_id=$k")
+        .select(col("source"), col("w").as(s"wv${k + 1}")))
+      wk.foldLeft(w0.join(ms, Seq("source"))) { (acc, f) =>
+          acc.join(f, Seq("source")) }
+        .select(col("source"), col("n_docs"), col("m0"), col("m1"),
+          col("m2"),
+          round(col("wv0"), 6).as("w0"), round(col("wv1"), 6).as("w1"),
+          round(col("wv2"), 6).as("w2"), round(col("wv3"), 6).as("w3"),
+          round(col("wv3") / col("wv0"), 6).as("boost"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- CURRICULUM-AWARE packing: q209's phases composed with
+    //      q195's FFD packer — a curriculum loader packs each phase
+    //      independently (a sequence must never mix phases, or the
+    //      schedule leaks late-phase data early), so the shard key is
+    //      the (phase : source) composite and phase purity holds BY
+    //      CONSTRUCTION. The card: per phase, docs, sequences, kept/
+    //      pad/truncation tokens — the phase-budget table next to
+    //      q209's schedule. The oracle replays the fold over the
+    //      composite key with the phase CTEs inlined ----
+    "q215_curriculum_packing" -> ((s, d) => {
+      val cf = curriculumFrame(s, d)
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      ffdPack(cf)
+        .withColumn("phase", split(col("source"), ":").getItem(0)
+          .cast("long"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source"), col("seq_id")).as("n_seqs"),
+          sum(col("n_kept")).as("kept_tokens"),
+          sum(col("n_dropped")).as("trunc_tokens"))
+        .select(col("phase"), col("n_docs"), col("n_seqs"),
+          col("kept_tokens"),
+          (col("n_seqs") * packBudget - col("kept_tokens")).as("pad_tokens"),
+          col("trunc_tokens"))
+        .orderBy(col("phase"))
+    }),
+
+    // ---- IVF probe-budget OPERATING POINT: q121's recall sweep
+    //      joined with what each probe level COSTS — the candidate
+    //      pairs the coarse quantizer admits ([[Similarity
+    //      .ivfCandidatePairs]], the exact scan work of the fine
+    //      stage) as a fraction of the brute-force pair count — and
+    //      the q202-style pick: argmin of (1 − recall) + scan_frac,
+    //      the equal-weight trade a deployment makes when a scanned
+    //      candidate costs what a missed neighbor costs. 5 bounded
+    //      sweep rows; the pick is a 5-row window ----
+    "q216_ivf_operating_point" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      val usable = emb
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"),
+          expr("aggregate(cast(embedding as array<double>), 0D," +
+            " (acc, x) -> acc + x * x)").as("nrm"))
+        .filter(col("nrm") > 0)
+      val sc = usable.agg(count(lit(1)).as("nc"),
+        sum(when(col("vec_id") < 50, 1L).otherwise(0L)).as("nq"))
+      val rows = Seq(1, 2, 4, 8, 16).map { p =>
+        val pairs = Similarity.ivfCandidatePairs(q, emb, "vec_id",
+          "embedding", nProbe = p)
+        val cand = pairs.agg(count(lit(1)).as("n_candidates"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+        val approx = pairs.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        val rec = exact.join(approx,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("a_n")).as("n_found"))
+        cand.crossJoin(rec).crossJoin(broadcast(sc))
+          .select(lit(p.toLong).as("n_probe"), col("n_candidates"),
+            round(col("n_candidates").cast("double") /
+              (col("nq") * (col("nc") - 1)), 6).as("scan_frac"),
+            round(col("n_found").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      }.reduce(_.unionByName(_))
+      // the pick works on the ROUNDED columns so both engines compare
+      // identical decimals
+      val pickW = Window.orderBy(
+        (lit(1.0) - col("recall") + col("scan_frac")), col("n_probe"))
+      rows
+        .withColumn("total_cost",
+          round(lit(1.0) - col("recall") + col("scan_frac"), 6))
+        .withColumn("picked",
+          (row_number().over(pickW) === 1).cast("long"))
+        .select(col("n_probe"), col("n_candidates"), col("scan_frac"),
+          col("recall"), col("total_cost"), col("picked"))
+        .orderBy(col("n_probe"))
+    }),
+
+    // ---- REPACK CHURN: what an ingest does to an already-packed
+    //      corpus — FFD packing is globally greedy, so adding delta
+    //      docs can reshuffle base docs across sequences; this card
+    //      counts, per source, how many base docs kept their exact
+    //      (seq_id, offset) slot, how many changed sequence, and the
+    //      ingest size that caused it. The operational number behind
+    //      shard caching: high churn says repacking invalidates
+    //      shipped shards, i.e. pack delta docs into NEW sequences
+    //      (q195 per-shard incrementality) instead of re-running the
+    //      global fold. Two folds + one doc_id-keyed join ----
+    "q217_repack_churn" -> ((s, d) => {
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      val pb = ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id")))))
+        .select(col("doc_id"), col("source"), col("seq_id").as("b_seq"),
+          col("offset_in_seq").as("b_off"))
+      val pf = ffdPack(tok(docs))
+        .select(col("doc_id"), col("seq_id").as("f_seq"),
+          col("offset_in_seq").as("f_off"))
+      val nd = tok(docs.filter(isDeltaDoc(col("doc_id"))))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_delta_docs"))
+      pb.join(pf, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_base_docs"),
+          sum(when(col("b_seq") === col("f_seq") &&
+            col("b_off") === col("f_off"), 1L).otherwise(0L)).as("n_stable"),
+          sum(when(col("b_seq") =!= col("f_seq"), 1L).otherwise(0L))
+            .as("n_moved_seq"))
+        .join(nd, Seq("source"), "left")
+        .select(col("source"), col("n_base_docs"), col("n_stable"),
+          col("n_moved_seq"),
+          coalesce(col("n_delta_docs"), lit(0L)).as("n_delta_docs"),
+          round(lit(1.0) - col("n_stable").cast("double") /
+            col("n_base_docs"), 6).as("churn_frac"))
+        .orderBy(col("source"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -9925,13 +10443,331 @@ object ExtQueries {
            CAST(COALESCE(SUM(pd.shared_grams), 0) AS BIGINT)
              AS n_shared_grams
          FROM bt LEFT JOIN pd USING (doc_id)
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // the FFD fold replayed, sequences grouped to (source, seq_id),
+    // shard = first md5 nibble of "source:seq_id" mod 8
+    "q208_shard_manifest" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("sh")},
+         shseqs AS (SELECT source, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS nd, SUM(t) AS kept
+           FROM shfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         shsh AS (SELECT CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id, nd, kept
+           FROM shseqs),
+         shag AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+             CAST(COUNT(*) * $packBudget - SUM(kept) AS BIGINT) AS pad_tokens
+           FROM shsh GROUP BY 1),
+         shtt AS (SELECT SUM(kept_tokens) AS tt FROM shag)
+         SELECT shard_id, n_seqs, n_docs, kept_tokens, pad_tokens,
+           round(CAST(kept_tokens AS DOUBLE) / (CAST(tt AS DOUBLE) / 8.0), 6)
+             AS load_ratio
+         FROM shag, shtt ORDER BY shard_id""",
+    // the shared quality CTEs (q108/q205's sc), tercile thresholds via
+    // quantile_cont (the textbook R-7 the Spark-side distributed
+    // quantile reproduces — q153's proven pairing), then the phase
+    // scan and the 3-row schedule card
+    "q209_curriculum_phases" -> s"""
+         WITH $duckQualityCtes,
+         cnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         cth AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2 FROM sc),
+         cph AS (SELECT sc.doc_id, quality_score, n_tokens,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase
+           FROM sc JOIN cnt USING (doc_id), cth),
+         cper AS (SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             round(AVG(quality_score), 6) AS mean_quality
+           FROM cph GROUP BY 1),
+         ctt AS (SELECT SUM(n_tokens) AS tt FROM cper)
+         SELECT phase, n_docs, n_tokens, mean_quality,
+           round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+           round(CAST(SUM(n_tokens) OVER (ORDER BY phase) AS DOUBLE) / tt, 6)
+             AS cum_token_share
+         FROM cper, ctt ORDER BY phase""",
+    // q204's allocation arithmetic verbatim, swept over the 4 budget
+    // multipliers and aggregated to the corpus curve
+    "q210_repeat_value_curve" -> s"""
+         WITH rlt AS (SELECT lang,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS nt FROM documents),
+         rpl AS (SELECT lang, SUM(nt) AS n_tokens FROM rlt GROUP BY 1
+           HAVING SUM(nt) > 0),
+         rtz AS (SELECT SUM(n_tokens) AS tot,
+           SUM(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z07 FROM rpl),
+         rmm AS (SELECT unnest([0.5, 1.0, 2.0, 4.0]) AS m),
+         re1 AS (SELECT lang, m, CAST(n_tokens AS DOUBLE) AS ntd,
+             (power(CAST(n_tokens AS DOUBLE), 0.7) / z07)
+               * CAST(tot AS DOUBLE) * m AS alloc
+           FROM rpl, rtz, rmm),
+         re2 AS (SELECT lang, m, ntd, alloc, alloc / ntd AS e FROM re1),
+         re3 AS (SELECT *, floor(e) AS fl, power(0.5, floor(e)) AS dk
+           FROM re2),
+         re4 AS (SELECT *,
+             ntd * (2.0 * (1.0 - dk) + (e - fl) * dk) AS eff FROM re3)
+         SELECT m AS budget_x, round(SUM(alloc), 2) AS budget_tokens,
+           round(SUM(eff), 2) AS effective_tokens,
+           round(SUM(eff) / SUM(alloc), 6) AS efficiency,
+           CAST(SUM(CASE WHEN round(e, 6) > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_langs_repeat,
+           CAST(SUM(CASE WHEN round(e, 6) > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_langs_over4
+         FROM re4 GROUP BY 1 ORDER BY 1""",
+    // per-cell md5 rank, quota 8, and the taken-id-set fingerprint
+    // (string_agg and the Spark collect_list both skip the not-taken
+    // NULLs and order by doc_id ascending)
+    "q211_quota_sample" -> s"""
+         WITH qdt AS (SELECT doc_id, lang, source,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         qrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM qdt)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_taken,
+           round(CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage,
+           CAST(COALESCE(SUM(CASE WHEN rn <= 8 THEN n_tokens END), 0)
+             AS BIGINT) AS sample_tokens,
+           substr(md5(string_agg(CASE WHEN rn <= 8
+               THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)),
+             1, 16) AS sample_fp
+         FROM qrk GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the shared quality CTEs, per-(source, batch) means pivoted, then
+    // the three EG steps staged exactly as the Spark chain (rounded
+    // mean -> rounded excess, coalesced to 0 -> w*exp -> Z). The
+    // STREAMING twin (q214) gates on this IDENTICAL oracle: ordered
+    // ingest maintenance must be value-identical to the batch chain.
+    "q212_doremi_chained" -> doremiChainSql,
+    "q214_stream_mixture" -> doremiChainSql,
+    // exact cosine truth over the full corpus (q25's CTEs), then
+    // q44's IVF scan twice off one shared assignment/sim CTE — the
+    // stale side filters the delta vectors out of the candidate set
+    "q213_index_staleness" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         iau AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         iqq AS (SELECT vec_id AS q_id, vec AS q_vec FROM iau
+           WHERE vec_id < 50),
+         itr AS (SELECT q_id, n_id FROM (
+           SELECT q.q_id, c.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, c.vec) /
+                 (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                  sqrt(list_inner_product(c.vec, c.vec))), 6) DESC,
+                 c.vec_id) AS rank
+           FROM iqq q, iau c WHERE q.q_id <> c.vec_id) t WHERE rank <= 3),
+         ica AS (SELECT n_id, n_vec, cell, is_delta FROM (
+           SELECT a.vec_id AS n_id, a.vec AS n_vec, cell,
+             substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS is_delta,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_inner_product(a.vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM iau a, cent) t WHERE rn = 1),
+         iqa AS (SELECT q_id, q_vec, cell FROM (
+           SELECT q_id, q_vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM iqq, cent) t WHERE rn <= 4),
+         isv AS (SELECT iqa.q_id, ica.n_id,
+             list_inner_product(q_vec, n_vec) /
+               (sqrt(list_inner_product(q_vec, q_vec)) *
+                sqrt(list_inner_product(n_vec, n_vec))) AS sim, ica.is_delta
+           FROM iqa JOIN ica USING (cell) WHERE iqa.q_id <> ica.n_id),
+         ist AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM isv WHERE NOT is_delta) t WHERE rank <= 3),
+         imt AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank
+           FROM isv) t WHERE rank <= 3)
+         SELECT itr.q_id,
+           CAST(COUNT(ist.n_id) AS BIGINT) AS stale_hits,
+           CAST(COUNT(imt.n_id) AS BIGINT) AS maintained_hits,
+           round(CAST(COUNT(ist.n_id) AS DOUBLE) / COUNT(*), 6)
+             AS stale_recall,
+           round(CAST(COUNT(imt.n_id) AS DOUBLE) / COUNT(*), 6)
+             AS maintained_recall,
+           CAST(COUNT(imt.n_id) - COUNT(ist.n_id) AS BIGINT) AS gain
+         FROM itr
+         LEFT JOIN ist ON ist.q_id = itr.q_id AND ist.n_id = itr.n_id
+         LEFT JOIN imt ON imt.q_id = itr.q_id AND imt.n_id = itr.n_id
+         GROUP BY itr.q_id ORDER BY itr.q_id""",
+    // the q209 phase CTEs feeding the FFD fold over the composite
+    // (phase : source) shard key, aggregated to the phase-budget card
+    "q215_curriculum_packing" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         kcnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         kth AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2 FROM sc),
+         kph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN kcnt USING (doc_id), kth),
+         ${ffdFoldSqlFor("cp",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM kph""")}
+         SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source || '#' || CAST(seq_id AS VARCHAR))
+             AS BIGINT) AS n_seqs,
+           CAST(SUM(t) AS BIGINT) AS kept_tokens,
+           CAST(COUNT(DISTINCT source || '#' || CAST(seq_id AS VARCHAR))
+             * $packBudget - SUM(t) AS BIGINT) AS pad_tokens,
+           CAST(SUM(n_tokens - t) AS BIGINT) AS trunc_tokens
+         FROM cpfold WHERE doc_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // q44's assignment CTEs + the q25 exact-cosine truth side, one leg
+    // per probe level (candidate count + recall), then the rounded-
+    // column cost ordering and the argmin pick
+    "q216_ivf_operating_point" -> s"""
+         WITH cent(cell, cvec) AS (VALUES $ivfCentroids),
+         oau AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         oqq AS (SELECT vec_id AS q_id, vec AS q_vec FROM oau
+           WHERE vec_id < 50),
+         oex AS (SELECT q_id, n_id FROM (
+           SELECT q.q_id, c.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, c.vec) /
+                 (sqrt(list_inner_product(q.q_vec, q.q_vec)) *
+                  sqrt(list_inner_product(c.vec, c.vec))), 6) DESC,
+                 c.vec_id) AS rank
+           FROM oqq q, oau c WHERE q.q_id <> c.vec_id) t WHERE rank <= 3),
+         oca AS (SELECT n_id, n_vec, cell FROM (
+           SELECT a.vec_id AS n_id, a.vec AS n_vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_inner_product(a.vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM oau a, cent) t WHERE rn = 1),
+         oqc AS (SELECT q_id, q_vec, cell,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC, cell)
+               AS rn
+           FROM oqq, cent),
+         osc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+           CAST(SUM(CASE WHEN vec_id < 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nq FROM oau),
+         ${Seq(1, 2, 4, 8, 16).map(p => s"""
+         op${p}pv AS (SELECT oqc.q_id, oca.n_id,
+             list_inner_product(q_vec, n_vec) /
+               (sqrt(list_inner_product(q_vec, q_vec)) *
+                sqrt(list_inner_product(n_vec, n_vec))) AS sim
+           FROM oqc JOIN oca USING (cell)
+           WHERE oqc.rn <= $p AND oqc.q_id <> oca.n_id),
+         op${p}cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM op${p}pv),
+         op${p}ap AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(sim, 6) DESC, n_id) AS rank FROM op${p}pv) t
+           WHERE rank <= 3),
+         op${p}rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM oex e LEFT JOIN op${p}ap a
+             ON a.q_id = e.q_id AND a.n_id = e.n_id),
+         op${p}row AS (SELECT CAST($p AS BIGINT) AS n_probe, n_candidates,
+             round(CAST(n_candidates AS DOUBLE) / (nq * (nc - 1)), 6)
+               AS scan_frac,
+             round(CAST(n_found AS DOUBLE) / n_exact, 6) AS recall
+           FROM op${p}cnt, op${p}rc, osc)""").mkString(",")},
+         oall AS (${Seq(1, 2, 4, 8, 16)
+           .map(p => s"SELECT * FROM op${p}row").mkString(" UNION ALL ")})
+         SELECT n_probe, n_candidates, scan_frac, recall,
+           round(1.0 - recall + scan_frac, 6) AS total_cost,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+             ORDER BY (1.0 - recall + scan_frac), n_probe) = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS picked
+         FROM oall ORDER BY n_probe""",
+    // two FFD folds (base slice / full corpus) joined on doc_id, plus
+    // the per-source delta-ingest counts
+    "q217_repack_churn" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("rb", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("rf")},
+         rbj AS (SELECT doc_id, source, seq_id AS b_seq, off AS b_off
+           FROM rbfold WHERE doc_id IS NOT NULL),
+         rfj AS (SELECT doc_id, seq_id AS f_seq, off AS f_off
+           FROM rffold WHERE doc_id IS NOT NULL),
+         rdd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_delta_docs
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2')
+             AND len($duckNormWords) > 0
+           GROUP BY 1),
+         rag AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_base_docs,
+             CAST(SUM(CASE WHEN b_seq = f_seq AND b_off = f_off
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+             CAST(SUM(CASE WHEN b_seq <> f_seq THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved_seq
+           FROM rbj b JOIN rfj USING (doc_id) GROUP BY 1)
+         SELECT rag.source, n_base_docs, n_stable, n_moved_seq,
+           CAST(COALESCE(rdd.n_delta_docs, 0) AS BIGINT) AS n_delta_docs,
+           round(1.0 - CAST(n_stable AS DOUBLE) / n_base_docs, 6)
+             AS churn_frac
+         FROM rag LEFT JOIN rdd USING (source) ORDER BY rag.source""")
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of
     * [[docQuality]], shared by the q108 gate and the q205 DoReMi step
     * so the two cannot desynchronize on a coefficient.
     */
+  /** The chained-DoReMi oracle shared VERBATIM by q212 (the batch
+    * chain) and q214 (the streaming maintenance twin) — one SQL so the
+    * stream is gated as value-identical to the batch chain, the q162/
+    * q179 discipline applied to the mixture-weights artifact.
+    */
+  private lazy val doremiChainSql: String = s"""
+         WITH $duckQualityCtes,
+         dbq AS (SELECT sc.doc_id, source, quality_score,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 1)) - 1) % 3)
+               AS BIGINT) AS batch
+           FROM sc),
+         dpv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             round(AVG(CASE WHEN batch = 0 THEN quality_score END), 6) AS m0,
+             round(AVG(CASE WHEN batch = 1 THEN quality_score END), 6) AS m1,
+             round(AVG(CASE WHEN batch = 2 THEN quality_score END), 6) AS m2
+           FROM dbq GROUP BY 1),
+         dmx AS (SELECT MAX(m0) AS x0, MAX(m1) AS x1, MAX(m2) AS x2,
+           SUM(n_docs) AS tot FROM dpv),
+         ds0 AS (SELECT source, n_docs, m0, m1, m2,
+             CAST(n_docs AS DOUBLE) / tot AS w0,
+             COALESCE(round(x0 - m0, 6), 0) AS e0,
+             COALESCE(round(x1 - m1, 6), 0) AS e1,
+             COALESCE(round(x2 - m2, 6), 0) AS e2
+           FROM dpv, dmx),
+         dg1 AS (SELECT *, w0 * exp(e0) AS g1 FROM ds0),
+         dz1 AS (SELECT SUM(g1) AS z1 FROM dg1),
+         dw1 AS (SELECT dg1.*, g1 / z1 AS w1 FROM dg1, dz1),
+         dg2 AS (SELECT *, w1 * exp(e1) AS g2 FROM dw1),
+         dz2 AS (SELECT SUM(g2) AS z2 FROM dg2),
+         dw2 AS (SELECT dg2.*, g2 / z2 AS w2 FROM dg2, dz2),
+         dg3 AS (SELECT *, w2 * exp(e2) AS g3 FROM dw2),
+         dz3 AS (SELECT SUM(g3) AS z3 FROM dg3),
+         dw3 AS (SELECT dg3.*, g3 / z3 AS w3 FROM dg3, dz3)
+         SELECT source, n_docs, m0, m1, m2,
+           round(w0, 6) AS w0, round(w1, 6) AS w1,
+           round(w2, 6) AS w2, round(w3, 6) AS w3,
+           round(w3 / w0, 6) AS boost
+         FROM dw3 ORDER BY source"""
+
   private lazy val duckQualityCtes: String = s"""
          t AS (SELECT doc_id, source, text, ${duckToks("text")} AS toks
            FROM documents),
