@@ -6733,6 +6733,102 @@ object ExtQueries {
           round(lit(1.0) - col("n_stable").cast("double") /
             col("n_base_docs"), 6).as("churn_frac"))
         .orderBy(col("source"))
+    }),
+
+    // ---- INCREMENTAL packing: the remedy q217's churn card argues
+    //      for — the released base packing is IMMUTABLE (its open bins
+    //      are declared closed at release cut), and delta docs fold
+    //      into NEW sequences only, seq ids continuing after the
+    //      base's per-source maximum. Base rows churn ZERO by
+    //      construction; ingest cost is the delta fold alone. The
+    //      price (extra open-bin pad vs a global re-fold) is
+    //      Wave21Spec-pinned against q195. Output is the combined
+    //      manifest with provenance ----
+    "q218_incremental_packing" -> ((s, d) => {
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      // two consumers (the union and the per-source seq offsets) of
+      // the base fold — persist so it runs once
+      val base = graft.util.Persist(
+        ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id"))))))
+      val seq0 = base.groupBy(col("source"))
+        .agg((max(col("seq_id")) + 1).as("seq0"))
+      val delta = ffdPack(tok(docs.filter(isDeltaDoc(col("doc_id")))))
+        .join(seq0, Seq("source"), "left")
+        .withColumn("seq_id", col("seq_id") + coalesce(col("seq0"), lit(0L)))
+        .drop("seq0")
+      base.withColumn("origin", lit("base"))
+        .unionByName(delta.withColumn("origin", lit("delta")))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+          col("offset_in_seq"), col("n_kept"), col("n_dropped"),
+          col("origin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- index TOMBSTONES: the delete side of ANN-index maintenance
+    //      (q137 covered appends) — the q86 semantic-dedup drop list
+    //      applied to the persisted cell index as tombstones, i.e. the
+    //      index deduplicates ITSELF. The maintained occupancy is a
+    //      per-cell DECREMENT (n_base − n_dropped, never a corpus
+    //      rescan); the oracle RECOUNTS kept vectors from scratch, so
+    //      the gate proves decrement-maintenance ≡ recount — the
+    //      invariant that lets a 100 TB index process deletions
+    //      without rebuilding. Cell-keyed aggregates throughout; the
+    //      drop list is the q86 pipeline verbatim ----
+    "q219_index_tombstones" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.cellIndex(emb, "vec_id", "embedding")
+      val drops = Similarity.semanticDedup(emb, "vec_id", "embedding",
+          tau = 0.4, nCells = 16)
+        .select(col("dropped_id").as("id"))
+      val dropped = idx.join(drops, Seq("id"), "left_semi")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+      idx.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+        .join(dropped, Seq("cell"), "left")
+        .select(col("cell"), col("n_base"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_base") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"),
+          round(coalesce(col("n_dropped"), lit(0L)).cast("double") /
+            col("n_base"), 6).as("drop_frac"))
+        .orderBy(col("cell"))
+    }),
+
+    // ---- tokenizer RETRAIN trigger: the q198 discipline (monitor the
+    //      frozen model's output distribution, not its inputs) applied
+    //      to the frozen full-corpus BPE tokenizer — per source, the
+    //      trained-merge fertility (q157's currency) on the base slice
+    //      vs the delta ingest, and the ratio flag at ±2 % relative
+    //      drift. A drifting source (new domain jargon, new language
+    //      mix) inflates delta fertility under the frozen merges — the
+    //      signal to retrain the tokenizer at the NEXT release, never
+    //      mid-release. Cost: the memoized q122 encode + one
+    //      source-cardinality pivot ----
+    "q220_fertility_trigger" -> ((s, d) => {
+      val enc = bpeEncoded(s, d).withColumn("side",
+        when(isDeltaDoc(col("doc_id")), lit("delta")).otherwise(lit("base")))
+      enc.groupBy(col("source"))
+        .agg(sum(when(col("side") === "base", col("n_words"))).as("bw"),
+          sum(when(col("side") === "base", col("n_tokens"))).as("bt"),
+          sum(when(col("side") === "delta", col("n_words"))).as("dw"),
+          sum(when(col("side") === "delta", col("n_tokens"))).as("dt"))
+        .select(col("source"),
+          round(col("bt").cast("double") / col("bw"), 6)
+            .as("base_fertility"),
+          round(col("dt").cast("double") / col("dw"), 6)
+            .as("delta_fertility"))
+        .withColumn("fert_ratio",
+          round(col("delta_fertility") / col("base_fertility"), 6))
+        // a source with no delta (or no base) slice has no evidence:
+        // ratio stays NULL, the flag reads 0, never NULL
+        .withColumn("flagged",
+          coalesce((abs(col("fert_ratio") - 1.0) > 0.02).cast("long"),
+            lit(0L)))
+        .select(col("source"), col("base_fertility"),
+          col("delta_fertility"), col("fert_ratio"), col("flagged"))
+        .orderBy(col("source"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -10721,7 +10817,79 @@ object ExtQueries {
            CAST(COALESCE(rdd.n_delta_docs, 0) AS BIGINT) AS n_delta_docs,
            round(1.0 - CAST(n_stable AS DOUBLE) / n_base_docs, 6)
              AS churn_frac
-         FROM rag LEFT JOIN rdd USING (source) ORDER BY rag.source""")
+         FROM rag LEFT JOIN rdd USING (source) ORDER BY rag.source""",
+    // base fold + delta fold, delta seq ids offset past the base
+    // per-source maximum — the released packing is immutable
+    "q218_incremental_packing" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("ib", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("idl", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2')""")},
+         ibs AS (SELECT source, MAX(seq_id) + 1 AS seq0 FROM ibfold
+           WHERE doc_id IS NOT NULL GROUP BY 1)
+         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
+           t AS n_kept, n_tokens - t AS n_dropped, 'base' AS origin
+         FROM ibfold WHERE doc_id IS NOT NULL
+         UNION ALL
+         SELECT d.doc_id, d.source, d.n_tokens,
+           d.seq_id + COALESCE(b.seq0, 0) AS seq_id,
+           d.off AS offset_in_seq, d.t AS n_kept,
+           d.n_tokens - d.t AS n_dropped, 'delta' AS origin
+         FROM idlfold d LEFT JOIN ibs b USING (source)
+         WHERE d.doc_id IS NOT NULL
+         ORDER BY doc_id""",
+    // the q86 drop list as tombstones over the cell index (assignment
+    // + usable-norm, the cellIndex contract); the oracle RECOUNTS the
+    // kept side from scratch where the Spark card DECREMENTS
+    "q219_index_tombstones" -> s"""
+         WITH ${semanticPairCtesFor("", "TRUE")},
+         tdr AS (SELECT DISTINCT dropped_id AS id FROM ev WHERE rn = 1),
+         tidx AS (SELECT id, cell FROM cl
+           WHERE list_inner_product(vec, vec) > 0),
+         tb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+           FROM tidx GROUP BY 1),
+         td AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped
+           FROM tidx JOIN tdr USING (id) GROUP BY 1),
+         tk AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM tidx WHERE id NOT IN (SELECT id FROM tdr) GROUP BY 1)
+         SELECT tb.cell, n_base,
+           CAST(COALESCE(td.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(tk.n_kept, 0) AS BIGINT) AS n_kept,
+           round(CAST(COALESCE(td.n_dropped, 0) AS DOUBLE) / n_base, 6)
+             AS drop_frac
+         FROM tb LEFT JOIN td USING (cell) LEFT JOIN tk USING (cell)
+         ORDER BY tb.cell""",
+    // the shared trained-merge encode CTEs split by the md5 ingest
+    // rule, pivoted per source, ratio of the ROUNDED fertilities
+    "q220_fertility_trigger" -> s"""
+         WITH $bpeEncodeCtes,
+         fsd AS (SELECT source, n_words, COALESCE(n_tokens, 0) AS n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS side
+           FROM enc),
+         fpv AS (SELECT source,
+             SUM(CASE WHEN side = 'base' THEN n_words END) AS bw,
+             SUM(CASE WHEN side = 'base' THEN n_tokens END) AS bt,
+             SUM(CASE WHEN side = 'delta' THEN n_words END) AS dw,
+             SUM(CASE WHEN side = 'delta' THEN n_tokens END) AS dt
+           FROM fsd GROUP BY 1),
+         fr AS (SELECT source,
+             round(CAST(bt AS DOUBLE) / bw, 6) AS base_fertility,
+             round(CAST(dt AS DOUBLE) / dw, 6) AS delta_fertility
+           FROM fpv)
+         SELECT source, base_fertility, delta_fertility,
+           round(delta_fertility / base_fertility, 6) AS fert_ratio,
+           CAST(COALESCE(
+             abs(round(delta_fertility / base_fertility, 6) - 1.0) > 0.02,
+             FALSE) AS BIGINT) AS flagged
+         FROM fr ORDER BY source""")
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of
