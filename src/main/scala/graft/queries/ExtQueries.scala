@@ -6829,6 +6829,136 @@ object ExtQueries {
         .select(col("source"), col("base_fertility"),
           col("delta_fertility"), col("fert_ratio"), col("flagged"))
         .orderBy(col("source"))
+    }),
+
+    // ---- CHAINED incremental packing: q218's immutability rule held
+    //      across TWO consecutive ingests (q142's sub-split — the
+    //      associativity rehearsal for the packing family): base fold
+    //      released, ingest-1 docs fold into new sequences past the
+    //      base per-source max, ingest-2 past the ingest-1-combined
+    //      max. Nothing ever re-folds; each step's cost is its own
+    //      delta. The chain's pad price vs the one-shot q218 delta
+    //      fold is Wave22Spec-pinned (chaining can only add open
+    //      bins). Output is the three-origin manifest ----
+    "q221_packing_chain" -> ((s, d) => {
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      val base = graft.util.Persist(
+        ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id"))))))
+      val s1 = base.groupBy(col("source"))
+        .agg((max(col("seq_id")) + 1).as("s0"))
+      val d1 = graft.util.Persist(
+        ffdPack(tok(docs.filter(isDeltaDoc(col("doc_id")) &&
+            isFirstIngest(col("doc_id")))))
+          .join(s1, Seq("source"), "left")
+          .withColumn("seq_id", col("seq_id") + coalesce(col("s0"), lit(0L)))
+          .drop("s0"))
+      val s2 = base.select(col("source"), col("seq_id"))
+        .unionByName(d1.select(col("source"), col("seq_id")))
+        .groupBy(col("source")).agg((max(col("seq_id")) + 1).as("s0"))
+      val d2 = ffdPack(tok(docs.filter(isDeltaDoc(col("doc_id")) &&
+          !isFirstIngest(col("doc_id")))))
+        .join(s2, Seq("source"), "left")
+        .withColumn("seq_id", col("seq_id") + coalesce(col("s0"), lit(0L)))
+        .drop("s0")
+      base.withColumn("origin", lit("base"))
+        .unionByName(d1.withColumn("origin", lit("ingest1")))
+        .unionByName(d2.withColumn("origin", lit("ingest2")))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+          col("offset_in_seq"), col("n_kept"), col("n_dropped"),
+          col("origin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- FROZEN-vs-REFIT curriculum: the q193 frozen-model
+    //      discipline applied to the curriculum thresholds — a release
+    //      freezes its tercile cuts (reproducible schedules), so delta
+    //      docs are phase-assigned with the BASE-trained thresholds;
+    //      this card prices that freeze by also assigning them with
+    //      REFIT (full-corpus) thresholds and counting the movers.
+    //      Per phase: base docs, delta under frozen cuts, delta under
+    //      refit cuts, and the delta docs that would change phase —
+    //      the curriculum twin of q198's retrain trigger. Two 2-scalar
+    //      threshold broadcasts; phase-cardinality output ----
+    "q222_frozen_curriculum" -> ((s, d) => {
+      val q = docQuality(s, d)
+        .withColumn("is_delta", isDeltaDoc(col("doc_id")))
+      val thB = sourceQuantiles(q.filter(!col("is_delta")),
+          Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+          keys = Seq.empty, valueCol = "quality_score")
+        .select(col("t1").as("b1"), col("t2").as("b2"))
+      val thF = sourceQuantiles(q, Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+          keys = Seq.empty, valueCol = "quality_score")
+        .select(col("t1").as("f1"), col("t2").as("f2"))
+      def phaseOf(lo: Column, hi: Column): Column =
+        when(col("quality_score") <= lo, 1L)
+          .when(col("quality_score") <= hi, 2L).otherwise(3L)
+      val staged = graft.util.Persist(q
+        .crossJoin(broadcast(thB)).crossJoin(broadcast(thF))
+        .withColumn("ph_frozen", phaseOf(col("b1"), col("b2")))
+        .withColumn("ph_refit", phaseOf(col("f1"), col("f2"))))
+      val byFrozen = staged.groupBy(col("ph_frozen").as("phase"))
+        .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("is_delta"), 1L).otherwise(0L))
+            .as("n_delta_frozen"),
+          sum(when(col("is_delta") && col("ph_refit") =!= col("ph_frozen"),
+            1L).otherwise(0L)).as("n_delta_moved"))
+      val byRefit = staged.filter(col("is_delta"))
+        .groupBy(col("ph_refit").as("phase"))
+        .agg(count(lit(1)).as("n_delta_refit"))
+      byFrozen.join(byRefit, Seq("phase"), "full_outer")
+        .select(col("phase"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta_frozen"), lit(0L)).as("n_delta_frozen"),
+          coalesce(col("n_delta_refit"), lit(0L)).as("n_delta_refit"),
+          coalesce(col("n_delta_moved"), lit(0L)).as("n_delta_moved"))
+        .orderBy(col("phase"))
+    }),
+
+    // ---- shard-manifest MAINTENANCE: q208's balance card over the
+    //      q218 incremental manifest — released sequences keep their
+    //      shard (the hash key (source, seq_id) never changes; delta
+    //      sequences have NEW ids, so they only ADD rows), making the
+    //      shard update append-only. Per shard: released vs newly-
+    //      added sequences and tokens, and the growth fraction a
+    //      shard-rebalance monitor watches ----
+    "q223_shard_maintenance" -> ((s, d) => {
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      val base = graft.util.Persist(
+        ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id"))))))
+      val seq0 = base.groupBy(col("source"))
+        .agg((max(col("seq_id")) + 1).as("s0"))
+      val delta = ffdPack(tok(docs.filter(isDeltaDoc(col("doc_id")))))
+        .join(seq0, Seq("source"), "left")
+        .withColumn("seq_id", col("seq_id") + coalesce(col("s0"), lit(0L)))
+        .drop("s0")
+      def seqsOf(df: DataFrame) = df
+        .groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("n_kept")).as("kept"))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(8L)))
+      val rel = seqsOf(base).groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs_released"),
+          sum(col("kept")).as("kept_released"))
+      val nw = seqsOf(delta).groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs_new"), sum(col("kept")).as("kept_new"))
+      rel.join(nw, Seq("shard_id"), "full_outer")
+        .select(col("shard_id"),
+          coalesce(col("n_seqs_released"), lit(0L)).as("n_seqs_released"),
+          coalesce(col("n_seqs_new"), lit(0L)).as("n_seqs_new"),
+          coalesce(col("kept_released"), lit(0L)).as("kept_released"),
+          coalesce(col("kept_new"), lit(0L)).as("kept_new"),
+          round(coalesce(col("kept_new"), lit(0L)).cast("double") /
+            (coalesce(col("kept_released"), lit(0L)) +
+             coalesce(col("kept_new"), lit(0L))), 6).as("new_frac"))
+        .orderBy(col("shard_id"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -10889,7 +11019,139 @@ object ExtQueries {
            CAST(COALESCE(
              abs(round(delta_fertility / base_fertility, 6) - 1.0) > 0.02,
              FALSE) AS BIGINT) AS flagged
-         FROM fr ORDER BY source""")
+         FROM fr ORDER BY source""",
+    // three folds (base / first ingest / second ingest), seq offsets
+    // chained through the per-source maxima
+    "q221_packing_chain" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("pb", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("pi", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2')
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+               IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
+         ${ffdFoldSqlFor("pj", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2')
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+               NOT IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
+         cs1 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM pbfold
+           WHERE doc_id IS NOT NULL GROUP BY 1),
+         cd1 AS (SELECT d.doc_id, d.source, d.n_tokens,
+             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
+           FROM pifold d LEFT JOIN cs1 b USING (source)
+           WHERE d.doc_id IS NOT NULL),
+         cs2 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM (
+             SELECT source, seq_id FROM pbfold WHERE doc_id IS NOT NULL
+             UNION ALL SELECT source, seq_id FROM cd1) u GROUP BY 1),
+         cd2 AS (SELECT d.doc_id, d.source, d.n_tokens,
+             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
+           FROM pjfold d LEFT JOIN cs2 b USING (source)
+           WHERE d.doc_id IS NOT NULL)
+         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
+           t AS n_kept, n_tokens - t AS n_dropped, 'base' AS origin
+         FROM pbfold WHERE doc_id IS NOT NULL
+         UNION ALL
+         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
+           'ingest1' FROM cd1
+         UNION ALL
+         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
+           'ingest2' FROM cd2
+         ORDER BY doc_id""",
+    // the shared quality CTEs, base-trained and refit tercile cuts,
+    // both phase assignments, two grouped legs full-joined
+    "q222_frozen_curriculum" -> s"""
+         WITH $duckQualityCtes,
+         zsd AS (SELECT doc_id, quality_score,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS is_delta
+           FROM sc),
+         ztb AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS b1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS b2
+           FROM zsd WHERE NOT is_delta),
+         ztf AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS f1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS f2
+           FROM zsd),
+         zst AS (SELECT doc_id, is_delta,
+             CAST(CASE WHEN quality_score <= b1 THEN 1
+                  WHEN quality_score <= b2 THEN 2 ELSE 3 END AS BIGINT)
+               AS ph_frozen,
+             CAST(CASE WHEN quality_score <= f1 THEN 1
+                  WHEN quality_score <= f2 THEN 2 ELSE 3 END AS BIGINT)
+               AS ph_refit
+           FROM zsd, ztb, ztf),
+         zfz AS (SELECT ph_frozen AS phase,
+             CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delta_frozen,
+             CAST(SUM(CASE WHEN is_delta AND ph_refit <> ph_frozen
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_moved
+           FROM zst GROUP BY 1),
+         zrf AS (SELECT ph_refit AS phase, CAST(COUNT(*) AS BIGINT)
+             AS n_delta_refit
+           FROM zst WHERE is_delta GROUP BY 1)
+         SELECT COALESCE(zfz.phase, zrf.phase) AS phase,
+           COALESCE(n_base, 0) AS n_base,
+           COALESCE(n_delta_frozen, 0) AS n_delta_frozen,
+           COALESCE(n_delta_refit, 0) AS n_delta_refit,
+           COALESCE(n_delta_moved, 0) AS n_delta_moved
+         FROM zfz FULL OUTER JOIN zrf ON zfz.phase = zrf.phase
+         ORDER BY 1""",
+    // the q218 folds grouped to sequences per origin, the q208 shard
+    // rule, released/new legs full-joined
+    "q223_shard_maintenance" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("mb", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("md", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2')""")},
+         ms1 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM mbfold
+           WHERE doc_id IS NOT NULL GROUP BY 1),
+         mdo AS (SELECT d.source, d.seq_id + COALESCE(b.s0, 0) AS seq_id,
+             d.t
+           FROM mdfold d LEFT JOIN ms1 b USING (source)
+           WHERE d.doc_id IS NOT NULL),
+         mrs AS (SELECT source, seq_id, SUM(t) AS kept FROM mbfold
+           WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         mns AS (SELECT source, seq_id, SUM(t) AS kept FROM mdo
+           GROUP BY 1, 2),
+         mrg AS (SELECT CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_seqs_released,
+             CAST(SUM(kept) AS BIGINT) AS kept_released
+           FROM mrs GROUP BY 1),
+         mng AS (SELECT CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_seqs_new,
+             CAST(SUM(kept) AS BIGINT) AS kept_new
+           FROM mns GROUP BY 1)
+         SELECT COALESCE(mrg.shard_id, mng.shard_id) AS shard_id,
+           COALESCE(n_seqs_released, 0) AS n_seqs_released,
+           COALESCE(n_seqs_new, 0) AS n_seqs_new,
+           COALESCE(kept_released, 0) AS kept_released,
+           COALESCE(kept_new, 0) AS kept_new,
+           round(CAST(COALESCE(kept_new, 0) AS DOUBLE) /
+             (COALESCE(kept_released, 0) + COALESCE(kept_new, 0)), 6)
+             AS new_frac
+         FROM mrg FULL OUTER JOIN mng ON mrg.shard_id = mng.shard_id
+         ORDER BY 1""")
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of
