@@ -100,7 +100,7 @@ object PlanAudit {
     "q179_stream_ledger", "q183_aniso_audit", "q184_opq_gain",
     "q186_heavy_hitters", "q189_stream_histogram",
     "q190_stream_heavy_hitters", "q197_opq_recall",
-    "q214_stream_mixture")
+    "q214_stream_mixture", "q224_stream_quota", "q225_stream_packing")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

@@ -6959,6 +6959,146 @@ object ExtQueries {
             (coalesce(col("kept_released"), lit(0L)) +
              coalesce(col("kept_new"), lit(0L))), 6).as("new_frac"))
         .orderBy(col("shard_id"))
+    }),
+
+    // ---- STREAMING quota sampling: q211's per-cell min-8-by-content-
+    //      hash is a MERGEABLE sketch (the global 8 smallest hashes of
+    //      a cell are among the union of per-batch 8-smallest — the
+    //      q186/q190 mergeable-summaries argument in sampling form),
+    //      so the reservoir maintains itself incrementally: each
+    //      micro-batch writes its own ≤8-rows-per-cell sketch plus
+    //      additive cell counts, and the card re-ranks the merged
+    //      sketches. Batch membership is arbitrary (repartition files,
+    //      NO ordering harness needed — merge order cannot matter);
+    //      the gate is q211's UNCHANGED oracle: stream ≡ batch card ----
+    "q224_stream_quota" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q224_in_${CoreQueries.dirToken(d)}") { p =>
+        docs.repartition(3).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q224_squota_")
+      val skRoot = s"$dir/sk"; val cntRoot = s"$dir/cnt"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, docs.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val b = batch.toDF()
+              .select(col("doc_id"), col("lang"), col("source"),
+                size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
+            val w = Window.partitionBy(col("lang"), col("source"))
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+            graft.streaming.Streaming.writeBatch(
+              b.withColumn("rn", row_number().over(w))
+                .filter(col("rn") <= 8)
+                .select(col("doc_id"), col("lang"), col("source"),
+                  col("n_tokens")), id, skRoot, append = true)
+            graft.streaming.Streaming.writeBatch(
+              b.groupBy(col("lang"), col("source"))
+                .agg(count(lit(1)).as("n")), id, cntRoot, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w2 = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val taken = s.read.parquet(skRoot)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 8)
+      val elig = s.read.parquet(cntRoot).groupBy(col("lang"), col("source"))
+        .agg(sum(col("n")).as("n_eligible"))
+      taken.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_taken"),
+          sum(col("n_tokens")).as("sample_tokens"),
+          substring(md5(array_join(transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")), 1, 16).as("sample_fp"))
+        .join(elig, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_eligible"),
+          col("n_taken"),
+          round(col("n_taken").cast("double") / col("n_eligible"), 6)
+            .as("coverage"),
+          col("sample_tokens"), col("sample_fp"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---- STREAMING packing maintenance: q221's chain executed as a
+    //      real ordered ingest — the manifest as a maintained artifact
+    //      (q218's immutability rule, q214's ordered-ingest harness).
+    //      The released base fold persists as an artifact; each
+    //      arriving micro-batch folds ITSELF (never the corpus),
+    //      offsets its sequences past the maintained per-source max,
+    //      and appends to the versioned manifest store. Gated on
+    //      q221's UNCHANGED oracle: stream ≡ chained batch folds.
+    //      Per-batch cost is the batch's own fold; the seq-counter
+    //      read is source-cardinality ----
+    "q225_stream_packing" -> ((s, d) => {
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      val baseDir = CoreQueries.sharedInputDir(
+        s"graft_q225_base_${CoreQueries.dirToken(d)}") { p =>
+        ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id")))))
+          .write.mode("overwrite").parquet(p)
+      }
+      val base = s.read.parquet(baseDir)
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q225_in_${CoreQueries.dirToken(d)}") { p =>
+        writeOrderedBatches(p, Seq(
+          docs.filter(isDeltaDoc(col("doc_id")) &&
+              isFirstIngest(col("doc_id")))
+            .select(col("doc_id"), col("source"), col("text")),
+          docs.filter(isDeltaDoc(col("doc_id")) &&
+              !isFirstIngest(col("doc_id")))
+            .select(col("doc_id"), col("source"), col("text"))))
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q225_spack_")
+      val mRoot = s"$dir/m"; val ck = s"$dir/ck"
+      val inSchema = docs.select(col("doc_id"), col("source"), col("text"))
+        .schema
+      val stream = graft.streaming.Streaming.eventsStream(s, in, inSchema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val prior =
+              if (id == 0L) base.select(col("source"), col("seq_id"))
+              else base.select(col("source"), col("seq_id"))
+                .unionByName(s.read.parquet(mRoot)
+                  .filter(col("batch_id") < id)
+                  .select(col("source"), col("seq_id")))
+            val seq0 = prior.groupBy(col("source"))
+              .agg((max(col("seq_id")) + 1).as("s0"))
+            graft.streaming.Streaming.writeBatch(
+              ffdPack(tok(batch.toDF()))
+                .join(seq0, Seq("source"), "left")
+                .withColumn("seq_id",
+                  col("seq_id") + coalesce(col("s0"), lit(0L)))
+                .drop("s0"), id, mRoot, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      base.withColumn("origin", lit("base"))
+        .unionByName(s.read.parquet(mRoot)
+          .withColumn("origin", when(col("batch_id") === 0, lit("ingest1"))
+            .otherwise(lit("ingest2")))
+          .drop("batch_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"),
+          col("offset_in_seq"), col("n_kept"), col("n_dropped"),
+          col("origin"))
+        .orderBy(col("doc_id"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -10748,24 +10888,11 @@ object ExtQueries {
     // per-cell md5 rank, quota 8, and the taken-id-set fingerprint
     // (string_agg and the Spark collect_list both skip the not-taken
     // NULLs and order by doc_id ascending)
-    "q211_quota_sample" -> s"""
-         WITH qdt AS (SELECT doc_id, lang, source,
-             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
-           FROM documents),
-         qrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-           FROM qdt)
-         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_eligible,
-           CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_taken,
-           round(CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS coverage,
-           CAST(COALESCE(SUM(CASE WHEN rn <= 8 THEN n_tokens END), 0)
-             AS BIGINT) AS sample_tokens,
-           substr(md5(string_agg(CASE WHEN rn <= 8
-               THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)),
-             1, 16) AS sample_fp
-         FROM qrk GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q211_quota_sample" -> quotaSampleSql,
+    // the STREAMING reservoir (q224) gates on the identical oracle:
+    // per-cell min-8-by-hash is a mergeable sketch, so the stream must
+    // reproduce the batch card exactly, any batch membership
+    "q224_stream_quota" -> quotaSampleSql,
     // the shared quality CTEs, per-(source, batch) means pivoted, then
     // the three EG steps staged exactly as the Spark chain (rounded
     // mean -> rounded excess, coalesced to 0 -> w*exp -> Z). The
@@ -11021,52 +11148,12 @@ object ExtQueries {
              FALSE) AS BIGINT) AS flagged
          FROM fr ORDER BY source""",
     // three folds (base / first ingest / second ingest), seq offsets
-    // chained through the per-source maxima
-    "q221_packing_chain" -> s"""
-         WITH RECURSIVE
-         ${ffdFoldSqlFor("pb", s"""SELECT doc_id, source,
-             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
-           FROM documents
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-             NOT IN ('0', '1', '2')""")},
-         ${ffdFoldSqlFor("pi", s"""SELECT doc_id, source,
-             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
-           FROM documents
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-               IN ('0', '1', '2')
-             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
-               IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
-         ${ffdFoldSqlFor("pj", s"""SELECT doc_id, source,
-             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
-           FROM documents
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-               IN ('0', '1', '2')
-             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
-               NOT IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
-         cs1 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM pbfold
-           WHERE doc_id IS NOT NULL GROUP BY 1),
-         cd1 AS (SELECT d.doc_id, d.source, d.n_tokens,
-             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
-           FROM pifold d LEFT JOIN cs1 b USING (source)
-           WHERE d.doc_id IS NOT NULL),
-         cs2 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM (
-             SELECT source, seq_id FROM pbfold WHERE doc_id IS NOT NULL
-             UNION ALL SELECT source, seq_id FROM cd1) u GROUP BY 1),
-         cd2 AS (SELECT d.doc_id, d.source, d.n_tokens,
-             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
-           FROM pjfold d LEFT JOIN cs2 b USING (source)
-           WHERE d.doc_id IS NOT NULL)
-         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
-           t AS n_kept, n_tokens - t AS n_dropped, 'base' AS origin
-         FROM pbfold WHERE doc_id IS NOT NULL
-         UNION ALL
-         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
-           'ingest1' FROM cd1
-         UNION ALL
-         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
-           'ingest2' FROM cd2
-         ORDER BY doc_id""",
-    // the shared quality CTEs, base-trained and refit tercile cuts,
+    // chained through the per-source maxima. The STREAMING twin (q225)
+    // gates on this IDENTICAL oracle: ordered-ingest packing
+    // maintenance must be value-identical to the batch chain.
+    "q221_packing_chain" -> packingChainSql,
+    "q225_stream_packing" -> packingChainSql,
+        // the shared quality CTEs, base-trained and refit tercile cuts,
     // both phase assignments, two grouped legs full-joined
     "q222_frozen_curriculum" -> s"""
          WITH $duckQualityCtes,
@@ -11158,6 +11245,79 @@ object ExtQueries {
     * [[docQuality]], shared by the q108 gate and the q205 DoReMi step
     * so the two cannot desynchronize on a coefficient.
     */
+  /** The quota-sample oracle shared VERBATIM by q211 (the batch card)
+    * and q224 (the streaming reservoir): per-cell min-8-by-content-hash
+    * is a mergeable sketch, so the stream must reproduce the batch
+    * card exactly under any batch membership.
+    */
+  private lazy val quotaSampleSql: String = s"""
+         WITH qdt AS (SELECT doc_id, lang, source,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         qrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM qdt)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_taken,
+           round(CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage,
+           CAST(COALESCE(SUM(CASE WHEN rn <= 8 THEN n_tokens END), 0)
+             AS BIGINT) AS sample_tokens,
+           substr(md5(string_agg(CASE WHEN rn <= 8
+               THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)),
+             1, 16) AS sample_fp
+         FROM qrk GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** The packing-chain oracle shared VERBATIM by q221 (the batch
+    * chain) and q225 (the streaming packing twin) - one SQL so the
+    * stream is gated as value-identical to the chained batch folds.
+    */
+  private lazy val packingChainSql: String = s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("pb", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("pi", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2')
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+               IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
+         ${ffdFoldSqlFor("pj", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2')
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+               NOT IN ('0', '1', '2', '3', '4', '5', '6', '7')""")},
+         cs1 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM pbfold
+           WHERE doc_id IS NOT NULL GROUP BY 1),
+         cd1 AS (SELECT d.doc_id, d.source, d.n_tokens,
+             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
+           FROM pifold d LEFT JOIN cs1 b USING (source)
+           WHERE d.doc_id IS NOT NULL),
+         cs2 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM (
+             SELECT source, seq_id FROM pbfold WHERE doc_id IS NOT NULL
+             UNION ALL SELECT source, seq_id FROM cd1) u GROUP BY 1),
+         cd2 AS (SELECT d.doc_id, d.source, d.n_tokens,
+             d.seq_id + COALESCE(b.s0, 0) AS seq_id, d.off, d.t
+           FROM pjfold d LEFT JOIN cs2 b USING (source)
+           WHERE d.doc_id IS NOT NULL)
+         SELECT doc_id, source, n_tokens, seq_id, off AS offset_in_seq,
+           t AS n_kept, n_tokens - t AS n_dropped, 'base' AS origin
+         FROM pbfold WHERE doc_id IS NOT NULL
+         UNION ALL
+         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
+           'ingest1' FROM cd1
+         UNION ALL
+         SELECT doc_id, source, n_tokens, seq_id, off, t, n_tokens - t,
+           'ingest2' FROM cd2
+         ORDER BY doc_id"""
+
   /** The chained-DoReMi oracle shared VERBATIM by q212 (the batch
     * chain) and q214 (the streaming maintenance twin) — one SQL so the
     * stream is gated as value-identical to the batch chain, the q162/
