@@ -80,7 +80,8 @@ object PlanAudit {
     "q215_curriculum_packing" -> "two-scalar tercile-threshold broadcast against the doc scan (q209's fenced pattern) feeding the packing fold",
     "q216_ivf_operating_point" -> "brute-force exact truth side (q25/q76's fenced design) + five 16-row centroid-assignment BNLJs (q121's fan-outs) + per-level one-row count/recall scalar crossJoins (q48's pattern)",
     "q219_index_tombstones" -> "two 16-row centroid-assignment BNLJs (q86's allowlisted fan-out: one inside the cell index, one inside the semantic drop list); the tombstone join is id-keyed, the occupancy joins cell-keyed",
-    "q222_frozen_curriculum" -> "two 2-scalar tercile-threshold broadcasts (frozen + refit) against the doc scan (q209's fenced pattern, once per cut set)")
+    "q222_frozen_curriculum" -> "two 2-scalar tercile-threshold broadcasts (frozen + refit) against the doc scan (q209's fenced pattern, once per cut set)",
+    "q226_release_assembly" -> "the q209/q215 2-scalar tercile-threshold broadcast against the doc scan feeding the composite packing fold")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -7099,6 +7099,39 @@ object ExtQueries {
           col("offset_in_seq"), col("n_kept"), col("n_dropped"),
           col("origin"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the RUN-ASSEMBLY capstone (q64's composition discipline for
+    //      the loader side): curriculum phases (q209's frozen tercile
+    //      cuts) → phase-pure FFD packing (q215's composite shards) →
+    //      hash shard manifest (q208's rule), emitted as the per-
+    //      (phase × shard) token-budget grid a multi-host curriculum
+    //      run mounts. One quality scan + the per-shard fold + two
+    //      bounded aggregates; every stage is an already-gated
+    //      operator, composed ----
+    "q226_release_assembly" -> ((s, d) => {
+      val cf = curriculumFrame(s, d)
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      ffdPack(cf)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_kept")).as("kept"))
+        .withColumn("phase", split(col("source"), ":").getItem(0)
+          .cast("long"))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(8L)))
+        .groupBy(col("phase"), col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("nd")).as("n_docs"),
+          sum(col("kept")).as("kept_tokens"))
+        .select(col("phase"), col("shard_id"), col("n_seqs"), col("n_docs"),
+          col("kept_tokens"),
+          (col("n_seqs") * packBudget - col("kept_tokens"))
+            .as("pad_tokens"))
+        .orderBy(col("phase"), col("shard_id"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -11238,7 +11271,39 @@ object ExtQueries {
              (COALESCE(kept_released, 0) + COALESCE(kept_new, 0)), 6)
              AS new_frac
          FROM mrg FULL OUTER JOIN mng ON mrg.shard_id = mng.shard_id
-         ORDER BY 1""")
+         ORDER BY 1""",
+    // the q215 phase CTEs + composite fold, sequences grouped, the
+    // q208 shard rule, the (phase x shard) grid
+    "q226_release_assembly" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         acnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         ath AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2 FROM sc),
+         aph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN acnt USING (doc_id), ath),
+         ${ffdFoldSqlFor("as",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph""")},
+         aseq AS (SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS nd,
+             SUM(t) AS kept
+           FROM asfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         agrd AS (SELECT
+             CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id,
+             nd, kept
+           FROM aseq)
+         SELECT phase, shard_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+           CAST(COUNT(*) * $packBudget - SUM(kept) AS BIGINT) AS pad_tokens
+         FROM agrd GROUP BY 1, 2 ORDER BY 1, 2""")
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of
