@@ -81,7 +81,8 @@ object PlanAudit {
     "q216_ivf_operating_point" -> "brute-force exact truth side (q25/q76's fenced design) + five 16-row centroid-assignment BNLJs (q121's fan-outs) + per-level one-row count/recall scalar crossJoins (q48's pattern)",
     "q219_index_tombstones" -> "two 16-row centroid-assignment BNLJs (q86's allowlisted fan-out: one inside the cell index, one inside the semantic drop list); the tombstone join is id-keyed, the occupancy joins cell-keyed",
     "q222_frozen_curriculum" -> "two 2-scalar tercile-threshold broadcasts (frozen + refit) against the doc scan (q209's fenced pattern, once per cut set)",
-    "q226_release_assembly" -> "the q209/q215 2-scalar tercile-threshold broadcast against the doc scan feeding the composite packing fold")
+    "q226_release_assembly" -> "the q209/q215 2-scalar tercile-threshold broadcast against the doc scan feeding the composite packing fold",
+    "q228_budget_waterfill" -> "three one-row scalar crossJoins (the (total, Z) normalizer and the two water-fill round aggregates) against the lang-cardinality-bounded frame (q212's staged fenced pattern)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -101,7 +102,8 @@ object PlanAudit {
     "q179_stream_ledger", "q183_aniso_audit", "q184_opq_gain",
     "q186_heavy_hitters", "q189_stream_histogram",
     "q190_stream_heavy_hitters", "q197_opq_recall",
-    "q214_stream_mixture", "q224_stream_quota", "q225_stream_packing")
+    "q214_stream_mixture", "q224_stream_quota", "q225_stream_packing",
+    "q227_stream_decon")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

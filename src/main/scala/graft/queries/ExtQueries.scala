@@ -7132,6 +7132,144 @@ object ExtQueries {
           (col("n_seqs") * packBudget - col("kept_tokens"))
             .as("pad_tokens"))
         .orderBy(col("phase"), col("shard_id"))
+    }),
+
+    // ---- STREAMING decontamination monitor: q207's velocity card
+    //      maintained per ingest — the held-split gram set persists as
+    //      a release artifact (you know the eval set before the crawl
+    //      arrives), each train micro-batch screens ITSELF against the
+    //      broadcast held set and appends its additive per-rule-batch
+    //      flag counts (batch-cardinality rows, nothing doc-
+    //      proportional crosses batches). Counts are additive, so
+    //      trigger membership is arbitrary (repartition files, no
+    //      ordering harness); the gate is q207's UNCHANGED oracle:
+    //      stream ≡ batch card ----
+    "q227_stream_decon" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val heldDir = CoreQueries.sharedInputDir(
+        s"graft_q227_held_${CoreQueries.dirToken(d)}") { p =>
+        splitGrams(s, d).filter(col("hb") === "0")
+          .select(col("gh")).distinct()
+          .repartition(1).write.mode("overwrite").parquet(p)
+      }
+      val held = s.read.parquet(heldDir)
+      val train = docs
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+        .select(col("doc_id"), col("text"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q227_in_${CoreQueries.dirToken(d)}") { p =>
+        train.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q227_sdecon_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, train.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            val b = batch.toDF()
+            val perDoc = b.select(col("doc_id"),
+                explode(TA.wordGramHashes(col("text"), 8)).as("gh"))
+              .join(broadcast(held), Seq("gh"))
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("shared_grams"))
+            // the card's key is named rule_batch INSIDE the store: the
+            // K2 sink partitions by the TRIGGER id as batch_id=<id>,
+            // and a data column of the same name would be clobbered by
+            // partition discovery on read-back
+            graft.streaming.Streaming.writeBatch(
+              b.select(col("doc_id"),
+                  pmod(conv(substring(md5(col("doc_id").cast("string")),
+                    2, 1), 16, 10).cast("long"), lit(4L)).as("rule_batch"))
+                .join(perDoc, Seq("doc_id"), "left")
+                .groupBy(col("rule_batch"))
+                .agg(count(lit(1)).as("n_docs"),
+                  count(col("shared_grams")).as("n_flagged"),
+                  coalesce(sum(col("shared_grams")), lit(0L))
+                    .as("n_shared_grams")), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // writeBatch partitions by the TRIGGER id; the card's key is the
+      // RULE batch (the first column) — re-aggregate the additive
+      // counts across triggers
+      s.read.parquet(out)
+        .groupBy(col("rule_batch"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_flagged")).as("n_flagged"),
+          sum(col("n_shared_grams")).as("n_shared_grams"))
+        .select(col("rule_batch").as("batch_id"), col("n_docs"),
+          col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_docs"), 6)
+            .as("flag_rate"),
+          col("n_shared_grams"))
+        .orderBy(col("batch_id"))
+    }),
+
+    // ---- the data-constrained WATER-FILL allocator: q210's curve
+    //      says budgets past ~2× leave languages over the 4-epoch wall
+    //      where repetition is near-worthless (Muennighoff et al.
+    //      2023); this card REALLOCATES instead of just flagging — cap
+    //      every language at 4 epochs and redistribute the surplus
+    //      over the uncapped ones proportional to their temperature
+    //      weight, two water-fill rounds at a 4.5x budget (4.0x is
+    //      DEGENERATE: budget == cap total, everyone lands exactly at
+    //      the wall; at 4.5x round 1 caps the tail, the surplus pushes
+    //      the head language over in round 2, and the residual is
+    //      reported as `unallocated` — the budget the corpus cannot
+    //      absorb, i.e. the "go buy more data" number).
+    //      Lang-cardinality frame,
+    //      three one-row scalar crossJoins (q212's staged pattern) ----
+    "q228_budget_waterfill" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val t = toks.agg(sum(col("n_tokens")).as("tot"),
+        sum(pow(col("n_tokens").cast("double"), lit(0.7))).as("z07"))
+      val ntD = col("n_tokens").cast("double")
+      val st = toks.crossJoin(broadcast(t))
+        .withColumn("w", pow(ntD, lit(0.7)) / col("z07"))
+        .withColumn("a0", col("w") * col("tot").cast("double") * lit(4.5))
+        .withColumn("cap", ntD * lit(4.0))
+        .withColumn("over1", col("a0") > col("cap"))
+      val r1 = st.agg(
+        sum(when(col("over1"), col("a0") - col("cap"))).as("s1"),
+        sum(when(!col("over1"), col("w"))).as("w1"))
+      val st1 = st.crossJoin(broadcast(r1))
+        .withColumn("a1", when(col("over1"), col("cap"))
+          .otherwise(when(coalesce(col("w1"), lit(0.0)) > 0,
+            col("a0") + coalesce(col("s1"), lit(0.0)) * col("w") / col("w1"))
+            .otherwise(col("a0"))))
+        .withColumn("over2", !col("over1") && (col("a1") > col("cap")))
+      val r2 = st1.agg(
+        sum(when(col("over2"), col("a1") - col("cap"))).as("s2"),
+        sum(when(!col("over1") && !col("over2"), col("w"))).as("w2"))
+      st1.crossJoin(broadcast(r2))
+        .withColumn("a2", when(col("over1") || col("over2"), col("cap"))
+          .otherwise(when(coalesce(col("w2"), lit(0.0)) > 0,
+            col("a1") + coalesce(col("s2"), lit(0.0)) * col("w") / col("w2"))
+            .otherwise(col("a1"))))
+        .withColumn("leftover",
+          when(coalesce(col("w1"), lit(0.0)) > 0, lit(0.0))
+            .otherwise(coalesce(col("s1"), lit(0.0))) +
+          when(coalesce(col("w2"), lit(0.0)) > 0, lit(0.0))
+            .otherwise(coalesce(col("s2"), lit(0.0))))
+        .select(col("lang"), col("n_tokens"),
+          round(col("w"), 6).as("w_a07"),
+          round(col("a0"), 2).as("naive_alloc"),
+          round(col("a2"), 2).as("final_alloc"),
+          round(col("a2") / ntD, 6).as("final_epochs"),
+          when(col("over1"), 1L).when(col("over2"), 2L).otherwise(0L)
+            .as("capped_round"),
+          round(col("leftover"), 2).as("unallocated"))
+        .orderBy(col("lang"))
     }))
 
   /** The q201 banding-sweep rows (shared with q202's operating-point
@@ -10815,34 +10953,11 @@ object ExtQueries {
     // q59's decon CTEs + the second-nibble batch rule; n_docs counts
     // ALL train docs (short docs with no grams included), flagged and
     // gram totals ride a left join
-    "q207_contamination_velocity" -> s"""
-         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
-         gp AS (SELECT doc_id, words,
-             unnest(generate_series(1, len(words) - 7)) AS i
-           FROM w WHERE len(words) >= 8),
-         g AS (SELECT DISTINCT doc_id,
-             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
-           FROM gp),
-         held AS (SELECT DISTINCT gh FROM g
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
-         train AS (SELECT doc_id, gh FROM g
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
-         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
-           FROM train JOIN held USING (gh) GROUP BY doc_id),
-         bt AS (SELECT doc_id,
-             CAST(((strpos('0123456789abcdef',
-               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 4)
-               AS BIGINT) AS batch_id
-           FROM documents
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
-         SELECT bt.batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(pd.shared_grams) AS BIGINT) AS n_flagged,
-           round(CAST(COUNT(pd.shared_grams) AS DOUBLE) / COUNT(*), 6)
-             AS flag_rate,
-           CAST(COALESCE(SUM(pd.shared_grams), 0) AS BIGINT)
-             AS n_shared_grams
-         FROM bt LEFT JOIN pd USING (doc_id)
-         GROUP BY 1 ORDER BY 1""",
+    "q207_contamination_velocity" -> contaminationVelocitySql,
+    // the STREAMING decon monitor (q227) gates on this IDENTICAL
+    // oracle: per-batch flag counts are additive, so the stream must
+    // reproduce the batch card under any trigger membership
+    "q227_stream_decon" -> contaminationVelocitySql,
     // the FFD fold replayed, sequences grouped to (source, seq_id),
     // shard = first md5 nibble of "source:seq_id" mod 8
     "q208_shard_manifest" -> s"""
@@ -11303,13 +11418,96 @@ object ExtQueries {
            CAST(SUM(nd) AS BIGINT) AS n_docs,
            CAST(SUM(kept) AS BIGINT) AS kept_tokens,
            CAST(COUNT(*) * $packBudget - SUM(kept) AS BIGINT) AS pad_tokens
-         FROM agrd GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM agrd GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q204's per-lang frame at the 4x budget, two staged water-fill
+    // rounds mirroring the Spark chain exactly (capped -> surplus ->
+    // proportional redistribution -> residual)
+    "q228_budget_waterfill" -> s"""
+         WITH wlt AS (SELECT lang,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS nt FROM documents),
+         wpl AS (SELECT lang, SUM(nt) AS n_tokens FROM wlt GROUP BY 1
+           HAVING SUM(nt) > 0),
+         wtz AS (SELECT SUM(n_tokens) AS tot,
+           SUM(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z07 FROM wpl),
+         wst AS (SELECT lang, n_tokens,
+             CAST(n_tokens AS DOUBLE) AS ntd,
+             power(CAST(n_tokens AS DOUBLE), 0.7) / z07 AS w,
+             (power(CAST(n_tokens AS DOUBLE), 0.7) / z07)
+               * CAST(tot AS DOUBLE) * 4.5 AS a0,
+             CAST(n_tokens AS DOUBLE) * 4.0 AS cap
+           FROM wpl, wtz),
+         ws0 AS (SELECT *, a0 > cap AS over1 FROM wst),
+         wr1 AS (SELECT SUM(CASE WHEN over1 THEN a0 - cap END) AS s1,
+           SUM(CASE WHEN NOT over1 THEN w END) AS w1 FROM ws0),
+         ws1 AS (SELECT ws0.*,
+             CASE WHEN over1 THEN cap
+               WHEN COALESCE(w1, 0) > 0
+                 THEN a0 + COALESCE(s1, 0) * w / w1
+               ELSE a0 END AS a1,
+             s1, w1
+           FROM ws0, wr1),
+         ws2 AS (SELECT *, (NOT over1) AND a1 > cap AS over2 FROM ws1),
+         wr2 AS (SELECT SUM(CASE WHEN over2 THEN a1 - cap END) AS s2,
+           SUM(CASE WHEN NOT over1 AND NOT over2 THEN w END) AS w2
+           FROM ws2),
+         ws3 AS (SELECT ws2.*,
+             CASE WHEN over1 OR over2 THEN cap
+               WHEN COALESCE(w2, 0) > 0
+                 THEN a1 + COALESCE(s2, 0) * w / w2
+               ELSE a1 END AS a2,
+             (CASE WHEN COALESCE(w1, 0) > 0 THEN 0.0
+                ELSE COALESCE(s1, 0) END
+              + CASE WHEN COALESCE(w2, 0) > 0 THEN 0.0
+                ELSE COALESCE(s2, 0) END) AS leftover
+           FROM ws2, wr2)
+         SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w, 6) AS w_a07, round(a0, 2) AS naive_alloc,
+           round(a2, 2) AS final_alloc,
+           round(a2 / ntd, 6) AS final_epochs,
+           CAST(CASE WHEN over1 THEN 1 WHEN over2 THEN 2 ELSE 0 END
+             AS BIGINT) AS capped_round,
+           round(leftover, 2) AS unallocated
+         FROM ws3 ORDER BY lang""")
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of
     * [[docQuality]], shared by the q108 gate and the q205 DoReMi step
     * so the two cannot desynchronize on a coefficient.
     */
+  /** The contamination-velocity oracle shared VERBATIM by q207 (the
+    * batch card) and q227 (the streaming monitor): flag counts are
+    * additive per ingest batch, so the stream must reproduce the
+    * batch card exactly.
+    */
+  private lazy val contaminationVelocitySql: String = s"""
+         WITH w AS (SELECT doc_id, $duckNormWords AS words FROM documents),
+         gp AS (SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - 7)) AS i
+           FROM w WHERE len(words) >= 8),
+         g AS (SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+           FROM gp),
+         held AS (SELECT DISTINCT gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+         train AS (SELECT doc_id, gh FROM g
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+           FROM train JOIN held USING (gh) GROUP BY doc_id),
+         bt AS (SELECT doc_id,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 4)
+               AS BIGINT) AS batch_id
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+         SELECT bt.batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(pd.shared_grams) AS BIGINT) AS n_flagged,
+           round(CAST(COUNT(pd.shared_grams) AS DOUBLE) / COUNT(*), 6)
+             AS flag_rate,
+           CAST(COALESCE(SUM(pd.shared_grams), 0) AS BIGINT)
+             AS n_shared_grams
+         FROM bt LEFT JOIN pd USING (doc_id)
+         GROUP BY 1 ORDER BY 1"""
+
   /** The quota-sample oracle shared VERBATIM by q211 (the batch card)
     * and q224 (the streaming reservoir): per-cell min-8-by-content-hash
     * is a mergeable sketch, so the stream must reproduce the batch
