@@ -163,8 +163,21 @@ object Bench {
     val top5 = results.sortBy(r => -med(r._2)).take(5)
       .map { case (k, ts, _) => "\"" + short(k) + "\":" + fmt1(med(ts)) }
       .mkString("{", ",", "}")
+    // Per-query trust-probe verdict IN the summary line (VERDICT r15
+    // #1): rounds 13-15 all landed in host-steal windows, and the
+    // summary alone misread burst-hit rows as regressions — the
+    // triage lived only in the committed detail file. "probe_med" is
+    // the session median of the per-query median micro-probes (the
+    // machine-speed nominal, ~0.02 s idle); "burst" counts rows whose
+    // own probe exceeded 2x that median — rows whose timing a steal
+    // burst contaminated. A reader of BENCH_rN.json alone can now
+    // tell "slow row" from "stolen row" without the detail record.
+    val probeMeds = results.map { case (_, _, ps) => med(ps) }
+    val probeMed =
+      if (probeMeds.isEmpty) 0.0 else probeMeds.sorted.apply((probeMeds.length - 1) / 2)
+    val burst = probeMeds.count(_ > 2 * probeMed)
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt2(total3)},"unit":"sec","n":${results.size},"cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}],"top":$top5,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt2(total3)},"unit":"sec","n":${results.size},"cal":[${fmt(calPre)},${fmt(calPost)}],"load":[${fmt1(loadPre)},${fmt1(loadPost)}],"burst":$burst,"probe_med":${fmt(probeMed)},"top":$top5,"sf":"$sfName"}""")
     spark.stop()
   }
 }

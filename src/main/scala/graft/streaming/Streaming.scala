@@ -37,6 +37,10 @@ object Streaming {
   def eventsStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
+      // oldest-first is the default, but the ordered-ingest harness
+      // (writeOrderedBatches -> q214/q225 order-dependent chains)
+      // DEPENDS on it — pin it so a default change can't reorder
+      .option("latestFirst", "false")
       .parquet(dir)
 
   case class SessionInput(user_id: Long, event_id: Long, tsMicros: Long)

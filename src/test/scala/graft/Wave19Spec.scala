@@ -164,11 +164,15 @@ class Wave19Spec extends SparkSpec {
       assert(sr == rd(sh.toDouble / 3.0) && mr == rd(mh.toDouble / 3.0),
         s"recall arithmetic broken at query $q")
     }
-    // on this fixture the maintained index dominates the stale one
-    // per-query (pinned empirically — in theory a delta vector could
-    // crowd a base truth hit out of the probed top-3) and maintenance
-    // strictly recovers hits somewhere
-    assert(rows.forall(_._6 >= 0), "a query LOST recall under maintenance")
+    // the TRUE invariant is aggregate: maintenance strictly recovers
+    // hits overall. Per-query dominance is NOT a theorem — a delta
+    // vector can crowd a base truth hit out of the probed top-3, so a
+    // fixture/embedding change could legitimately produce an isolated
+    // negative gain (ADVICE r15). Tolerate isolated losses; a losing
+    // MAJORITY would still mean the maintenance path is broken.
     assert(rows.map(_._6).sum > 0, "maintenance bought nothing")
+    val lost = rows.count(_._6 < 0)
+    assert(lost * 2 < rows.length,
+      s"$lost of ${rows.length} queries LOST recall under maintenance")
   }
 }
