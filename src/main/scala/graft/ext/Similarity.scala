@@ -808,6 +808,129 @@ object Similarity {
     * static/trained contiguous paths (q127–q136) should not pay that
     * on every row for a layout they never vary.
     */
+  /** The coarse-cell assignment under an EXPLICIT centroid table
+    * (trained cells rather than the [[centroidVal]] statics): `keep`
+    * best cells by rounded dot with low-cell tie-break, the unrounded
+    * `cdot` retained (the IVF-PQ coarse score term). Shared by the
+    * q229 candidate and rank paths so routing cannot desynchronize.
+    */
+  private def assignCellsOn(df: DataFrame, id: String, vec: String,
+      cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+    df.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .crossJoin(cents)
+      .withColumn("cdot", dot(col(vec), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+  }
+
+  /** The candidate pairs the explicit-centroid IVF routing admits
+    * (corpus keep=1, queries keep=nProbe, cell equi-join, self-pairs
+    * out) — [[ivfCandidatePairs]] over a TRAINED coarse quantizer.
+    * Exposed so q229 can price the probe budget both its variants
+    * share (they route identically by construction).
+    */
+  def ivfCandidatePairsOn(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, coarse: Seq[(Int, Seq[Double])],
+      nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
+        cents, 1)
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+      .select(col("cell"), col("n_id"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .select(col("cell"), col("q_id"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** IVF-PQ over an EXPLICIT (trained) coarse quantizer — the layout
+    * a production vector index actually deploys (Jégou et al. TPAMI
+    * 2011 §IV, FAISS IVFPQ): with `residual = true` each corpus
+    * vector is stored as (cell, PQ code of vec − centroid(cell)) and
+    * a candidate scores as q·centroid(cell) + q·reconstruct(residual
+    * code) — the coarse term is exact, the codebook only has to span
+    * the small within-cell displacement, which is why residual
+    * encoding beats raw-vector encoding once the coarse cells are
+    * data-adapted (q229 measures exactly this against the flat leg).
+    * With `residual = false` the same routing scores raw-vector codes
+    * (the flat-PQ comparison leg): candidate sets are IDENTICAL
+    * across the two variants by construction, so a recall delta is
+    * pure quantization geometry, never routing luck (the
+    * [[pqAdcTopKWithPerm]] argument, one rung up).
+    *
+    * Cost shape matches [[pqAdcTopKWith]]: the corpus side is
+    * scan-stage encode (nCells + m·nCents small dots per row), the
+    * join is a cell-keyed equi-join, and the per-candidate score is m
+    * LUT lookups — no raw corpus vector is touched after encode. The
+    * ADC sum is the fixed left fold with the coarse term added LAST
+    * (`coarse + (t0 + … + t7)`), mirrored exactly in the oracle.
+    */
+  def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]],
+      residual: Boolean,
+      m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    def codesFor(vec: Column): Column =
+      array((0 until m).map { sub =>
+        val sv = slice(vec, sub * subDim + 1, subDim)
+        val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
+          val cent = array(vals.map(lit): _*)
+          val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+          struct(round(key, 6).as("d"), lit(i).as("i"))
+        }: _*)
+        array_min(cands).getField("i")
+      }: _*)
+    val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
+        cents, 1)
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+      .withColumn("enc", if (residual)
+          zip_with(col("n_vec"), col("cvec"), (a, b) => a - b)
+        else col("n_vec"))
+      .select(col("cell"), col("n_id"), codesFor(col("enc")).as("n_code"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
+        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    val lutSum = (0 until m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("n_code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        if (residual) col("coarse") + lutSum else lutSum)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   def pqAdcTopKWithPerm(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       codebook: Map[Int, Seq[Seq[Double]]], perm: Seq[Int],

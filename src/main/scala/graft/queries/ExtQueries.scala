@@ -1436,6 +1436,69 @@ object ExtQueries {
         .toSeq.sortBy(x => (x._1, x._2))
     })
 
+  /** The one-Lloyd-step COARSE centroids (q74's k-means iteration,
+    * collected): cell → 64 rounded component means, the trained
+    * quantizer the IVF-PQ residual family routes on. 16×64 doubles —
+    * the [[pqRefinedCodebook]] bounded-collect discipline at the
+    * coarse rung. Cells that captured no members under the static
+    * assignment simply don't appear (the oracle's replay drops the
+    * same rows); routing uses exactly the surviving set.
+    */
+  private val ivfRefinedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+
+  private[graft] def ivfRefinedCentroids(s: SparkSession,
+      d: String): Seq[(Int, Seq[Double])] =
+    ivfRefinedCache.computeIfAbsent(d, { _ =>
+      Similarity.kmeansIteration(Tables.embeddings(s, d), "vec_id", "embedding")
+        .collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
+        .toSeq.sortBy(_._1)
+    })
+
+  /** Per-vector residual against its [[ivfRefinedCentroids]] cell
+    * (vec − centroid(cell)) — the frame the residual codebook trains
+    * on. Same rounded-argmax/low-cell assignment as every IVF path.
+    */
+  private def residualFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(ivfRefinedCentroids(s, d)
+      .map { case (cl, vs) => (cl.toLong, vs) }.toDF("cell", "cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull && size(col("vec")) > 0)
+      .crossJoin(cents)
+      .withColumn("cdot",
+        expr("aggregate(zip_with(vec, cvec, (p, q) -> p * q), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"),
+        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("resid"))
+  }
+
+  /** One-Lloyd residual PQ codebook (static [[Similarity.pqVal]]
+    * init, trained on [[residualFrame]]) — the q130 trainer pointed
+    * at residuals, collected and memoized like [[pqRefinedCodebook]].
+    */
+  private val ivfPqResidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]]()
+
+  private[graft] def ivfPqResidCodebook(s: SparkSession,
+      d: String): Seq[(Int, Int, Seq[Double])] =
+    ivfPqResidCache.computeIfAbsent(d, { _ =>
+      Similarity.pqTrainIteration(residualFrame(s, d), "vec_id", "resid")
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+    })
+
   /** The ANISOTROPIC rehearsal slice for the OPQ-lite family
     * (q183/q184): usable embeddings with dims 0–7 scaled 4× — the
     * shape a real encoder produces when a few latent directions carry
@@ -7261,6 +7324,149 @@ object ExtQueries {
         .filter(col("n_tokens") > 0)
       waterFillAlloc(toks, Seq(2.0, 3.0, 3.875, 4.5))
         .orderBy(col("budget_x"), col("lang"))
+    }),
+
+    // ---- IVF-PQ RESIDUAL index — the production ANN layout still
+    //      missing from the PQ family (VERDICT r15 #3) and the actual
+    //      Jégou et al. deployment shape: one-Lloyd-trained coarse
+    //      cells (q74's iteration, collected — 16×64 doubles), PQ
+    //      codes over the RESIDUAL vec − centroid(cell) with a
+    //      one-Lloyd residual codebook, ADC = exact coarse term
+    //      q·centroid + residual LUT sum. The card is the (flat-PQ vs
+    //      IVF-PQ) recall/cost comparison: both variants route on the
+    //      SAME trained cells (identical candidate sets by
+    //      construction — n_candidates says so), the flat leg scores
+    //      q136's raw-trained codebook, so the recall delta is pure
+    //      residual-encoding effect. Measured here: residual 0.153 vs
+    //      flat 0.14 at sf0.01 — and with UNTRAINED coarse cells the
+    //      residual leg would LOSE (0.04): residuals against random
+    //      centroids are large, which is exactly why deployed IVF-PQ
+    //      trains the coarse quantizer first. Truth side is the
+    //      fenced exact-IP top-3 (q128's design). Cost shape: two
+    //      scan-stage encodes + cell-keyed equi-joins; the trainings
+    //      are memoized 1024-double artifacts ----
+    "q229_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val coarse = ivfRefinedCentroids(s, d)
+      def asMap(rows: Seq[(Int, Int, Seq[Double])]) = rows.groupBy(_._1)
+        .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
+      val flatCb = asMap(pqRefinedCodebook(s, d))
+      val resCb = asMap(ivfPqResidCodebook(s, d))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def leg(name: String, residual: Boolean,
+          cb: Map[Int, Seq[Seq[Double]]]) = {
+        val ap = Similarity.ivfPqAdcTopKOn(q, emb, "vec_id", "embedding",
+            k = 3, coarse, cb, residual)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(ap,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .select(lit(name).as("variant"), col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"))
+      }
+      val cand = Similarity.ivfCandidatePairsOn(q, emb, "vec_id",
+          "embedding", coarse)
+        .agg(count(lit(1)).as("n_candidates"))
+      leg("flat_pq", residual = false, flatCb)
+        .unionByName(leg("ivfpq_residual", residual = true, resCb))
+        .crossJoin(broadcast(cand))
+        .orderBy(col("variant"))
+    }),
+
+    // ---- TRAINING-ORDER manifest (VERDICT r15 #4): the mixture
+    //      family computes weights (q205/q212/q228) and packing
+    //      computes sequences (q195/q221), but a LOADER consumes an
+    //      ORDER — this card emits it. Per packed sequence (q195's
+    //      fold, sequence granularity): a seeded md5 draw fixes each
+    //      source's internal shuffle, src_pos ranks within source,
+    //      and the global order is the per-source ROUND-ROBIN
+    //      (src_pos, source) — every source's k-th sequence before
+    //      any source's (k+1)-th, so the mixture stays locally
+    //      uniform however skewed the source sizes. shard_id is
+    //      q208's rule; shard_offset is the global order restricted
+    //      to the shard, so a loader reading shard files resumes
+    //      from a (shard, offset) cursor. RESUMABILITY is by
+    //      construction: the order is a pure window over the
+    //      manifest — the suffix from any cursor's (src_pos, source)
+    //      key equals the tail of the full order (Wave26Spec pins
+    //      it). Scale note: the final rank is a total order, so ONE
+    //      partition sorts the SEQUENCE-level manifest — |corpus
+    //      tokens| / $packBudget rows, ~2M rows per trillion tokens,
+    //      the one frame a training run materializes anyway ----
+    "q230_training_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val seqs = ffdPack(docs)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_tokens"))
+        .withColumn("draw", substring(md5(concat_ws(":",
+          lit("graft-order-v1"), col("source"),
+          col("seq_id").cast("string"))), 1, 8))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(8L)))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("draw"), col("seq_id"))
+      val wAll = Window.orderBy(col("src_pos"), col("source"))
+      val wShard = Window.partitionBy(col("shard_id"))
+        .orderBy(col("src_pos"), col("source"))
+      seqs.withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
+        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1)
+        .withColumn("shard_offset",
+          row_number().over(wShard).cast("long") - 1)
+        .select(col("global_pos"), col("source"), col("seq_id"),
+          col("shard_id"), col("shard_offset"), col("src_pos"),
+          col("n_docs"), col("kept_tokens"), col("draw"))
+        .orderBy(col("global_pos"))
+    }),
+
+    // ---- CHAINED-RELEASE water-fill (VERDICT r15 #6): q228 allocates
+    //      one budget against one corpus; this card re-runs the EXACT
+    //      fill as the corpus grows from the v1 slice (q165's base,
+    //      ~13/16 by the md5 rule) to the full v2 corpus — the q212
+    //      chaining discipline applied to the allocator. Budget fixed
+    //      at the 3.875× partial regime (caps engaged, nothing
+    //      saturated), so the chain shows the real release dynamics:
+    //      every cap rises with its language's own growth, the
+    //      uncapped head's fill rises with the total, and
+    //      `alloc_growth` (v2 − v1 per language) is the per-release
+    //      token delta a training plan absorbs. Monotonicity — no
+    //      language's allocation drops when the corpus grows — is
+    //      pinned by Wave26Spec (an empirical invariant of
+    //      near-proportional growth: a sufficiently lopsided delta
+    //      could in principle shrink a head language's water level).
+    //      Two lang-cardinality fills + one broadcast self-join ----
+    "q231_release_waterfill" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+      def langFrame(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(sum(col("nt")).as("n_tokens")).filter(col("n_tokens") > 0)
+      val v1 = waterFillAlloc(
+        langFrame(toks.filter(!isDeltaDoc(col("doc_id")))), Seq(3.875))
+      val v2 = waterFillAlloc(langFrame(toks), Seq(3.875))
+      val prev = v1.select(col("lang"), col("final_alloc").as("prev_alloc"))
+      val r1 = v1.select(lit("v1").as("release"), col("lang"),
+        col("n_tokens"), col("w_a07"), col("final_alloc"),
+        col("final_epochs"), col("capped"),
+        lit(0.0).as("prev_alloc"), col("final_alloc").as("alloc_growth"))
+      val r2 = v2.join(broadcast(prev), Seq("lang"), "left")
+        .select(lit("v2").as("release"), col("lang"), col("n_tokens"),
+          col("w_a07"), col("final_alloc"), col("final_epochs"),
+          col("capped"),
+          coalesce(col("prev_alloc"), lit(0.0)).as("prev_alloc"),
+          round(col("final_alloc") - coalesce(col("prev_alloc"), lit(0.0)),
+            2).as("alloc_growth"))
+      r1.unionByName(r2).orderBy(col("release"), col("lang"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -11541,7 +11747,219 @@ object ExtQueries {
            round(CASE WHEN wu IS NULL THEN b - ck ELSE 0.0 END, 2)
              AS unallocated
          FROM wcp JOIN wag ON wcp.budget_x = wag.budget_x
-         ORDER BY wcp.budget_x, lang""")
+         ORDER BY wcp.budget_x, lang""",
+    // full IVF-PQ replay: pqTrainCtes' raw one-Lloyd book (the flat
+    // leg, q136's fcb), q74's coarse Lloyd step re-listed as cent,
+    // residuals against the refined cells, the residual one-Lloyd
+    // book, both encodes, both ADC rankings (coarse term added LAST,
+    // parenthesized to pin the Spark-side association), one shared
+    // candidate/truth side
+    "q229_ivfpq_residual" -> s"""
+         WITH $pqTrainCtes,
+         fref AS (SELECT sub, c, pos, round(AVG(vv), 6) AS c_val
+           FROM vals GROUP BY sub, c, pos),
+         fcb AS (SELECT sub, c, list(c_val ORDER BY pos) AS bvec
+           FROM fref GROUP BY sub, c),
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         ka AS (SELECT vec_id, vec, cell FROM (
+           SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM e, cent0) t WHERE rn = 1),
+         kx AS (SELECT cell, vec, unnest(generate_series(1, 64)) AS i FROM ka),
+         kc AS (SELECT cell, i, round(avg(vec[i]), 6) AS cv
+           FROM kx GROUP BY cell, i),
+         cent AS (SELECT cell, list(cv ORDER BY i) AS cvec
+           FROM kc GROUP BY cell),
+         ca AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, cent.cell, cent.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, cent.cvec), 6) DESC,
+               cent.cell) AS rn
+           FROM e, cent) t WHERE rn = 1),
+         rv AS (SELECT n_id, cell, n_vec,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ca),
+         rk0 AS (SELECT r.n_id, p.sub, p.c,
+             round(list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(
+                   list_slice(r.rvecd, p.sub * 8 + 1, p.sub * 8 + 8),
+                   p.pvec), 6) AS key
+           FROM rv r, pqc p),
+         rcd0 AS (SELECT n_id, sub, c FROM (
+           SELECT n_id, sub, c, ROW_NUMBER() OVER (PARTITION BY n_id, sub
+             ORDER BY key, c) AS rn FROM rk0) t WHERE rn = 1),
+         rref AS (SELECT k.sub, k.c, poss.pos,
+             round(avg(r.rvecd[k.sub * 8 + poss.pos + 1]), 6) AS cv
+           FROM rcd0 k JOIN rv r USING (n_id) CROSS JOIN poss
+           GROUP BY 1, 2, 3),
+         rcb AS (SELECT sub, c, list(cv ORDER BY pos) AS bvec
+           FROM rref GROUP BY sub, c),
+         fcode AS (SELECT n_id, sub, c FROM (
+           SELECT ca.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY ca.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(ca.n_vec, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM ca, fcb b) t WHERE rn = 1),
+         rcode AS (SELECT n_id, sub, c FROM (
+           SELECT r.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM rv r, rcb b) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, q_vec, cell, cd FROM (
+           SELECT q_id, q_vec, cell,
+             list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.q_vec, qa.cd, ca.n_id
+           FROM qa JOIN ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         fterms AS (SELECT pr.q_id, pr.n_id, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8),
+               b.bvec) AS term
+           FROM prs pr JOIN fcode k ON k.n_id = pr.n_id
+           JOIN fcb b ON b.sub = k.sub AND b.c = k.c),
+         fap AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(adc, 6) DESC, n_id) AS rank
+           FROM (SELECT q_id, n_id, $pqTermPivot AS adc
+             FROM fterms GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+         rterms AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8),
+               b.bvec) AS term
+           FROM prs pr JOIN rcode k ON k.n_id = pr.n_id
+           JOIN rcb b ON b.sub = k.sub AND b.c = k.c),
+         rap AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(adc, 6) DESC, n_id) AS rank
+           FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+             FROM rterms GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         ncd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM prs),
+         fs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(f.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN fap f ON ex.q_id = f.q_id AND ex.n_id = f.n_id),
+         rs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(r.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN rap r ON ex.q_id = r.q_id AND ex.n_id = r.n_id)
+         SELECT 'flat_pq' AS variant, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3, n_candidates
+         FROM fs, ncd
+         UNION ALL
+         SELECT 'ivfpq_residual' AS variant, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3, n_candidates
+         FROM rs, ncd
+         ORDER BY variant""",
+    // q195's fold at sequence granularity, the seeded md5 draw, the
+    // q208 shard rule, three window ranks replaying the round-robin
+    "q230_training_order" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("to")},
+         tsq AS (SELECT source, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens
+           FROM tofold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         tdr AS (SELECT *,
+             substr(md5('graft-order-v1' || ':' || source || ':' ||
+               CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id
+           FROM tsq),
+         tsp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY draw, seq_id) - 1 AS src_pos FROM tdr),
+         tgp AS (SELECT *,
+             ROW_NUMBER() OVER (ORDER BY src_pos, source) - 1 AS global_pos,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+               ORDER BY src_pos, source) - 1 AS shard_offset
+           FROM tsp)
+         SELECT CAST(global_pos AS BIGINT) AS global_pos, source, seq_id,
+           shard_id, CAST(shard_offset AS BIGINT) AS shard_offset,
+           CAST(src_pos AS BIGINT) AS src_pos, n_docs, kept_tokens, draw
+         FROM tgp ORDER BY global_pos""",
+    // the q228 window fill replayed per release slice (v1 = md5 base
+    // rule, v2 = full corpus) at the fixed 3.875x budget, chained by
+    // a lang-keyed left join
+    "q231_release_waterfill" -> s"""
+         WITH ${waterFillSqlFor("wa",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')")},
+         ${waterFillSqlFor("wb", "TRUE")}
+         SELECT 'v1' AS release, lang, n_tokens, w_a07, final_alloc,
+           final_epochs, capped, 0.0 AS prev_alloc,
+           final_alloc AS alloc_growth
+         FROM waout
+         UNION ALL
+         SELECT 'v2' AS release, b.lang, b.n_tokens, b.w_a07, b.final_alloc,
+           b.final_epochs, b.capped,
+           COALESCE(a.final_alloc, 0.0) AS prev_alloc,
+           round(b.final_alloc - COALESCE(a.final_alloc, 0.0), 2)
+             AS alloc_growth
+         FROM wbout b LEFT JOIN waout a USING (lang)
+         ORDER BY release, lang""")
+
+  /** The exact water-fill as oracle CTEs ending in `${px}out(lang,
+    * n_tokens, w_a07, final_alloc, final_epochs, capped)` — the q228
+    * window pass at the fixed 3.875× budget over the `docWhere` slice
+    * of documents, shared by q231's two release legs so the chain and
+    * the single-corpus card cannot desynchronize on the fill rule.
+    */
+  private def waterFillSqlFor(px: String, docWhere: String): String = s"""
+         ${px}lt AS (SELECT lang,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS nt
+           FROM documents WHERE $docWhere),
+         ${px}pl AS (SELECT lang, SUM(nt) AS n_tokens FROM ${px}lt
+           GROUP BY 1 HAVING SUM(nt) > 0),
+         ${px}tz AS (SELECT SUM(n_tokens) AS tot,
+           SUM(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z07 FROM ${px}pl),
+         ${px}st AS (SELECT lang, n_tokens,
+             CAST(n_tokens AS DOUBLE) AS ntd,
+             power(CAST(n_tokens AS DOUBLE), 0.7) / z07 AS w,
+             3.875 * CAST(tot AS DOUBLE) AS b,
+             CAST(n_tokens AS DOUBLE) * 4.0 AS cap
+           FROM ${px}pl, ${px}tz),
+         ${px}cm AS (SELECT *, w * b AS a0,
+             COALESCE(SUM(cap) OVER (ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS cprev,
+             COALESCE(SUM(w) OVER (ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS wprev
+           FROM ${px}st),
+         ${px}cd AS (SELECT *, CASE WHEN w * (b - cprev) >= cap * (1.0 - wprev)
+             THEN 1 ELSE 0 END AS cnd FROM ${px}cm),
+         ${px}cp AS (SELECT *, MIN(cnd) OVER (ORDER BY n_tokens, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             AS is_capped FROM ${px}cd),
+         ${px}ag AS (SELECT
+             COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0.0) AS ck,
+             SUM(CASE WHEN NOT is_capped THEN w END) AS wu FROM ${px}cp),
+         ${px}out AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(w, 6) AS w_a07,
+             round(CASE WHEN is_capped THEN cap
+               ELSE w * (b - ck) / wu END, 2) AS final_alloc,
+             round(CASE WHEN is_capped THEN cap
+               ELSE w * (b - ck) / wu END / ntd, 6) AS final_epochs,
+             CAST(CASE WHEN is_capped THEN 1 ELSE 0 END AS BIGINT) AS capped
+           FROM ${px}cp, ${px}ag)"""
 
   /** The q108 frozen-logistic score as oracle CTEs ending in
     * `sc(doc_id, source, quality_score)` — the SQL twin of

@@ -1,8 +1,17 @@
 package graft
 
-/** Smoke: every registered query runs at sf0.001 and the oracle map
-  * stays in sync with the query map. Value-level correctness is the
-  * DuckDB gate (scripts/verify_local.py + driver t2).
+/** Smoke: registered queries run at sf0.001 and the oracle map stays
+  * in sync with the query map. Value-level correctness is the DuckDB
+  * gate (scripts/verify_local.py + driver t2), which covers the FULL
+  * registry at sf0.01 — so the default suite smokes a deterministic
+  * sample instead of paying ~230 serial eager runs per wave iteration
+  * (VERDICT r15 #5: the full smoke alone was most of a 937 s `sbt
+  * test`). Sample = a fixed md5 quarter of the registry plus the 10
+  * lexicographically-newest names (the wave under construction).
+  * Round close runs the FULL sweep:
+  *
+  *   GRAFT_FULL_SMOKE=1 sbt test        // full registry smoke
+  *   sbt test                           // sampled smoke, fast gate
   */
 class QueriesSpec extends SparkSpec {
 
@@ -15,7 +24,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  private val all = SparkEntry.queries.toSeq.sortBy(_._1)
+  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
+  // first md5 byte < 64: a stable ~25% of any registry size — the
+  // sample changes only when a NAME changes, never run-to-run
+  private def inSample(name: String): Boolean =
+    (java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))(0) & 0xff) < 64
+  private val newest = all.takeRight(10).map(_._1).toSet
+  private val chosen =
+    if (fullSmoke) all
+    else all.filter { case (n, _) => inSample(n) || newest(n) }
+
+  test(s"smoke selection is deterministic and non-trivial " +
+      s"(${chosen.size}/${all.size}${if (fullSmoke) ", full" else ""})") {
+    assert(chosen.size >= math.min(all.size, 40))
+    assert(newest.subsetOf(chosen.map(_._1).toSet))
+  }
+
+  chosen.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
