@@ -82,7 +82,9 @@ object PlanAudit {
     "q219_index_tombstones" -> "two 16-row centroid-assignment BNLJs (q86's allowlisted fan-out: one inside the cell index, one inside the semantic drop list); the tombstone join is id-keyed, the occupancy joins cell-keyed",
     "q222_frozen_curriculum" -> "two 2-scalar tercile-threshold broadcasts (frozen + refit) against the doc scan (q209's fenced pattern, once per cut set)",
     "q226_release_assembly" -> "the q209/q215 2-scalar tercile-threshold broadcast against the doc scan feeding the composite packing fold",
-    "q228_budget_waterfill" -> "three one-row scalar crossJoins (the (total, Z) normalizer and the two water-fill round aggregates) against the lang-cardinality-bounded frame (q212's staged fenced pattern)")
+    "q228_budget_waterfill" -> "one-row (total, Z) normalizer and 4-row budget-grid crossJoins against the lang-cardinality-bounded frame; the exact fill itself is one window pass + a budget_x-keyed broadcast join (round-16 rewrite)",
+    "q229_ivfpq_residual" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each variant's corpus/query sides (q44's fan-out with collected 16-row centroids) + the one-row candidate-count scalar crossJoin",
+    "q231_release_waterfill" -> "q228's one-row normalizer crossJoins once per release slice; the v1->v2 chain join is lang-keyed broadcast")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -103,7 +105,11 @@ object PlanAudit {
     "q186_heavy_hitters", "q189_stream_histogram",
     "q190_stream_heavy_hitters", "q197_opq_recall",
     "q214_stream_mixture", "q224_stream_quota", "q225_stream_packing",
-    "q227_stream_decon")
+    "q227_stream_decon",
+    // q229 collects three bounded training artifacts at plan time
+    // (refined coarse centroids, raw + residual one-Lloyd codebooks —
+    // q197's class)
+    "q229_ivfpq_residual")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

@@ -107,7 +107,11 @@ object PlanReport {
     "q167_ledger_diff" -> "release-ledger DIFF — the drop-reason transition matrix for docs in BOTH releases: v1 = base slice with its own build artifacts (q95 signatures, v1 drop sets, v1 containment pairs — persisted, same discipline as the current release's), v2 = full corpus with current artifacts. Curation is non-monotone in the data: landing the delta changes verdicts on unchanged docs (new duplicates arrive; the held-out split arrives with the delta by the md5 geometry), while per-doc-stable reasons must sit on the diagonal. Both ledgers evaluate the SAME factored rules (curatedLedger / one SQL generator), so the matrix measures data movement, not rule drift; output bounded at 9x9 rows at any corpus size",
     "q168_ledger_incremental" -> "the v2 ledger MAINTAINED, never rebuilt — q162's release ledger computed from the v1 release's persisted artifacts (ledger, drop sets, containment pairs, signature/simhash/cell-index tables + count artifacts, span owner + span-count tables) plus delta-proportional work only: cross candidates against each persisted index (q91/q123/q135/q158's ingest shapes), delta-internal candidates, span owner min-merge (a base doc loses kept-spans to smaller-id delta claims without its text being rescanned), quality from the v1 ledger for base docs + a fresh delta scan. The one corpus-wide pass is decontamination (the held split arrives WITH the delta — screening old docs against a new held set is inherently one scan; q84's Bloom is the degrade path). Gated by q162's OWN oracle — the one-oracle-pins-both proof that maintenance = rebuild at the full-ledger level, the claim that lets a 100 TB release never re-run detectors over the previous corpus",
     "q169_curation_funnel" -> "the curation FUNNEL — q162's ledger rolled up to (source, drop_reason): doc and word counts per cell plus the within-source doc share, the dashboard table a curation run publishes next to the ledger. Source x reason-bounded (<= 9 rows per source) at any corpus size; the share divisor is a source-cardinality-bounded keyed join",
-    "q170_dropset_diff" -> "drop-set artifact VERSIONING — q165's release-diff applied to the detector family: v1 = the base release's persisted drop sets, v2 = the current full-corpus artifact, diffed per detector with real per-row anti-joins on BOTH sides. removed_docs gated = 0 makes the monotonicity theorem checkable (pairs only accumulate; span n_kept only decreases), which is what lets a release ship drop-set DELTAS. 4 rows at any corpus size")
+    "q170_dropset_diff" -> "drop-set artifact VERSIONING — q165's release-diff applied to the detector family: v1 = the base release's persisted drop sets, v2 = the current full-corpus artifact, diffed per detector with real per-row anti-joins on BOTH sides. removed_docs gated = 0 makes the monotonicity theorem checkable (pairs only accumulate; span n_kept only decreases), which is what lets a release ship drop-set DELTAS. 4 rows at any corpus size",
+    "q228_budget_waterfill" -> "the EXACT data-constrained water-fill (round-16 rewrite): the capped set of a temperature-weighted fill is a PREFIX of languages ordered by cap/weight (∝ n^0.3, i.e. by size), so the fixpoint is ONE window pass — prefix sums, the per-row cap test against the remaining weight, a prefix-min to freeze the capped set — plus one lang-bounded aggregate joined back. No iteration, no rounds, the 4-epoch invariant holds for ANY budget; swept over 2/3/3.875/4.5× so the uncapped, partial, and saturated regimes are all visible in one card. Lang-cardinality frames throughout",
+    "q229_ivfpq_residual" -> "IVF-PQ RESIDUAL index — the deployed Jégou layout closing the PQ family: one-Lloyd coarse cells (collected 16×64 artifact), PQ over vec − centroid(cell) with a one-Lloyd residual codebook, ADC = exact coarse dot + residual LUT sum. The card proves the layout claim: identical trained-cell routing for both variants (shared n_candidates), flat-PQ 0.14 vs residual 0.153 recall@3 at sf0.01 — and with UNTRAINED cells the residual leg measured 0.04, the negative control that shows WHY production trains the coarse quantizer. Corpus side is scan-stage encode; candidates are cell-keyed equi-joins; raw vectors never cross the join",
+    "q230_training_order" -> "the TRAINING-ORDER manifest — the deterministic interleave a loader consumes: seeded md5 draw shuffles within source, (src_pos, source) round-robin interleaves across sources (every source's k-th sequence before any (k+1)-th — locally uniform mixture at any size skew), q208 shard ids + in-shard offsets make a (shard, offset) cursor sufficient to resume (suffix ≡ tail, spec-pinned). The one total order in the registry: a single partition ranks the SEQUENCE-level manifest — |tokens|/512 rows, the frame a run materializes anyway",
+    "q231_release_waterfill" -> "q228's exact fill CHAINED across corpus releases (q165's v1→v2 slices) at the 3.875× partial budget: every cap rises with its language's own growth, the uncapped head refills from the larger total, alloc_growth is the per-release delta a training plan absorbs; monotonicity spec-pinned. Two lang-cardinality fills + one lang-keyed broadcast chain join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
