@@ -84,7 +84,9 @@ object PlanAudit {
     "q226_release_assembly" -> "the q209/q215 2-scalar tercile-threshold broadcast against the doc scan feeding the composite packing fold",
     "q228_budget_waterfill" -> "one-row (total, Z) normalizer and 4-row budget-grid crossJoins against the lang-cardinality-bounded frame; the exact fill itself is one window pass + a budget_x-keyed broadcast join (round-16 rewrite)",
     "q229_ivfpq_residual" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each variant's corpus/query sides (q44's fan-out with collected 16-row centroids) + the one-row candidate-count scalar crossJoin",
-    "q231_release_waterfill" -> "q228's one-row normalizer crossJoins once per release slice; the v1->v2 chain join is lang-keyed broadcast")
+    "q231_release_waterfill" -> "q228's one-row normalizer crossJoins once per release slice; the v1->v2 chain join is lang-keyed broadcast",
+    "q232_stream_pq_index" -> "bounded trained-centroid assignment BNLJ (16 collected rows, q44's fan-out) inside the frozen-artifact encode — the base-index artifact write on a cold session and each micro-batch's own encode; everything else is a persisted-artifact scan",
+    "q233_order_append" -> "one-row broadcast of the released-total cursor scalar onto the appended fold (q48's pattern); the per-source/per-shard cursor joins are keyed broadcasts")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -106,10 +108,10 @@ object PlanAudit {
     "q190_stream_heavy_hitters", "q197_opq_recall",
     "q214_stream_mixture", "q224_stream_quota", "q225_stream_packing",
     "q227_stream_decon",
-    // q229 collects three bounded training artifacts at plan time
-    // (refined coarse centroids, raw + residual one-Lloyd codebooks —
-    // q197's class)
-    "q229_ivfpq_residual")
+    // q229/q232 collect bounded training artifacts at plan time
+    // (refined coarse centroids + one-Lloyd codebooks — q197's
+    // class); q232 additionally runs its streaming ingest loop
+    "q229_ivfpq_residual", "q232_stream_pq_index")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

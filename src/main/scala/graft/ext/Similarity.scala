@@ -876,6 +876,48 @@ object Similarity {
     * ADC sum is the fixed left fold with the coarse term added LAST
     * (`coarse + (t0 + … + t7)`), mirrored exactly in the oracle.
     */
+  /** The PQ argmin encode under an explicit codebook: per subspace,
+    * the POSITION of the nearest centroid in `codebook(sub)`'s order
+    * (rounded |c|²−2·x·c key, low-position ties) — shared by the
+    * q229 rank path and the q232 index builder so encode cannot
+    * desynchronize between them.
+    */
+  private def pqCodesWith(codebook: Map[Int, Seq[Seq[Double]]],
+      m: Int, subDim: Int)(vec: Column): Column =
+    array((0 until m).map { sub =>
+      val sv = slice(vec, sub * subDim + 1, subDim)
+      val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
+        val cent = array(vals.map(lit): _*)
+        val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+        struct(round(key, 6).as("d"), lit(i).as("i"))
+      }: _*)
+      array_min(cands).getField("i")
+    }: _*)
+
+  /** The IVF-PQ residual index FRAME — what the deployed index
+    * actually stores per vector: (cell, id, m-byte residual code).
+    * Pure scan-stage per row (nCells + m·nCents small dots), so a
+    * maintenance path can encode any batch with FROZEN artifacts and
+    * append — the q232 streaming loop's per-batch core, and exactly
+    * the corpus side [[ivfPqAdcTopKOn]] scores against.
+    */
+  def ivfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]],
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    assignCellsOn(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .withColumn("resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+      .select(col("cell"), col("id"),
+        pqCodesWith(codebook, m, subDim)(col("resid")).as("code"))
+  }
+
   def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       coarse: Seq[(Int, Seq[Double])],
@@ -886,16 +928,7 @@ object Similarity {
     import spark.implicits._
     val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
       .toDF("cell", "cvec"))
-    def codesFor(vec: Column): Column =
-      array((0 until m).map { sub =>
-        val sv = slice(vec, sub * subDim + 1, subDim)
-        val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
-          val cent = array(vals.map(lit): _*)
-          val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
-          struct(round(key, 6).as("d"), lit(i).as("i"))
-        }: _*)
-        array_min(cands).getField("i")
-      }: _*)
+    def codesFor(vec: Column): Column = pqCodesWith(codebook, m, subDim)(vec)
     val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
         cents, 1)

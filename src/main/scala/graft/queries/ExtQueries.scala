@@ -1436,40 +1436,66 @@ object ExtQueries {
         .toSeq.sortBy(x => (x._1, x._2))
     })
 
-  /** The one-Lloyd-step COARSE centroids (q74's k-means iteration,
-    * collected): cell → 64 rounded component means, the trained
-    * quantizer the IVF-PQ residual family routes on. 16×64 doubles —
-    * the [[pqRefinedCodebook]] bounded-collect discipline at the
-    * coarse rung. Cells that captured no members under the static
-    * assignment simply don't appear (the oracle's replay drops the
-    * same rows); routing uses exactly the surviving set.
+  /** The IVF-PQ residual TRAINING pair, collected and memoized per
+    * (input dir, slice): the one-Lloyd COARSE centroids (q74's
+    * k-means iteration — cell → 64 rounded component means, 16×64
+    * doubles) and the one-Lloyd RESIDUAL codebook (the q130 trainer
+    * pointed at vec − centroid(cell), static [[Similarity.pqVal]]
+    * init — 1024 doubles). `baseOnly = true` trains on the md5 base
+    * slice only: the FROZEN artifacts an incremental index
+    * maintenance path (q232) applies to delta batches without
+    * retraining (q193's frozen-model discipline at the index rung).
+    * Cells/centroids that captured no members simply don't appear
+    * (the oracle's replay drops the same rows).
     */
-  private val ivfRefinedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+  private val ivfTrainCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])])]()
 
-  private[graft] def ivfRefinedCentroids(s: SparkSession,
-      d: String): Seq[(Int, Seq[Double])] =
-    ivfRefinedCache.computeIfAbsent(d, { _ =>
-      Similarity.kmeansIteration(Tables.embeddings(s, d), "vec_id", "embedding")
+  private[graft] def ivfPqTrained(s: SparkSession, d: String,
+      baseOnly: Boolean): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) =
+    ivfTrainCache.computeIfAbsent(s"$d#${if (baseOnly) "base" else "all"}", { _ =>
+      val emb0 = Tables.embeddings(s, d)
+      val emb = if (baseOnly)
+        emb0.filter(!substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2"))
+      else emb0
+      val coarse = Similarity.kmeansIteration(emb, "vec_id", "embedding")
         .collect()
         .groupBy(_.getLong(0).toInt)
         .map { case (cell, rows) =>
           (cell, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
         .toSeq.sortBy(_._1)
+      val resid = Similarity
+        .pqTrainIteration(residualFrameOf(emb, coarse), "vec_id", "resid")
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+      (coarse, resid)
     })
 
-  /** Per-vector residual against its [[ivfRefinedCentroids]] cell
+  /** Collected codebook rows → the ordered-centroid-list map the
+    * [[Similarity.pqAdcTopKWith]]-family consumers index by position.
+    */
+  private def codebookMap(
+      rows: Seq[(Int, Int, Seq[Double])]): Map[Int, Seq[Seq[Double]]] =
+    rows.groupBy(_._1).map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
+
+  /** Per-vector residual against the given coarse centroids
     * (vec − centroid(cell)) — the frame the residual codebook trains
     * on. Same rounded-argmax/low-cell assignment as every IVF path.
     */
-  private def residualFrame(s: SparkSession, d: String): DataFrame = {
+  private def residualFrameOf(emb: DataFrame,
+      coarse: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(ivfRefinedCentroids(s, d)
+    val cents = broadcast(coarse
       .map { case (cl, vs) => (cl.toLong, vs) }.toDF("cell", "cvec"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
-    Tables.embeddings(s, d)
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
       .crossJoin(cents)
@@ -1480,24 +1506,6 @@ object ExtQueries {
       .select(col("vec_id"),
         zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("resid"))
   }
-
-  /** One-Lloyd residual PQ codebook (static [[Similarity.pqVal]]
-    * init, trained on [[residualFrame]]) — the q130 trainer pointed
-    * at residuals, collected and memoized like [[pqRefinedCodebook]].
-    */
-  private val ivfPqResidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Seq[Double])]]()
-
-  private[graft] def ivfPqResidCodebook(s: SparkSession,
-      d: String): Seq[(Int, Int, Seq[Double])] =
-    ivfPqResidCache.computeIfAbsent(d, { _ =>
-      Similarity.pqTrainIteration(residualFrame(s, d), "vec_id", "resid")
-        .collect()
-        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
-        .map { case ((sub, c), rows) =>
-          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
-        .toSeq.sortBy(x => (x._1, x._2))
-    })
 
   /** The ANISOTROPIC rehearsal slice for the OPQ-lite family
     * (q183/q184): usable embeddings with dims 0–7 scaled 4× — the
@@ -7348,11 +7356,9 @@ object ExtQueries {
     "q229_ivfpq_residual" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 50)
-      val coarse = ivfRefinedCentroids(s, d)
-      def asMap(rows: Seq[(Int, Int, Seq[Double])]) = rows.groupBy(_._1)
-        .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
-      val flatCb = asMap(pqRefinedCodebook(s, d))
-      val resCb = asMap(ivfPqResidCodebook(s, d))
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = false)
+      val flatCb = codebookMap(pqRefinedCodebook(s, d))
+      val resCb = codebookMap(residRows)
       val exact = graft.util.Persist(
         Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
           .select(col("q_id"), col("n_id")))
@@ -7467,6 +7473,150 @@ object ExtQueries {
           round(col("final_alloc") - coalesce(col("prev_alloc"), lit(0.0)),
             2).as("alloc_growth"))
       r1.unionByName(r2).orderBy(col("release"), col("lang"))
+    }),
+
+    // ---- STREAMING IVF-PQ residual index maintenance: q137's
+    //      append-only loop at the q229 rung — the residual-code
+    //      index artifact kept current incrementally under FROZEN
+    //      base-trained artifacts (q193's frozen-model discipline:
+    //      coarse centroids and the residual codebook train ONCE on
+    //      the base corpus; delta batches encode with those
+    //      constants, never retrain). Base (~13/16 by the md5 rule)
+    //      batch-builds the persisted (cell, id, residual-code)
+    //      index; delta vectors arrive as a 4-micro-batch file
+    //      stream, each batch appends its OWN rows through the
+    //      idempotent batch_id-partitioned K2 sink — appending a
+    //      batch costs |batch| × (16 + 128) small dots, independent
+    //      of index size, no base join, no corpus rescan. The oracle
+    //      replays base training + a FULL whole-corpus encode under
+    //      the frozen artifacts, so the gate proves incremental
+    //      maintenance ≡ rebuild-with-frozen-artifacts — the
+    //      invariant that lets the q229 layout serve a 100 TB corpus
+    //      that never stops ingesting ----
+    "q232_stream_pq_index" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = true)
+      val cb = codebookMap(residRows)
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q232_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndex(emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", coarse, cb)
+          .write.mode("overwrite").parquet(p)
+      }
+      val baseIdx = s.read.parquet(idxDir)
+      val delta = emb.filter(isDelta(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q232_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q232_spq_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              Similarity.ivfPqResidualIndex(batch.toDF(), "vec_id",
+                "embedding", coarse, cb), id, out, append = true)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("cell"), col("id"), col("code"))
+        .withColumn("src", lit("delta"))
+        .unionByName(baseIdx.select(col("cell"), col("id"), col("code"))
+          .withColumn("src", lit("base")))
+        .select(col("cell"), col("id").as("vec_id"),
+          // list columns crash the driver's pandas sort (q137's
+          // discipline) — render the m-byte code as CSV
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code"), col("src"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- ORDER-MANIFEST APPEND across releases: q230 emits a run's
+    //      order, but its round-robin rank is NOT stable under corpus
+    //      growth (new sequences would shift every src_pos) — and a
+    //      loader mid-run must NEVER see a released position move.
+    //      This card applies the q218/q223 released-rows-are-immutable
+    //      discipline to the ORDER: the v1 release (base slice,
+    //      packed alone) keeps every (src_pos, global_pos,
+    //      shard_offset) it shipped with; the delta ingest packs its
+    //      own fold with seq ids offset past the released per-source
+    //      max, and its sequences take positions offset past the
+    //      released counts — per-source, per-shard, and global, so a
+    //      loader that consumed v1 to completion resumes at cursor
+    //      |v1| and reads ONLY appended rows. The appended block
+    //      interleaves by the same (absolute src_pos, source)
+    //      round-robin. Cursor state = three count frames (source /
+    //      shard / total — all bounded), broadcast onto the delta
+    //      fold ----
+    "q233_order_append" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def tok(df: DataFrame) = df.select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val docs = Tables.documents(s, d)
+      val base = graft.util.Persist(
+        ffdPack(tok(docs.filter(!isDeltaDoc(col("doc_id"))))))
+      val seq0 = base.groupBy(col("source"))
+        .agg((max(col("seq_id")) + 1).as("seq0"))
+      val delta = ffdPack(tok(docs.filter(isDeltaDoc(col("doc_id")))))
+        .join(seq0, Seq("source"), "left")
+        .withColumn("seq_id", col("seq_id") + coalesce(col("seq0"), lit(0L)))
+        .drop("seq0")
+      def seqs(df: DataFrame) = df.groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_tokens"))
+        .withColumn("draw", substring(md5(concat_ws(":",
+          lit("graft-order-v1"), col("source"),
+          col("seq_id").cast("string"))), 1, 8))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(8L)))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("draw"), col("seq_id"))
+      val wAll = Window.orderBy(col("src_pos"), col("source"))
+      val wShard = Window.partitionBy(col("shard_id"))
+        .orderBy(col("src_pos"), col("source"))
+      // three consumers of the released manifest (rows + the three
+      // cursor-state count frames) — persist so the fold runs once
+      val rel = graft.util.Persist(seqs(base)
+        .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
+        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1)
+        .withColumn("shard_offset",
+          row_number().over(wShard).cast("long") - 1))
+      val srcCnt = rel.groupBy(col("source")).agg(count(lit(1)).as("sc"))
+      val shCnt = rel.groupBy(col("shard_id")).agg(count(lit(1)).as("hc"))
+      val tot = rel.agg(count(lit(1)).as("tc"))
+      val app = seqs(delta)
+        .join(broadcast(srcCnt), Seq("source"), "left")
+        .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1
+          + coalesce(col("sc"), lit(0L)))
+        .drop("sc")
+        .crossJoin(broadcast(tot))
+        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1
+          + col("tc"))
+        .drop("tc")
+        .join(broadcast(shCnt), Seq("shard_id"), "left")
+        .withColumn("shard_offset", row_number().over(wShard).cast("long")
+          - 1 + coalesce(col("hc"), lit(0L)))
+        .drop("hc")
+      rel.withColumn("origin", lit("released"))
+        .unionByName(app.withColumn("origin", lit("appended")))
+        .select(col("global_pos"), col("source"), col("seq_id"),
+          col("shard_id"), col("shard_offset"), col("src_pos"),
+          col("n_docs"), col("kept_tokens"), col("draw"), col("origin"))
+        .orderBy(col("global_pos"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -11761,40 +11911,7 @@ object ExtQueries {
          fcb AS (SELECT sub, c, list(c_val ORDER BY pos) AS bvec
            FROM fref GROUP BY sub, c),
          cent0(cell, cvec) AS (VALUES $ivfCentroids),
-         ka AS (SELECT vec_id, vec, cell FROM (
-           SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
-             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
-           FROM e, cent0) t WHERE rn = 1),
-         kx AS (SELECT cell, vec, unnest(generate_series(1, 64)) AS i FROM ka),
-         kc AS (SELECT cell, i, round(avg(vec[i]), 6) AS cv
-           FROM kx GROUP BY cell, i),
-         cent AS (SELECT cell, list(cv ORDER BY i) AS cvec
-           FROM kc GROUP BY cell),
-         ca AS (SELECT n_id, n_vec, cell, cvec FROM (
-           SELECT e.vec_id AS n_id, e.vec AS n_vec, cent.cell, cent.cvec,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY round(list_inner_product(e.vec, cent.cvec), 6) DESC,
-               cent.cell) AS rn
-           FROM e, cent) t WHERE rn = 1),
-         rv AS (SELECT n_id, cell, n_vec,
-             list_transform(generate_series(1, 64),
-               i -> n_vec[i] - cvec[i]) AS rvecd
-           FROM ca),
-         rk0 AS (SELECT r.n_id, p.sub, p.c,
-             round(list_inner_product(p.pvec, p.pvec)
-               - 2 * list_inner_product(
-                   list_slice(r.rvecd, p.sub * 8 + 1, p.sub * 8 + 8),
-                   p.pvec), 6) AS key
-           FROM rv r, pqc p),
-         rcd0 AS (SELECT n_id, sub, c FROM (
-           SELECT n_id, sub, c, ROW_NUMBER() OVER (PARTITION BY n_id, sub
-             ORDER BY key, c) AS rn FROM rk0) t WHERE rn = 1),
-         rref AS (SELECT k.sub, k.c, poss.pos,
-             round(avg(r.rvecd[k.sub * 8 + poss.pos + 1]), 6) AS cv
-           FROM rcd0 k JOIN rv r USING (n_id) CROSS JOIN poss
-           GROUP BY 1, 2, 3),
-         rcb AS (SELECT sub, c, list(cv ORDER BY pos) AS bvec
-           FROM rref GROUP BY sub, c),
+         ${ivfPqTrainSqlFor("", "e")},
          fcode AS (SELECT n_id, sub, c FROM (
            SELECT ca.n_id, b.sub, b.c,
              ROW_NUMBER() OVER (PARTITION BY ca.n_id, b.sub
@@ -11914,7 +12031,172 @@ object ExtQueries {
            round(b.final_alloc - COALESCE(a.final_alloc, 0.0), 2)
              AS alloc_growth
          FROM wbout b LEFT JOIN waout a USING (lang)
-         ORDER BY release, lang""")
+         ORDER BY release, lang""",
+    // FULL rebuild replay under FROZEN base-trained artifacts: train
+    // coarse cells + residual codebook on the base md5 slice only
+    // (the shared training generator), then encode EVERY usable
+    // vector against them — codes emitted as codebook POSITIONS
+    // (rank of the centroid id within its subspace, mirroring the
+    // Spark side's ordered-list encode) and rendered CSV
+    "q232_stream_pq_index" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         ecd AS (SELECT n_id, sub, c FROM (
+           SELECT r.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM erv r, brcb b) t WHERE rn = 1),
+         epos AS (SELECT sub, c,
+             ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c) - 1 AS p
+           FROM brcb),
+         ecsv AS (SELECT n_id,
+             string_agg(CAST(p AS VARCHAR), ',' ORDER BY ecd.sub) AS code
+           FROM ecd JOIN epos ON epos.sub = ecd.sub AND epos.c = ecd.c
+           GROUP BY n_id)
+         SELECT ea.cell, ea.n_id AS vec_id, ecsv.code,
+           CASE WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS src
+         FROM ea JOIN ecsv ON ecsv.n_id = ea.n_id
+         ORDER BY vec_id""",
+    // two folds (base alone, delta with chained per-source seq
+    // offsets — packingChainSql's discipline), the q230 draw/shard
+    // rules, released ranks frozen, appended ranks offset by the
+    // released source/shard/total counts
+    "q233_order_append" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("oba", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("oda", s"""SELECT doc_id, source,
+             CAST(len($duckNormWords) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2')""")},
+         obs AS (SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens
+           FROM obafold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         os0 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM obs GROUP BY 1),
+         ods0 AS (SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens
+           FROM odafold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         ods AS (SELECT o.source, o.seq_id + COALESCE(s.s0, 0) AS seq_id,
+             n_docs, kept_tokens
+           FROM ods0 o LEFT JOIN os0 s ON o.source = s.source),
+         obd AS (SELECT *,
+             substr(md5('graft-order-v1' || ':' || source || ':' ||
+               CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id
+           FROM obs),
+         odd AS (SELECT *,
+             substr(md5('graft-order-v1' || ':' || source || ':' ||
+               CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % 8) AS BIGINT) AS shard_id
+           FROM ods),
+         obr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY draw, seq_id) - 1 AS src_pos FROM obd),
+         obg AS (SELECT *,
+             ROW_NUMBER() OVER (ORDER BY src_pos, source) - 1 AS global_pos,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+               ORDER BY src_pos, source) - 1 AS shard_offset
+           FROM obr),
+         osc AS (SELECT source, COUNT(*) AS sc FROM obg GROUP BY 1),
+         ohc AS (SELECT shard_id, COUNT(*) AS hc FROM obg GROUP BY 1),
+         otc AS (SELECT COUNT(*) AS tc FROM obg),
+         odr AS (SELECT o.*, ROW_NUMBER() OVER (PARTITION BY o.source
+             ORDER BY draw, seq_id) - 1 + COALESCE(sc, 0) AS src_pos
+           FROM odd o LEFT JOIN osc ON o.source = osc.source),
+         odg AS (SELECT o.*,
+             ROW_NUMBER() OVER (ORDER BY src_pos, o.source) - 1 + tc
+               AS global_pos,
+             ROW_NUMBER() OVER (PARTITION BY o.shard_id
+               ORDER BY src_pos, o.source) - 1 + COALESCE(hc, 0)
+               AS shard_offset
+           FROM odr o LEFT JOIN ohc ON o.shard_id = ohc.shard_id, otc)
+         SELECT CAST(global_pos AS BIGINT) AS global_pos, source, seq_id,
+           shard_id, CAST(shard_offset AS BIGINT) AS shard_offset,
+           CAST(src_pos AS BIGINT) AS src_pos, n_docs, kept_tokens, draw,
+           'released' AS origin
+         FROM obg
+         UNION ALL
+         SELECT CAST(global_pos AS BIGINT), source, seq_id, shard_id,
+           CAST(shard_offset AS BIGINT), CAST(src_pos AS BIGINT),
+           n_docs, kept_tokens, draw, 'appended'
+         FROM odg
+         ORDER BY global_pos""")
+
+  /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
+    * step on the coarse centroids over `$eSrc` (q74's step, re-listed
+    * as `${px}cent`), the per-vector residual frame `${px}rv` against
+    * those refined cells, and the one-Lloyd residual codebook
+    * `${px}rcb` from the static init — [[ivfPqTrained]] mirrored
+    * exactly (rounded-argmin/low-id ties, round-at-6 means). Shared
+    * by q229 (trains on the full corpus) and q232 (trains on the
+    * base slice only — the frozen-artifact maintenance gate), so the
+    * two cannot desynchronize on a training detail. Requires `cent0`,
+    * `pqc`, `poss`, and the `$eSrc` vectors CTE in scope.
+    */
+  private def ivfPqTrainSqlFor(px: String, eSrc: String): String = s"""
+         ${px}ka AS (SELECT vec_id, vec, cell FROM (
+           SELECT vec_id, vec, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_inner_product(vec, cvec), 6) DESC, cell) AS rn
+           FROM $eSrc, cent0) t WHERE rn = 1),
+         ${px}kx AS (SELECT cell, vec, unnest(generate_series(1, 64)) AS i
+           FROM ${px}ka),
+         ${px}kc AS (SELECT cell, i, round(avg(vec[i]), 6) AS cv
+           FROM ${px}kx GROUP BY cell, i),
+         ${px}cent AS (SELECT cell, list(cv ORDER BY i) AS cvec
+           FROM ${px}kc GROUP BY cell),
+         ${px}ca AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM $eSrc e, ${px}cent c) t WHERE rn = 1),
+         ${px}rv AS (SELECT n_id, cell, n_vec,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ${px}ca),
+         ${px}rk0 AS (SELECT r.n_id, p.sub, p.c,
+             round(list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(
+                   list_slice(r.rvecd, p.sub * 8 + 1, p.sub * 8 + 8),
+                   p.pvec), 6) AS key
+           FROM ${px}rv r, pqc p),
+         ${px}rcd0 AS (SELECT n_id, sub, c FROM (
+           SELECT n_id, sub, c, ROW_NUMBER() OVER (PARTITION BY n_id, sub
+             ORDER BY key, c) AS rn FROM ${px}rk0) t WHERE rn = 1),
+         ${px}rref AS (SELECT k.sub, k.c, poss.pos,
+             round(avg(r.rvecd[k.sub * 8 + poss.pos + 1]), 6) AS cv
+           FROM ${px}rcd0 k JOIN ${px}rv r USING (n_id) CROSS JOIN poss
+           GROUP BY 1, 2, 3),
+         ${px}rcb AS (SELECT sub, c, list(cv ORDER BY pos) AS bvec
+           FROM ${px}rref GROUP BY sub, c)"""
 
   /** The exact water-fill as oracle CTEs ending in `${px}out(lang,
     * n_tokens, w_a07, final_alloc, final_epochs, capped)` — the q228

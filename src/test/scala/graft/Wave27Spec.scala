@@ -1,0 +1,86 @@
+package graft
+
+/** Value-level pins for the wave-27 queries: the streaming IVF-PQ
+  * index maintenance and the released-order append contract.
+  */
+class Wave27Spec extends SparkSpec {
+
+  private def md5first(v: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8"))
+    f"${md(0) & 0xff}%02x".substring(0, 1)
+  }
+
+  test("q232 maintained IVF-PQ index: full coverage, one row per " +
+      "vector, the md5 src split, and 8-subspace codes in range") {
+    val rows = SparkEntry.queries("q232_stream_pq_index")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._2)
+    assert(ids.distinct.length == ids.length, "a vector indexed twice")
+    rows.foreach { case (cell, id, code, src) =>
+      assert(cell >= 0 && cell < 16)
+      val parts = code.split(",")
+      assert(parts.length == 8, s"$id: expected 8 subspace codes")
+      assert(parts.forall(p => p.toInt >= 0 && p.toInt < 16),
+        s"$id: code position out of the 16-centroid range")
+      val expected =
+        if (Set("0", "1", "2")(md5first(id))) "delta" else "base"
+      assert(src == expected, s"$id: src tag does not match the md5 rule")
+    }
+    assert(rows.exists(_._4 == "base") && rows.exists(_._4 == "delta"))
+  }
+
+  test("q233 order append: released positions immutable and dense, " +
+      "appended rows strictly after the released cursor") {
+    val rows = SparkEntry.queries("q233_order_append")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(8), r.getString(9)))
+    val rel = rows.filter(_._8 == "released")
+    val app = rows.filter(_._8 == "appended")
+    assert(rel.nonEmpty && app.nonEmpty)
+    val n1 = rel.length.toLong
+    // the released block IS the prefix; appended rows only after it
+    assert(rel.map(_._1).sorted.sameElements(0L until n1),
+      "released global positions are not the dense prefix")
+    assert(app.map(_._1).sorted.sameElements(n1 until n1 + app.length),
+      "appended global positions are not the dense tail")
+    // IMMUTABILITY: the released rows' ranks equal the q230 rule
+    // applied to the released manifest alone — recomputed here from
+    // the card's own released rows (draw-sorted per source, then the
+    // (src_pos, source) round-robin), so a re-release provably moved
+    // nothing a loader already consumed
+    val expSrcPos = rel.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._7, r._3)).zipWithIndex
+        .map { case (r, i) => (r._2, r._3) -> i.toLong }.toSeq
+    }.toMap
+    rel.foreach { r =>
+      assert(r._6 == expSrcPos((r._2, r._3)),
+        s"${r._2}/${r._3}: released src_pos moved")
+    }
+    val expGlobal = rel.sortBy(r => (r._6, r._2)).zipWithIndex
+      .map { case (r, i) => (r._2, r._3) -> i.toLong }.toMap
+    rel.foreach { r =>
+      assert(r._1 == expGlobal((r._2, r._3)),
+        s"${r._2}/${r._3}: released global_pos moved")
+    }
+    // per-source and per-shard positions stay dense across the append
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._6).sorted.sameElements(rs.indices.map(_.toLong)),
+        s"$src: src_pos not dense after append")
+    }
+    rows.groupBy(_._4).foreach { case (sh, rs) =>
+      assert(rs.map(_._5).sorted.sameElements(rs.indices.map(_.toLong)),
+        s"shard $sh: shard_offset not dense after append")
+    }
+    // appended sequences continue their source numbering past the
+    // released per-source counts
+    val relSrcCnt = rel.groupBy(_._2).map { case (k, v) => k -> v.length }
+    app.foreach { r =>
+      assert(r._6 >= relSrcCnt.getOrElse(r._2, 0).toLong,
+        s"${r._2}: an appended sequence took a released src_pos")
+    }
+  }
+}
