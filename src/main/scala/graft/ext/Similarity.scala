@@ -918,6 +918,52 @@ object Similarity {
         pqCodesWith(codebook, m, subDim)(col("resid")).as("code"))
   }
 
+  /** ADC top-k against a PRE-BUILT residual index frame (cell, id,
+    * code) — the query path a deployment actually runs: the index
+    * rows come from [[ivfPqResidualIndex]] (or its q232 maintained
+    * union), the raw corpus vectors are never touched. Query side
+    * builds its LUT from the FROZEN codebook and probes `nProbe`
+    * trained cells; a candidate's score is the exact coarse dot plus
+    * m LUT lookups. q234 uses this to price index STALENESS: the
+    * same query set against the base-only rows vs the maintained
+    * base ∪ delta rows.
+    */
+  def ivfPqAdcTopKIndex(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]],
+      m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val c = index.select(col("cell"), col("id").as("n_id"),
+      col("code").as("n_code"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
+        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    val lutSum = (0 until m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("n_code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("coarse") + lutSum)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       coarse: Seq[(Int, Seq[Double])],

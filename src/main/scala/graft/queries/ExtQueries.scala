@@ -7617,6 +7617,69 @@ object ExtQueries {
           col("shard_id"), col("shard_offset"), col("src_pos"),
           col("n_docs"), col("kept_tokens"), col("draw"), col("origin"))
         .orderBy(col("global_pos"))
+    }),
+
+    // ---- IVF-PQ index STALENESS: q213's question asked of the q232
+    //      maintained index — what does serving the STALE base-only
+    //      rows cost, and does appending the delta rows recover it?
+    //      Same frozen base-trained artifacts on both sides (the
+    //      recall delta is pure index CONTENT, never training or
+    //      routing), same fenced exact-IP truth over the FULL corpus
+    //      (truth includes delta vectors by construction — exactly
+    //      what a stale index cannot return). The maintained side is
+    //      base ∪ delta-encoded rows, value-identical to q232's
+    //      streamed artifact by its own gate. Scoring reads ONLY
+    //      index rows (the ivfPqAdcTopKIndex query path — coarse dot
+    //      + m LUT lookups per candidate); raw vectors appear solely
+    //      in the fenced truth side ----
+    "q234_pq_staleness" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = true)
+      val cb = codebookMap(residRows)
+      val stale = graft.util.Persist(
+        Similarity.ivfPqResidualIndex(emb.filter(!isDelta(col("vec_id"))),
+          "vec_id", "embedding", coarse, cb))
+      val maintained = stale.unionByName(
+        Similarity.ivfPqResidualIndex(emb.filter(isDelta(col("vec_id"))),
+          "vec_id", "embedding", coarse, cb))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def joined(idx: DataFrame) = {
+        val ap = Similarity.ivfPqAdcTopKIndex(q, idx, "vec_id", "embedding",
+            k = 3, coarse, cb)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(ap,
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      }
+      val sh = joined(stale).groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("stale_hits"))
+      // the DECOMPOSITION makes both staleness phenomena first-class
+      // (a plain gain nets them against each other — on this fixture
+      // to exactly zero): maint_delta_hits is the recovery (truth
+      // slots the stale index CANNOT return — its rows don't contain
+      // delta ids), crowded_out is the price (base-truth hits pushed
+      // below rank 3 by the new rows; a superset of candidates can
+      // only push a base hit DOWN, so maint_hits − maint_delta_hits
+      // ≤ stale_hits is a theorem, spec-pinned)
+      val mh = joined(maintained).groupBy(col("q_id"))
+        .agg(count(col("a_n")).as("maint_hits"),
+          count(when(isDelta(col("a_n")), lit(1))).as("maint_delta_hits"),
+          count(when(isDelta(col("n_id")), lit(1))).as("n_truth_delta"))
+      sh.join(mh, Seq("q_id"))
+        .select(col("q_id"), col("n_truth_delta"), col("stale_hits"),
+          col("maint_hits"), col("maint_delta_hits"),
+          (col("stale_hits") - (col("maint_hits") - col("maint_delta_hits")))
+            .as("crowded_out"),
+          round(col("stale_hits").cast("double") / 3.0, 6)
+            .as("stale_recall"),
+          round(col("maint_hits").cast("double") / 3.0, 6)
+            .as("maint_recall"),
+          (col("maint_hits") - col("stale_hits")).as("gain"))
+        .orderBy(col("q_id"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -12148,7 +12211,93 @@ object ExtQueries {
            CAST(shard_offset AS BIGINT), CAST(src_pos AS BIGINT),
            n_docs, kept_tokens, draw, 'appended'
          FROM odg
-         ORDER BY global_pos""")
+         ORDER BY global_pos""",
+    // the q232 frozen-artifact replay (base training + whole-corpus
+    // encode), then the q229 ADC query path run twice — once against
+    // the base-only rows (stale), once against everything
+    // (maintained) — against the full-corpus exact-IP truth
+    "q234_pq_staleness" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         ecd AS (SELECT n_id, sub, c FROM (
+           SELECT r.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM erv r, brcb b) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, q_vec, cell, cd FROM (
+           SELECT q_id, q_vec, cell,
+             list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, bcent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.q_vec, qa.cd, ea.n_id
+           FROM qa JOIN ea USING (cell) WHERE qa.q_id <> ea.n_id),
+         trm AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8),
+               b.bvec) AS term
+           FROM prs pr JOIN ecd k ON k.n_id = pr.n_id
+           JOIN brcb b ON b.sub = k.sub AND b.c = k.c),
+         adc AS (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+           FROM trm GROUP BY q_id, n_id),
+         map AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(adc, 6) DESC, n_id) AS rank FROM adc) t
+           WHERE rank <= 3),
+         sap AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY round(adc, 6) DESC, n_id) AS rank FROM adc
+           WHERE substr(md5(CAST(n_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')) t WHERE rank <= 3),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         sh AS (SELECT ex.q_id, CAST(COUNT(s.n_id) AS BIGINT) AS stale_hits
+           FROM ex LEFT JOIN sap s ON ex.q_id = s.q_id AND ex.n_id = s.n_id
+           GROUP BY ex.q_id),
+         mh AS (SELECT ex.q_id, CAST(COUNT(m.n_id) AS BIGINT) AS maint_hits,
+             CAST(COUNT(m.n_id) FILTER (
+               substr(md5(CAST(m.n_id AS VARCHAR)), 1, 1)
+                 IN ('0', '1', '2')) AS BIGINT) AS maint_delta_hits,
+             CAST(COUNT(*) FILTER (
+               substr(md5(CAST(ex.n_id AS VARCHAR)), 1, 1)
+                 IN ('0', '1', '2')) AS BIGINT) AS n_truth_delta
+           FROM ex LEFT JOIN map m ON ex.q_id = m.q_id AND ex.n_id = m.n_id
+           GROUP BY ex.q_id)
+         SELECT sh.q_id, n_truth_delta, stale_hits, maint_hits,
+           maint_delta_hits,
+           stale_hits - (maint_hits - maint_delta_hits) AS crowded_out,
+           round(stale_hits / 3.0, 6) AS stale_recall,
+           round(maint_hits / 3.0, 6) AS maint_recall,
+           maint_hits - stale_hits AS gain
+         FROM sh JOIN mh ON sh.q_id = mh.q_id
+         ORDER BY sh.q_id""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

@@ -83,4 +83,27 @@ class Wave27Spec extends SparkSpec {
         s"${r._2}: an appended sequence took a released src_pos")
     }
   }
+
+  test("q234 PQ staleness: the crowd-out theorem, the gain identity, " +
+      "and maintenance recovers delta truth somewhere (fixture pin)") {
+    val rows = SparkEntry.queries("q234_pq_staleness")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(8)))
+    assert(rows.length == 50)
+    rows.foreach { case (q, ntd, sh, mh, mdh, co, g) =>
+      assert(ntd >= 0 && ntd <= 3 && sh >= 0 && sh <= 3 && mh >= 0 && mh <= 3)
+      assert(mdh <= ntd, s"$q: more delta hits than delta truth slots")
+      // THEOREM: a superset of candidates can only push a base-truth
+      // hit down, so the maintained index's base hits never exceed
+      // the stale index's
+      assert(mh - mdh <= sh, s"$q: maintained base hits exceed stale")
+      assert(co == sh - (mh - mdh) && co >= 0,
+        s"$q: crowd-out arithmetic broken")
+      assert(g == mh - sh, s"$q: gain identity broken")
+    }
+    // the recovery phenomenon engages on this fixture (stale recovery
+    // is 0 BY CONSTRUCTION — its rows contain no delta ids)
+    assert(rows.map(_._5).sum > 0, "maintenance recovered no delta truth")
+  }
 }
