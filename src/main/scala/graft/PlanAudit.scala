@@ -87,7 +87,8 @@ object PlanAudit {
     "q231_release_waterfill" -> "q228's one-row normalizer crossJoins once per release slice; the v1->v2 chain join is lang-keyed broadcast",
     "q232_stream_pq_index" -> "bounded trained-centroid assignment BNLJ (16 collected rows, q44's fan-out) inside the frozen-artifact encode — the base-index artifact write on a cold session and each micro-batch's own encode; everything else is a persisted-artifact scan",
     "q233_order_append" -> "one-row broadcast of the released-total cursor scalar onto the appended fold (q48's pattern); the per-source/per-shard cursor joins are keyed broadcasts",
-    "q234_pq_staleness" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the query side and each index build's encode (q232's fan-out)")
+    "q234_pq_staleness" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the query side and each index build's encode (q232's fan-out)",
+    "q235_ivfpq_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (query side keep=16 + the index build's encode) + the 5-row probe grid joined to the crank histogram and the truth side (q216's fenced sweep pattern)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -113,7 +114,7 @@ object PlanAudit {
     // (refined coarse centroids + one-Lloyd codebooks — q197's
     // class); q232 additionally runs its streaming ingest loop
     "q229_ivfpq_residual", "q232_stream_pq_index",
-    "q234_pq_staleness")
+    "q234_pq_staleness", "q235_ivfpq_operating_point")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

@@ -964,6 +964,86 @@ object Similarity {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** The probe-budget sweep over a pre-built residual index: ADC
+    * top-k per nProbe level in `probes`, computed from ONE query-side
+    * assignment (keep = max probe, the cell rank `crank` retained)
+    * and ONE candidate/ADC pass — each level is a crank filter + its
+    * own rank window, never a re-scan (q216's sweep shape at the
+    * IVF-PQ rung). Returns (n_probe, q_id, rank, n_id, adc).
+    */
+  def ivfPqProbeSweep(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]],
+      probes: Seq[Int],
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val c = index.select(col("cell"), col("id").as("n_id"),
+      col("code").as("n_code"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, probes.max)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
+        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"),
+        col("cdot").as("coarse"), col("rn").as("crank"))
+    val lutSum = (0 until m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("n_code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    val scored = graft.util.Persist(q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("coarse") + lutSum)
+      .select(col("q_id"), col("n_id"), col("crank"),
+        round(col("adc"), 6).as("adc")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id").asc)
+    probes.map { p =>
+      scored.filter(col("crank") <= p)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(lit(p.toLong).as("n_probe"), col("q_id"), col("rank"),
+          col("n_id"), col("adc"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The candidate mass each probe level scans — the COST column of
+    * the q235 operating-point card. One assignment + one cell join,
+    * reduced to a crank histogram (≤ nCells rows), then each level is
+    * a bounded cumulative sum — never a per-level re-join.
+    */
+  def ivfPqProbeCosts(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String,
+      coarse: Seq[(Int, Seq[Double])], probes: Seq[Int]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, probes.max)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .select(col("cell"), col("q_id"), col("rn").as("crank"))
+    val hist = q.join(index.select(col("cell"), col("id").as("n_id")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("crank")).agg(count(lit(1)).as("cn"))
+    val pr = probes.map(p => spark.range(1)
+        .select(lit(p.toLong).as("n_probe")))
+      .reduce(_ unionByName _)
+    pr.join(broadcast(hist), col("crank") <= col("n_probe"), "left")
+      .groupBy(col("n_probe"))
+      .agg(coalesce(sum(col("cn")), lit(0L)).as("n_candidates"))
+  }
+
   def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       coarse: Seq[(Int, Seq[Double])],

@@ -7680,6 +7680,49 @@ object ExtQueries {
             .as("maint_recall"),
           (col("maint_hits") - col("stale_hits")).as("gain"))
         .orderBy(col("q_id"))
+    }),
+
+    // ---- IVF-PQ OPERATING-POINT sweep: q216's probe-budget card at
+    //      the residual-index rung — per nProbe ∈ {1, 2, 4, 8, 16},
+    //      the candidate mass scanned (the cost the probe budget
+    //      buys) and recall@3 against the fenced exact-IP truth,
+    //      everything scored off the INDEX rows (coarse dot + m LUT
+    //      lookups — the deployed query path, never a raw corpus
+    //      vector). One query-side assignment (keep = 16, cell rank
+    //      retained) and ONE candidate/ADC pass; each level is a
+    //      crank filter + its own rank window. The card a deployment
+    //      reads to set the residual index's nProbe at the knee ----
+    "q235_ivfpq_operating_point" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = false)
+      val cb = codebookMap(residRows)
+      val idx = Similarity.ivfPqResidualIndex(emb, "vec_id", "embedding",
+        coarse, cb)
+      val probes = Seq(1, 2, 4, 8, 16)
+      val swept = Similarity.ivfPqProbeSweep(q, idx, "vec_id", "embedding",
+        k = 3, coarse, cb, probes)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      val ap = swept.select(col("n_probe").as("a_p"), col("q_id").as("a_q"),
+        col("n_id").as("a_n"))
+      val pr = probes.map(p => s.range(1).select(lit(p.toLong).as("n_probe")))
+        .reduce(_ unionByName _)
+      val rec = pr.crossJoin(exact)
+        .join(ap, col("n_probe") === col("a_p") &&
+          col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+        .groupBy(col("n_probe"))
+        .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+      val cost = Similarity.ivfPqProbeCosts(q, idx, "vec_id", "embedding",
+        coarse, probes)
+      rec.join(cost, Seq("n_probe"))
+        .select(col("n_probe"), col("n_candidates"), col("n_truth"),
+          col("n_found"),
+          when(col("n_truth") === 0, 0.0)
+            .otherwise(round(col("n_found").cast("double") /
+              col("n_truth"), 6)).as("recall_at_3"))
+        .orderBy(col("n_probe"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -12297,7 +12340,73 @@ object ExtQueries {
            round(maint_hits / 3.0, 6) AS maint_recall,
            maint_hits - stale_hits AS gain
          FROM sh JOIN mh ON sh.q_id = mh.q_id
-         ORDER BY sh.q_id""")
+         ORDER BY sh.q_id""",
+    // the q229 full-corpus training replay, one ADC pass with the
+    // query cell rank retained, then q216's probes(p) pattern: each
+    // level is a crank filter + its own rank window; cost = the crank
+    // histogram summed per level
+    "q235_ivfpq_operating_point" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         ${ivfPqTrainSqlFor("v", "e")},
+         vcd AS (SELECT n_id, sub, c FROM (
+           SELECT r.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM vrv r, vrcb b) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, q_vec, cell, cd, rn AS crank FROM (
+           SELECT q_id, q_vec, cell,
+             list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, vcent) t WHERE rn <= 16),
+         prs AS (SELECT qa.q_id, qa.q_vec, qa.cd, qa.crank, ca.n_id
+           FROM qa JOIN vca ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         trm AS (SELECT pr.q_id, pr.n_id, pr.cd, pr.crank, k.sub,
+             list_inner_product(
+               list_slice(pr.q_vec, k.sub * 8 + 1, k.sub * 8 + 8),
+               b.bvec) AS term
+           FROM prs pr JOIN vcd k ON k.n_id = pr.n_id
+           JOIN vrcb b ON b.sub = k.sub AND b.c = k.c),
+         adc AS (SELECT q_id, n_id, MAX(crank) AS crank,
+             MAX(cd) + ($pqTermPivot) AS adc
+           FROM trm GROUP BY q_id, n_id),
+         probes(p) AS (VALUES (1), (2), (4), (8), (16)),
+         rp AS (SELECT probes.p, a.q_id, a.n_id,
+             ROW_NUMBER() OVER (PARTITION BY probes.p, a.q_id
+               ORDER BY round(a.adc, 6) DESC, a.n_id) AS rank
+           FROM probes JOIN adc a ON a.crank <= probes.p),
+         ap AS (SELECT p, q_id, n_id FROM rp WHERE rank <= 3),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         cost AS (SELECT probes.p,
+             CAST(COUNT(pr.n_id) AS BIGINT) AS n_candidates
+           FROM probes LEFT JOIN prs pr ON pr.crank <= probes.p
+           GROUP BY probes.p)
+         SELECT CAST(probes.p AS BIGINT) AS n_probe, cost.n_candidates,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.n_id) AS BIGINT) AS n_found,
+           CASE WHEN COUNT(*) = 0 THEN 0.0
+             ELSE round(CAST(COUNT(a.n_id) AS DOUBLE) / COUNT(*), 6) END
+             AS recall_at_3
+         FROM probes CROSS JOIN ex e2
+         LEFT JOIN ap a ON a.p = probes.p AND a.q_id = e2.q_id
+           AND a.n_id = e2.n_id
+         JOIN cost ON cost.p = probes.p
+         GROUP BY probes.p, cost.n_candidates ORDER BY n_probe""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

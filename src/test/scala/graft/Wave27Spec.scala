@@ -106,4 +106,36 @@ class Wave27Spec extends SparkSpec {
     // is 0 BY CONSTRUCTION — its rows contain no delta ids)
     assert(rows.map(_._5).sum > 0, "maintenance recovered no delta truth")
   }
+
+  test("q235 IVF-PQ operating point: nested candidate sets, and the " +
+      "nProbe=4 row is value-identical to q229's residual leg") {
+    val rows = SparkEntry.queries("q235_ivfpq_operating_point")(
+        spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (p, nc, nt, nf, rec) =>
+      assert(nt == 150 && nf >= 0 && nf <= nt && nc > 0)
+      assert(rec == rd(nf.toDouble / nt), s"p=$p: recall arithmetic broken")
+    }
+    // candidate sets are nested by construction (crank <= p), so the
+    // scanned mass can only grow with the probe budget
+    rows.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b > a, "candidate mass did not grow with the probe budget")
+    }
+    // CROSS-CARD consistency: same frozen artifacts, same routing —
+    // the sweep's nProbe=4 row must reproduce q229's residual leg
+    // exactly (recall AND candidate count)
+    val q229 = SparkEntry.queries("q229_ivfpq_residual")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val resLeg = q229.find(_._1 == "ivfpq_residual").get
+    val p4 = rows.find(_._1 == 4L).get
+    assert(p4._4 == resLeg._2 && p4._5 == resLeg._3 && p4._2 == resLeg._4,
+      "the sweep's nProbe=4 row diverged from q229's residual leg")
+  }
 }
