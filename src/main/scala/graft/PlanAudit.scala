@@ -86,7 +86,8 @@ object PlanAudit {
     "q229_ivfpq_residual" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each variant's corpus/query sides (q44's fan-out with collected 16-row centroids) + the one-row candidate-count scalar crossJoin",
     "q231_release_waterfill" -> "q228's one-row normalizer crossJoins once per release slice; the v1->v2 chain join is lang-keyed broadcast",
     "q232_stream_pq_index" -> "bounded trained-centroid assignment BNLJ (16 collected rows, q44's fan-out) inside the frozen-artifact encode — the base-index artifact write on a cold session and each micro-batch's own encode; everything else is a persisted-artifact scan",
-    "q233_order_append" -> "one-row broadcast of the released-total cursor scalar onto the appended fold (q48's pattern); the per-source/per-shard cursor joins are keyed broadcasts",
+    "q230_training_order" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q48's scalar pattern) — the round-16 SinglePartition window's replacement",
+    "q233_order_append" -> "one-row broadcasts of the released-total cursor scalar and each block's collected source-span array (interleaveRank, q230's pattern); the per-source/per-shard cursor joins are keyed broadcasts",
     "q234_pq_staleness" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the query side and each index build's encode (q232's fan-out)",
     "q235_ivfpq_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (query side keep=16 + the index build's encode) + the 5-row probe grid joined to the crank histogram and the truth side (q216's fenced sweep pattern)")
 

@@ -1454,7 +1454,14 @@ object ExtQueries {
   private[graft] def ivfPqTrained(s: SparkSession, d: String,
       baseOnly: Boolean): (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) =
     ivfTrainCache.computeIfAbsent(s"$d#${if (baseOnly) "base" else "all"}", { _ =>
-      val emb0 = Tables.embeddings(s, d)
+      // training population = the oracle's usableVec contract exactly
+      // (non-null, non-empty, norm > 0): the downstream null/empty
+      // filters alone would let a zero-norm vector desynchronize the
+      // trained artifacts between engines (ADVICE r16 #2)
+      val emb0 = Tables.embeddings(s, d).filter(expr(
+        """aggregate(zip_with(CAST(embedding AS array<double>),
+           CAST(embedding AS array<double>), (p, q) -> p * q),
+           0D, (a, v) -> a + v) > 0"""))
       val emb = if (baseOnly)
         emb0.filter(!substring(md5(col("vec_id").cast("string")), 1, 1)
           .isin("0", "1", "2"))
@@ -1814,6 +1821,55 @@ object ExtQueries {
       }
     }
     docs.sparkSession.createDataFrame(packed, schema)
+  }
+
+  /** Shard count of the training-order family (q230/q233) — ONE
+    * constant interpolated into both the Spark shard rule and the
+    * oracle SQL so the two sides cannot diverge (the [[packBudget]]
+    * discipline). Deploy-time override via GRAFT_ORDER_SHARDS: at
+    * 100 TB the shard count is sized so a manifest/nShards slice fits
+    * one task (tens of thousands of shards), not this fixture default.
+    * Counts beyond 16 would also widen the 1-hex-char hash prefix the
+    * rule draws from — the rule is honest only for nShards ≤ 16.
+    */
+  private[graft] val orderShards: Int =
+    sys.env.get("GRAFT_ORDER_SHARDS").map(_.toInt).getOrElse(8)
+
+  /** CLOSED-FORM round-robin rank (VERDICT r16 #1): the global
+    * training-order position of a sequence is pure per-row arithmetic
+    * given the bounded per-source span frame — never a global sort.
+    * q230/q233 previously ranked the corpus-sized manifest through
+    * `Window.orderBy(src_pos, source)`, an `Exchange SinglePartition`
+    * over ~|corpus tokens|/[[packBudget]] rows (~2 BILLION rows per
+    * trillion tokens — a single-task sort at any real scale).
+    *
+    * `spans` holds one row per source: `lo` = the source's first
+    * absolute src_pos (0 for a fresh release; the released per-source
+    * count for an appended block) and `n` = its row count, so a
+    * source's positions occupy [lo, lo+n). For the row of source s at
+    * absolute position k, the round-robin rank by (src_pos, source) is
+    *
+    *   Σ_{s'} clamp(k − lo_{s'}, 0, n_{s'})        rows strictly below k
+    *   + |{s' < s : lo_{s'} ≤ k < lo_{s'}+n_{s'}}| same-k sources before s
+    *
+    * The span frame is source-cardinality-bounded, collected into ONE
+    * array row and broadcast; the rank is then scan-stage lambda
+    * arithmetic — the q233 cross-release offset discipline applied
+    * WITHIN a release. Wave28Spec pins arithmetic ≡ window rank
+    * row-for-row on the fixture.
+    */
+  private[graft] def interleaveRank(manifest: DataFrame,
+      spans: DataFrame): DataFrame = {
+    val arr = spans.agg(collect_list(struct(
+      col("source").as("s"), col("lo").cast("long").as("lo"),
+      col("n").cast("long").as("n"))).as("spans"))
+    manifest.crossJoin(broadcast(arr))
+      .withColumn("global_pos", expr(
+        """aggregate(spans, 0L, (acc, x) ->
+             acc + greatest(least(src_pos - x.lo, x.n), 0L)
+                 + IF(x.s < source AND x.lo <= src_pos
+                      AND src_pos < x.lo + x.n, 1L, 0L))"""))
+      .drop("spans")
   }
 
   /** The positional word-8-gram hash stream over a (doc_id, text)
@@ -7397,20 +7453,27 @@ object ExtQueries {
     //      q208's rule; shard_offset is the global order restricted
     //      to the shard, so a loader reading shard files resumes
     //      from a (shard, offset) cursor. RESUMABILITY is by
-    //      construction: the order is a pure window over the
+    //      construction: the order is a pure function of the
     //      manifest — the suffix from any cursor's (src_pos, source)
     //      key equals the tail of the full order (Wave26Spec pins
-    //      it). Scale note: the final rank is a total order, so ONE
-    //      partition sorts the SEQUENCE-level manifest — |corpus
-    //      tokens| / $packBudget rows, ~2M rows per trillion tokens,
-    //      the one frame a training run materializes anyway ----
+    //      it). Scale note (VERDICT r16 #1): the manifest is |corpus
+    //      tokens| / $packBudget rows — ~2 BILLION per trillion
+    //      tokens — so the global rank must never be a total-order
+    //      window; global_pos is the interleaveRank closed form
+    //      (bounded span broadcast + scan arithmetic), shard_offset a
+    //      window partitioned by the GRAFT_ORDER_SHARDS-parameterized
+    //      shard id (sized at deploy time so a shard fits one task) ----
     "q230_training_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
-      val seqs = ffdPack(docs)
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("draw"), col("seq_id"))
+      // two consumers (the span frame + the ranked rows) — persist so
+      // the packing fold runs once
+      val seqs = graft.util.Persist(ffdPack(docs)
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_tokens"))
         .withColumn("draw", substring(md5(concat_ws(":",
@@ -7419,14 +7482,13 @@ object ExtQueries {
         .withColumn("shard_id",
           pmod(conv(substring(md5(concat_ws(":", col("source"),
             col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
-            lit(8L)))
-      val wSrc = Window.partitionBy(col("source"))
-        .orderBy(col("draw"), col("seq_id"))
-      val wAll = Window.orderBy(col("src_pos"), col("source"))
+            lit(orderShards.toLong)))
+        .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1))
+      val spans = seqs.groupBy(col("source"))
+        .agg(lit(0L).as("lo"), count(lit(1)).as("n"))
       val wShard = Window.partitionBy(col("shard_id"))
         .orderBy(col("src_pos"), col("source"))
-      seqs.withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
-        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1)
+      interleaveRank(seqs, spans)
         .withColumn("shard_offset",
           row_number().over(wShard).cast("long") - 1)
         .select(col("global_pos"), col("source"), col("seq_id"),
@@ -7582,30 +7644,38 @@ object ExtQueries {
         .withColumn("shard_id",
           pmod(conv(substring(md5(concat_ws(":", col("source"),
             col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
-            lit(8L)))
+            lit(orderShards.toLong)))
       val wSrc = Window.partitionBy(col("source"))
         .orderBy(col("draw"), col("seq_id"))
-      val wAll = Window.orderBy(col("src_pos"), col("source"))
       val wShard = Window.partitionBy(col("shard_id"))
         .orderBy(col("src_pos"), col("source"))
-      // three consumers of the released manifest (rows + the three
-      // cursor-state count frames) — persist so the fold runs once
-      val rel = graft.util.Persist(seqs(base)
-        .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
-        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1)
+      // multiple consumers of the released manifest (rows + span and
+      // cursor-state count frames) — persist so the fold runs once.
+      // global_pos is the interleaveRank closed form on BOTH blocks
+      // (VERDICT r16 #1) — no total-order window anywhere
+      val relBase = graft.util.Persist(seqs(base)
+        .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1))
+      val relSpans = relBase.groupBy(col("source"))
+        .agg(lit(0L).as("lo"), count(lit(1)).as("n"))
+      val rel = interleaveRank(relBase, relSpans)
         .withColumn("shard_offset",
-          row_number().over(wShard).cast("long") - 1))
-      val srcCnt = rel.groupBy(col("source")).agg(count(lit(1)).as("sc"))
-      val shCnt = rel.groupBy(col("shard_id")).agg(count(lit(1)).as("hc"))
-      val tot = rel.agg(count(lit(1)).as("tc"))
-      val app = seqs(delta)
+          row_number().over(wShard).cast("long") - 1)
+      val srcCnt = relBase.groupBy(col("source")).agg(count(lit(1)).as("sc"))
+      val shCnt = relBase.groupBy(col("shard_id")).agg(count(lit(1)).as("hc"))
+      val tot = relBase.agg(count(lit(1)).as("tc"))
+      // appended block: absolute src_pos = released count + local
+      // rank, so its span frame reads straight off the offset rows
+      // (lo = min absolute position = the released per-source count)
+      val appBase = graft.util.Persist(seqs(delta)
         .join(broadcast(srcCnt), Seq("source"), "left")
         .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1
           + coalesce(col("sc"), lit(0L)))
-        .drop("sc")
+        .drop("sc"))
+      val appSpans = appBase.groupBy(col("source"))
+        .agg(min(col("src_pos")).as("lo"), count(lit(1)).as("n"))
+      val app = interleaveRank(appBase, appSpans)
         .crossJoin(broadcast(tot))
-        .withColumn("global_pos", row_number().over(wAll).cast("long") - 1
-          + col("tc"))
+        .withColumn("global_pos", col("global_pos") + col("tc"))
         .drop("tc")
         .join(broadcast(shCnt), Seq("shard_id"), "left")
         .withColumn("shard_offset", row_number().over(wShard).cast("long")
@@ -12106,7 +12176,7 @@ object ExtQueries {
                CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
              CAST(((strpos('0123456789abcdef',
                substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
-               - 1) % 8) AS BIGINT) AS shard_id
+               - 1) % $orderShards) AS BIGINT) AS shard_id
            FROM tsq),
          tsp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
              ORDER BY draw, seq_id) - 1 AS src_pos FROM tdr),
@@ -12215,14 +12285,14 @@ object ExtQueries {
                CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
              CAST(((strpos('0123456789abcdef',
                substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
-               - 1) % 8) AS BIGINT) AS shard_id
+               - 1) % $orderShards) AS BIGINT) AS shard_id
            FROM obs),
          odd AS (SELECT *,
              substr(md5('graft-order-v1' || ':' || source || ':' ||
                CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
              CAST(((strpos('0123456789abcdef',
                substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
-               - 1) % 8) AS BIGINT) AS shard_id
+               - 1) % $orderShards) AS BIGINT) AS shard_id
            FROM ods),
          obr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
              ORDER BY draw, seq_id) - 1 AS src_pos FROM obd),

@@ -31,7 +31,12 @@ class QueriesSpec extends SparkSpec {
   private def inSample(name: String): Boolean =
     (java.security.MessageDigest.getInstance("MD5")
       .digest(name.getBytes("UTF-8"))(0) & 0xff) < 64
-  private val newest = all.takeRight(10).map(_._1).toSet
+  // "newest" by NUMERIC query id, not lexicographic name order —
+  // takeRight on the sorted names permanently picked q90-q99 and
+  // silently excluded the wave under construction (ADVICE r16 #1)
+  private def qNum(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
+  private val newest = all.map(_._1).sortBy(qNum).takeRight(10).toSet
   private val chosen =
     if (fullSmoke) all
     else all.filter { case (n, _) => inSample(n) || newest(n) }
@@ -40,6 +45,10 @@ class QueriesSpec extends SparkSpec {
       s"(${chosen.size}/${all.size}${if (fullSmoke) ", full" else ""})") {
     assert(chosen.size >= math.min(all.size, 40))
     assert(newest.subsetOf(chosen.map(_._1).toSet))
+    // the wave under construction is IN the default gate: the
+    // max-numbered registered query must be sampled
+    val maxQ = all.map(_._1).maxBy(qNum)
+    assert(chosen.map(_._1).toSet.contains(maxQ), s"$maxQ not sampled")
   }
 
   chosen.foreach { case (name, fn) =>
