@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// -oD: per-test durations in the report — the data the <6 min default
+// suite budget (VERDICT r16 #7) is managed against.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Forked `run` output must reach stdout UNPREFIXED: the bench/verify
 // harness parses the JSON result line, and sbt's default logger

@@ -89,7 +89,9 @@ object PlanAudit {
     "q230_training_order" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q48's scalar pattern) — the round-16 SinglePartition window's replacement",
     "q233_order_append" -> "one-row broadcasts of the released-total cursor scalar and each block's collected source-span array (interleaveRank, q230's pattern); the per-source/per-shard cursor joins are keyed broadcasts",
     "q234_pq_staleness" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the query side and each index build's encode (q232's fan-out)",
-    "q235_ivfpq_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (query side keep=16 + the index build's encode) + the 5-row probe grid joined to the crank histogram and the truth side (q216's fenced sweep pattern)")
+    "q235_ivfpq_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (query side keep=16 + the index build's encode) + the 5-row probe grid joined to the crank histogram and the truth side (q216's fenced sweep pattern)",
+    "q236_mixture_order" -> "q228's one-row fill-normalizer crossJoins (source-keyed), the q209 2-scalar tercile broadcast, and the one-row collected span-array broadcast feeding weightedInterleaveRank's closed-form rank (q230's pattern at unequal stream lengths)",
+    "q237_residual_opq" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each leg's corpus/query sides (q229's fan-out) + the one-row per-layout MSE scalar crossJoins (q48's pattern)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -115,7 +117,10 @@ object PlanAudit {
     // (refined coarse centroids + one-Lloyd codebooks — q197's
     // class); q232 additionally runs its streaming ingest loop
     "q229_ivfpq_residual", "q232_stream_pq_index",
-    "q234_pq_staleness", "q235_ivfpq_operating_point")
+    "q234_pq_staleness", "q235_ivfpq_operating_point",
+    // q237 collects the aniso trained coarse cells + two residual
+    // codebooks (bounded artifacts) at plan time — q229's class
+    "q237_residual_opq")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

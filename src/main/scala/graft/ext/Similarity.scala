@@ -1044,6 +1044,76 @@ object Similarity {
       .agg(coalesce(sum(col("cn")), lit(0L)).as("n_candidates"))
   }
 
+  /** [[pqCodesWith]] under an explicit dimension layout: subspace
+    * `sub` gathers dims `perm(sub*subDim..)` ([[permSub]]) instead of
+    * the contiguous slice — same rounded-argmin/low-position ties, so
+    * the identity layout is value-identical to [[pqCodesWith]].
+    */
+  private def pqCodesWithPerm(codebook: Map[Int, Seq[Seq[Double]]],
+      perm: Seq[Int], m: Int, subDim: Int)(vec: Column): Column =
+    array((0 until m).map { sub =>
+      val sv = permSub(vec, perm, sub, subDim)
+      val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
+        val cent = array(vals.map(lit): _*)
+        val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
+        struct(round(key, 6).as("d"), lit(i).as("i"))
+      }: _*)
+      array_min(cands).getField("i")
+    }: _*)
+
+  /** [[ivfPqAdcTopKOn]]'s RESIDUAL leg under an explicit dimension
+    * layout — the OPQ-lite permutation ([[balancedLayout]], q184)
+    * threaded through the IVF-PQ residual encode and its ADC query
+    * path (VERDICT r16 #3). Routing, residual computation, and the
+    * left-fold ADC (`coarse + (t0 + … + t7)`) are [[ivfPqAdcTopKOn]]
+    * verbatim; only the subspace GATHER differs, so a recall delta
+    * between two layouts is pure quantization geometry (the q197
+    * argument at the residual rung). Candidates are identical across
+    * layouts by construction — same trained coarse cells.
+    */
+  def ivfPqAdcTopKOnPerm(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]],
+      perm: Seq[Int],
+      m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
+        cents, 1)
+      .withColumn("n_norm", norm(col("n_vec")))
+      .filter(col("n_norm") > 0)
+      .withColumn("enc", zip_with(col("n_vec"), col("cvec"), (a, b) => a - b))
+      .select(col("cell"), col("n_id"),
+        pqCodesWithPerm(codebook, perm, m, subDim)(col("enc")).as("n_code"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = permSub(col("q_vec"), perm, sub, subDim)
+        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    val lutSum = (0 until m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("n_code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("coarse") + lutSum)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       coarse: Seq[(Int, Seq[Double])],

@@ -1494,7 +1494,8 @@ object ExtQueries {
     * on. Same rounded-argmax/low-cell assignment as every IVF path.
     */
   private def residualFrameOf(emb: DataFrame,
-      coarse: Seq[(Int, Seq[Double])]): DataFrame = {
+      coarse: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1503,7 +1504,7 @@ object ExtQueries {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
     emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .select(col("vec_id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
       .crossJoin(cents)
       .withColumn("cdot",
@@ -1568,6 +1569,60 @@ object ExtQueries {
       perm: Seq[Int]): Seq[(Int, Int, Seq[Double])] =
     opqRefinedCache.computeIfAbsent((d, layout), { _ =>
       Similarity.pqTrainIterationPerm(anisoEmb(s, d), "vec_id", "vec", perm)
+        .collect()
+        .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+    })
+
+  /** The RESIDUAL-rung OPQ training bundle (VERDICT r16 #3), memoized
+    * per input dir: one trained-coarse Lloyd step over the
+    * anisotropic rehearsal corpus ([[anisoEmb]] — where layout choice
+    * measurably matters), the per-dimension variances of the
+    * RESIDUAL frame those cells leave behind (the energy the PQ
+    * codebook actually has to span — q184 ranked RAW dims; at this
+    * rung the layout must rank what gets encoded), and the
+    * variance-balanced layout dealt from them. All bounded artifacts
+    * (16×64 + 64 + 64 values) — the pqRefinedCodebook collect
+    * discipline.
+    */
+  private val anisoResidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Seq[Double])], Seq[Int])]()
+
+  private[graft] def anisoResidualBase(s: SparkSession,
+      d: String): (Seq[(Int, Seq[Double])], Seq[Int]) =
+    anisoResidCache.computeIfAbsent(d, { _ =>
+      val emb = anisoEmb(s, d)
+      val coarse = Similarity.kmeansIteration(emb, "vec_id", "vec")
+        .collect()
+        .groupBy(_.getLong(0).toInt)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq) }
+        .toSeq.sortBy(_._1)
+      val rf = residualFrameOf(emb, coarse, vecCol = "vec")
+      val aggs = (0 until 64).map(i =>
+        round(var_pop(element_at(col("resid"), i + 1)), 6).as(s"v$i"))
+      val r = rf.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val vars = (0 until 64).map(r.getDouble)
+      (coarse, Similarity.balancedLayout(vars))
+    })
+
+  /** One-Lloyd residual codebook per (input dir, layout) over the
+    * [[anisoResidualBase]] residual frame — [[opqRefined]]'s
+    * discipline at the residual rung (1024 doubles, collected once,
+    * inlined as literals by the encode/ADC/MSE consumers).
+    */
+  private val anisoResidCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Int, Int, Seq[Double])]]()
+
+  private[graft] def anisoResidualCb(s: SparkSession, d: String,
+      layout: String, perm: Seq[Int]): Seq[(Int, Int, Seq[Double])] =
+    anisoResidCbCache.computeIfAbsent((d, layout), { _ =>
+      val (coarse, _) = anisoResidualBase(s, d)
+      Similarity.pqTrainIterationPerm(
+          residualFrameOf(anisoEmb(s, d), coarse, vecCol = "vec"),
+          "vec_id", "resid", perm)
         .collect()
         .groupBy(r => (r.getLong(0).toInt, r.getLong(1).toInt))
         .map { case ((sub, c), rows) =>
@@ -1869,6 +1924,42 @@ object ExtQueries {
              acc + greatest(least(src_pos - x.lo, x.n), 0L)
                  + IF(x.s < source AND x.lo <= src_pos
                       AND src_pos < x.lo + x.n, 1L, 0L))"""))
+      .drop("spans")
+  }
+
+  /** CLOSED-FORM WEIGHTED interleave rank (the [[interleaveRank]]
+    * discipline for UNEQUAL stream lengths): within each phase, order
+    * rows by the position fraction ((src_pos+1)/n_source, source) —
+    * every source spread evenly across the phase block, consecutive
+    * same-source rows n_phase/n_source apart, i.e. spacing ∝ 1/weight
+    * when row counts realize the committed mixture. The rank is again
+    * pure scan arithmetic over a bounded span broadcast: rows of s'
+    * strictly below the fraction (k+1)/n_s number
+    *
+    *   min( floor(((k+1)·n_{s'} − 1) / n_s), n_{s'} )
+    *
+    * (integer cross-multiplication — no floating-point key anywhere),
+    * plus the exact-tie sources before s: (k+1)·n_{s'} ≡ 0 mod n_s.
+    * `manifest` needs (phase, source, src_pos, dn = own row count);
+    * `spans` is (phase, source, n), phase×source-cardinality-bounded.
+    * Scale note: the cross products reach (rows-per-source)², ~4e18
+    * at a trillion-token source — a production deployment widens the
+    * lambda to DECIMAL(38,0) (DuckDB: HUGEINT); the fixture stays in
+    * longs. Wave28Spec pins arithmetic ≡ exact-fraction sort
+    * row-for-row and the prefix-share tracking bound.
+    */
+  private[graft] def weightedInterleaveRank(manifest: DataFrame,
+      spans: DataFrame): DataFrame = {
+    val arr = spans.agg(collect_list(struct(
+      col("phase").as("p"), col("source").as("s"),
+      col("n").cast("long").as("n"))).as("spans"))
+    manifest.crossJoin(broadcast(arr))
+      .withColumn("phase_pos", expr(
+        """aggregate(spans, 0L, (acc, x) -> acc + IF(x.p = phase,
+             least(((src_pos + 1L) * x.n - 1L) div dn, x.n)
+             + IF(x.s < source AND ((src_pos + 1L) * x.n) % dn = 0L,
+                  1L, 0L),
+             0L))"""))
       .drop("spans")
   }
 
@@ -7793,6 +7884,145 @@ object ExtQueries {
             .otherwise(round(col("n_found").cast("double") /
               col("n_truth"), 6)).as("recall_at_3"))
         .orderBy(col("n_probe"))
+    }),
+
+    // ---- the MIXTURE-APPLIED training order (VERDICT r16 #2): q230
+    //      interleaves uniformly — no card yet emitted the order a
+    //      loader consumes under the COMMITTED mixture. This one
+    //      composes three gated operators into that manifest:
+    //      (a) the q228 exact water-fill, source-keyed at the 2.0×
+    //      budget, commits per-source epochs e_s (≈2, fractions
+    //      engaged, nothing capped on this fixture); (b) q209/q215's
+    //      frozen tercile phases make packing PHASE-PURE, and phase
+    //      blocks concatenate low→high quality (boundaries respected:
+    //      a phase never interleaves into another); (c) within each
+    //      phase, each source emits ⌊e_s⌋ FULL passes plus a partial
+    //      pass of ⌊round(frac·n_ps, 6)⌋ sequences — every epoch
+    //      reshuffled by its OWN seeded draw (repeated sequences,
+    //      distinct draws), the partial pass taking its epoch's draw
+    //      prefix (the sample_frac). The interleave is the WEIGHTED
+    //      closed form (weightedInterleaveRank): rows ordered by
+    //      position fraction, so per-source spacing ∝ 1/weight and
+    //      any prefix's per-source share tracks the committed share
+    //      (Wave28Spec pins the ≤ |sources| item bound). No
+    //      total-order window anywhere — spans broadcast + scan
+    //      arithmetic, phase offsets a 3-row frame ----
+    "q236_mixture_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val fill = waterFillAlloc(
+          toks.select(col("source").as("lang"), col("n_tokens")), Seq(2.0))
+        .select(col("lang").as("source"), col("final_epochs"))
+      val cf = curriculumFrame(s, d)
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val seqs = ffdPack(cf)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("n_kept")).as("kept_tokens"))
+        .select(split(col("source"), ":").getItem(0).cast("long").as("phase"),
+          split(col("source"), ":").getItem(1).as("source"),
+          col("seq_id"), col("kept_tokens"))
+      val np = seqs.groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_ps"))
+      val ep = np.join(fill, Seq("source"))
+        .withColumn("fe", floor(col("final_epochs")))
+        .withColumn("n_part", floor(round(
+          (col("final_epochs") - floor(col("final_epochs")).cast("double"))
+            * col("n_ps").cast("double"), 6)))
+        .select(col("phase"), col("source"), col("fe"), col("n_part"))
+      val wEp = Window.partitionBy(col("phase"), col("source"), col("epoch"))
+        .orderBy(col("draw"), col("seq_id"))
+      val wSrc = Window.partitionBy(col("phase"), col("source"))
+        .orderBy(col("epoch"), col("draw"), col("seq_id"))
+      // spans + dn join + ranked rows all read this frame — one fold
+      val rows = graft.util.Persist(
+        seqs.join(broadcast(ep), Seq("phase", "source"))
+          .withColumn("epoch", explode(sequence(lit(0L), col("fe"))))
+          .withColumn("draw", substring(md5(concat_ws(":",
+            lit("graft-order-v2"), col("epoch").cast("string"),
+            col("phase").cast("string"), col("source"),
+            col("seq_id").cast("string"))), 1, 8))
+          .withColumn("er", row_number().over(wEp).cast("long"))
+          .filter(col("epoch") < col("fe") || col("er") <= col("n_part"))
+          .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
+          .select(col("phase"), col("source"), col("seq_id"), col("epoch"),
+            col("kept_tokens"), col("draw"), col("src_pos")))
+      val spans = rows.groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      // phase offsets: phase-cardinality-bounded window (q209's shape)
+      val wPh = Window.orderBy(col("phase"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val phOff = spans.groupBy(col("phase")).agg(sum(col("n")).as("np"))
+        .withColumn("poff", coalesce(sum(col("np")).over(wPh), lit(0L)))
+        .select(col("phase"), col("poff"))
+      weightedInterleaveRank(
+          rows.join(broadcast(spans.withColumnRenamed("n", "dn")),
+            Seq("phase", "source")),
+          spans)
+        .join(broadcast(phOff), Seq("phase"))
+        .select((col("phase_pos") + col("poff")).as("global_pos"),
+          col("phase"), col("source"), col("seq_id"), col("epoch"),
+          col("src_pos"), col("kept_tokens"), col("draw"))
+        .orderBy(col("global_pos"))
+    }),
+
+    // ---- OPQ at the RESIDUAL rung (VERDICT r16 #3): q184 proved the
+    //      variance-balanced layout on FLAT codes; q229's residual
+    //      index still encodes under the identity layout. This card
+    //      threads the [[Similarity.balancedLayout]] permutation
+    //      through the residual encode + ADC query path
+    //      (ivfPqAdcTopKOnPerm) and gates residual-OPQ against
+    //      residual-identity on the anisotropic rehearsal fixture —
+    //      with the layout dealt from the RESIDUAL frame's variances
+    //      (what the codebook actually spans), not the raw corpus's.
+    //      Same trained coarse cells on both legs → identical
+    //      candidates (q229's routing argument), so the recall and
+    //      per-subspace-MSE deltas are pure quantization geometry.
+    //      resid_mse is the explicit 8-term ordered sum of per-sub
+    //      MSEs (pqTermPivot's fold discipline). Codebooks/centroids
+    //      are bounded collected literals; the one heavy scan is the
+    //      fenced 50×corpus exact-IP truth side, persisted across
+    //      both legs ----
+    "q237_residual_opq" -> ((s, d) => {
+      val aniso = anisoEmb(s, d)
+      val q = aniso.filter(col("vec_id") < 50)
+      val (coarse, balanced) = anisoResidualBase(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val rf = graft.util.Persist(
+        residualFrameOf(aniso, coarse, vecCol = "vec"))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def leg(name: String, perm: Seq[Int]) = {
+        val rows = anisoResidualCb(s, d, name, perm)
+        val cb = codebookMap(rows)
+        val ap = Similarity.ivfPqAdcTopKOnPerm(q, aniso, "vec_id", "vec",
+            k = 3, coarse, cb, perm)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        val rec = exact.join(ap,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+        val mse = Similarity.pqPermMse(rf, "vec_id", "resid", perm, rows)
+          .agg(max(when(col("sub") === 0, col("mse"))).as("m0"),
+            (1 until 8).map(i =>
+              max(when(col("sub") === i, col("mse"))).as(s"m$i")): _*)
+          .select(round((0 until 8).map(i => col(s"m$i"))
+            .reduce(_ + _), 6).as("resid_mse"))
+        rec.crossJoin(broadcast(mse))
+          .select(lit(name).as("layout"), col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"),
+            col("resid_mse"))
+      }
+      leg("identity", identity).unionByName(leg("balanced", balanced))
+        .orderBy(col("layout"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -8113,6 +8343,80 @@ object ExtQueries {
            FROM ${px}cd cd CROSS JOIN aposs GROUP BY 1, 2, 3),
          ${px}rc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
            FROM ${px}ref GROUP BY 1, 2)"""
+
+  /** Per-layout RESIDUAL-rung OPQ oracle block (q237): gather the
+    * `w7rv` residuals under layout map `mp` (norm > 0, mirroring
+    * pqTrainIterationPerm/pqPermMse's usable contract), one-Lloyd
+    * refine from the static `pqc` init into `${px}rc(sub, c, rvec)`,
+    * encode every residual against it (`${px}code`), gather the query
+    * vectors under the same map (`${px}qsv`), and emit the ADC top-3
+    * (`${px}ap` — coarse term added LAST, q229's fold) plus the
+    * per-subspace trained-codebook MSE pivoted into the ordered
+    * 8-term sum (`${px}m8` — pqPermMse's err = |sv|² + unrounded key
+    * at the rounded-argmin). Requires `w7rv`, `prs`, `qq`, `pqc`,
+    * `aposs` in scope.
+    */
+  private def residOpqSqlFor(px: String, mp: String): String = s"""
+         ${px}sv AS (SELECT r.n_id AS vec_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM w7rv r CROSS JOIN $mp m
+           WHERE list_inner_product(r.rvecd, r.rvecd) > 0
+           GROUP BY r.n_id, m.sub),
+         ${px}k0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM ${px}sv s JOIN pqc p ON p.sub = s.sub),
+         ${px}cd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM ${px}k0) t WHERE rn = 1),
+         ${px}ref AS (SELECT cd.sub, cd.c, aposs.pos,
+             round(avg(cd.sv[aposs.pos + 1]), 6) AS cv
+           FROM ${px}cd cd CROSS JOIN aposs GROUP BY 1, 2, 3),
+         ${px}rc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM ${px}ref GROUP BY 1, 2),
+         ${px}esv AS (SELECT r.n_id AS vec_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM w7rv r CROSS JOIN $mp m GROUP BY r.n_id, m.sub),
+         ${px}code AS (SELECT vec_id, sub, c FROM (
+             SELECT s.vec_id, s.sub, r.c, ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.sub
+               ORDER BY round(list_inner_product(r.rvec, r.rvec)
+                 - 2 * list_inner_product(s.sv, r.rvec), 6), r.c) AS rn
+             FROM ${px}esv s JOIN ${px}rc r ON r.sub = s.sub) t
+           WHERE rn = 1),
+         ${px}qsv AS (SELECT q.q_id, m.sub,
+             list(q.q_vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM qq q CROSS JOIN $mp m GROUP BY q.q_id, m.sub),
+         ${px}tm AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(qs.sv, r.rvec) AS term
+           FROM prs pr
+           JOIN ${px}code k ON k.vec_id = pr.n_id
+           JOIN ${px}rc r ON r.sub = k.sub AND r.c = k.c
+           JOIN ${px}qsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
+         ${px}ap AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(adc, 6) DESC, n_id) AS rank
+             FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+               FROM ${px}tm GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+         ${px}mk AS (SELECT s.vec_id, s.sub, s.sv, r.c,
+             list_inner_product(r.rvec, r.rvec)
+               - 2 * list_inner_product(s.sv, r.rvec) AS key
+           FROM ${px}sv s JOIN ${px}rc r ON r.sub = s.sub),
+         ${px}mm AS (SELECT vec_id, sub,
+             list_inner_product(sv, sv) + key AS err FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+               ORDER BY round(key, 6), c) AS rn FROM ${px}mk) t
+           WHERE rn = 1),
+         ${px}me AS (SELECT sub, round(avg(err), 6) AS mse
+           FROM ${px}mm GROUP BY sub),
+         ${px}m8 AS (SELECT round(${(0 until 8)
+             .map(i => s"MAX(mse) FILTER (sub = $i)").mkString(" + ")}, 6)
+             AS resid_mse FROM ${px}me),
+         ${px}rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN ${px}ap a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id)"""
 
   /** The FFD packing fold as a recursive oracle CTE chain ending in
     * `${px}fold` — one recursion step per (source, rank) placing the
@@ -12476,7 +12780,127 @@ object ExtQueries {
          LEFT JOIN ap a ON a.p = probes.p AND a.q_id = e2.q_id
            AND a.n_id = e2.n_id
          JOIN cost ON cost.p = probes.p
-         GROUP BY probes.p, cost.n_candidates ORDER BY n_probe""")
+         GROUP BY probes.p, cost.n_candidates ORDER BY n_probe""",
+    // the committed mixture applied to the order manifest: q228's
+    // fill source-keyed at 2.0x, q215's phase-pure fold, per-epoch
+    // reshuffled draws with the fractional-pass prefix, then the
+    // weighted interleave replayed by integer cross-multiplication
+    // (the Spark side's closed form, row for row)
+    "q236_mixture_order" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         ${waterFillSqlFor("mw", "TRUE", keyCol = "source",
+           budgetX = "2.0")},
+         mcnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         mth AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2 FROM sc),
+         mph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN mcnt USING (doc_id), mth),
+         ${ffdFoldSqlFor("mo",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM mph""")},
+         msq AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens
+           FROM mofold WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3),
+         mnp AS (SELECT phase, source, COUNT(*) AS n_ps FROM msq
+           GROUP BY 1, 2),
+         mep AS (SELECT phase, mnp.source,
+             CAST(floor(final_epochs) AS BIGINT) AS fe,
+             CAST(floor(round((final_epochs - floor(final_epochs))
+               * CAST(n_ps AS DOUBLE), 6)) AS BIGINT) AS n_part
+           FROM mnp JOIN mwout w ON w.lang = mnp.source),
+         mrows0 AS (SELECT q.phase, q.source, q.seq_id, q.kept_tokens,
+             unnest(generate_series(0, e.fe)) AS epoch, e.fe, e.n_part
+           FROM msq q JOIN mep e ON e.phase = q.phase
+             AND e.source = q.source),
+         mdrw AS (SELECT *, substr(md5('graft-order-v2' || ':'
+             || CAST(epoch AS VARCHAR) || ':' || CAST(phase AS VARCHAR)
+             || ':' || source || ':' || CAST(seq_id AS VARCHAR)), 1, 8)
+             AS draw FROM mrows0),
+         mkept AS (SELECT * FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY phase, source, epoch
+               ORDER BY draw, seq_id) AS er FROM mdrw) t
+           WHERE epoch < fe OR er <= n_part),
+         msp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase, source
+             ORDER BY epoch, draw, seq_id) - 1 AS src_pos FROM mkept),
+         mspan AS (SELECT phase, source, COUNT(*) AS n FROM msp
+           GROUP BY 1, 2),
+         mpos AS (SELECT r.phase, r.source, r.seq_id, r.epoch,
+             r.kept_tokens, r.draw, r.src_pos,
+             SUM(LEAST(((r.src_pos + 1) * s.n - 1) // rn.n, s.n)
+               + CASE WHEN s.source < r.source
+                   AND ((r.src_pos + 1) * s.n) % rn.n = 0
+                 THEN 1 ELSE 0 END) AS phase_pos
+           FROM msp r
+           JOIN mspan rn ON rn.phase = r.phase AND rn.source = r.source
+           JOIN mspan s ON s.phase = r.phase
+           GROUP BY r.phase, r.source, r.seq_id, r.epoch, r.kept_tokens,
+             r.draw, r.src_pos),
+         moff AS (SELECT phase, SUM(n) AS np FROM mspan GROUP BY 1),
+         moff2 AS (SELECT phase, COALESCE(SUM(np) OVER (ORDER BY phase
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS poff FROM moff)
+         SELECT CAST(p.phase_pos + o.poff AS BIGINT) AS global_pos,
+           p.phase, p.source, p.seq_id, CAST(p.epoch AS BIGINT) AS epoch,
+           CAST(p.src_pos AS BIGINT) AS src_pos, p.kept_tokens, p.draw
+         FROM mpos p JOIN moff2 o ON o.phase = p.phase
+         ORDER BY global_pos""",
+    // the aniso rehearsal corpus, one trained-coarse Lloyd step, the
+    // RESIDUAL-variance snake layout, then the per-layout residual
+    // train/encode/ADC/MSE blocks (residOpqSqlFor) against the shared
+    // trained-cell routing and exact-IP truth
+    "q237_residual_opq" -> s"""
+         WITH $anisoCtes,
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         ${ivfPqTrainSqlFor("w7", "au")},
+         rvr AS (SELECT dim, round(var_pop(rvecd[dim + 1]), 6) AS v
+           FROM w7rv CROSS JOIN adims GROUP BY dim),
+         rrk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1
+             AS r FROM rvr),
+         rbmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM rrk),
+         rimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM au
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, cell, cd FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, w7cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.cd, ca.n_id
+           FROM qa JOIN w7ca ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, au cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         ${residOpqSqlFor("ri", "rimap")},
+         ${residOpqSqlFor("rb", "rbmap")}
+         SELECT 'balanced' AS layout, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3, resid_mse
+         FROM rbrec, rbm8
+         UNION ALL
+         SELECT 'identity', n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END,
+           resid_mse
+         FROM rirec, rim8
+         ORDER BY layout""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed
@@ -12532,8 +12956,9 @@ object ExtQueries {
     * of documents, shared by q231's two release legs so the chain and
     * the single-corpus card cannot desynchronize on the fill rule.
     */
-  private def waterFillSqlFor(px: String, docWhere: String): String = s"""
-         ${px}lt AS (SELECT lang,
+  private def waterFillSqlFor(px: String, docWhere: String,
+      keyCol: String = "lang", budgetX: String = "3.875"): String = s"""
+         ${px}lt AS (SELECT $keyCol AS lang,
              CAST(len(${duckToks("text")}) AS BIGINT) AS nt
            FROM documents WHERE $docWhere),
          ${px}pl AS (SELECT lang, SUM(nt) AS n_tokens FROM ${px}lt
@@ -12543,7 +12968,7 @@ object ExtQueries {
          ${px}st AS (SELECT lang, n_tokens,
              CAST(n_tokens AS DOUBLE) AS ntd,
              power(CAST(n_tokens AS DOUBLE), 0.7) / z07 AS w,
-             3.875 * CAST(tot AS DOUBLE) AS b,
+             $budgetX * CAST(tot AS DOUBLE) AS b,
              CAST(n_tokens AS DOUBLE) * 4.0 AS cap
            FROM ${px}pl, ${px}tz),
          ${px}cm AS (SELECT *, w * b AS a0,

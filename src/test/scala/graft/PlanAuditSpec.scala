@@ -39,8 +39,22 @@ import org.apache.spark.sql.functions._
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // Default-suite budget (VERDICT r16 #7): the full two-half sweep is
+  // ~8 min of the default `sbt test` wall. The default run audits the
+  // QueriesSpec sample (same md5-quarter + newest-10 rule, so the
+  // wave under construction is ALWAYS plan-gated); GRAFT_FULL_SMOKE=1
+  // restores the full registry sweep — mandatory at round close.
+  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
+  private def inSample(name: String): Boolean = fullSmoke ||
+    (java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))(0) & 0xff) < 64 || {
+      def qNum(n: String) = n.drop(1).takeWhile(_.isDigit).toInt
+      val newest = SparkEntry.queries.keySet.toSeq.sortBy(qNum).takeRight(10)
+      newest.contains(name)
+    }
+
   test("registry sweep: no cartesian / unexpected BNLJ / plan error " +
-      "(pure plan-construction half)") {
+      s"(pure plan-construction half${if (fullSmoke) ", full" else ", sampled"})") {
     val fast = SparkEntry.queries.view
       .filterKeys(!PlanAudit.eagerAtBuild(_)).toMap
     // the two halves must exactly tile the registry (guards a renamed
@@ -49,7 +63,9 @@ class PlanAuditSpec extends SparkSpec {
       "eagerAtBuild names a query that is not registered")
     assert(fast.size + PlanAudit.eagerAtBuild.size == SparkEntry.queries.size)
     assert(fast.size >= 100, s"registry unexpectedly small: ${fast.size}")
-    val rs = PlanAudit.sweep(spark, sf0001, fast)
+    val swept = fast.view.filterKeys(inSample).toMap
+    assert(swept.size >= math.min(fast.size, 40))
+    val rs = PlanAudit.sweep(spark, sf0001, swept)
     val bad = PlanAudit.failures(rs)
     assert(bad.isEmpty, "plan audit failures:\n" +
       bad.map { case (n, v, d) => s"  $n: $v $d" }.mkString("\n"))
@@ -57,13 +73,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("registry sweep: eager-at-build half (ingest loops, trainings)",
       SlowPlanAudit) {
-    val eager = SparkEntry.queries.view
-      .filterKeys(PlanAudit.eagerAtBuild).toMap
-    val rs = PlanAudit.sweep(spark, sf0001, eager)
-    assert(rs.size == PlanAudit.eagerAtBuild.size)
-    val bad = PlanAudit.failures(rs)
-    assert(bad.isEmpty, "plan audit failures:\n" +
-      bad.map { case (n, v, d) => s"  $n: $v $d" }.mkString("\n"))
+    // the eager half EXECUTES real work (ingest loops, trainings) —
+    // full-smoke only; the default run still plan-gates any sampled
+    // eager query through its own wave spec's value pins
+    if (fullSmoke) {
+      val eager = SparkEntry.queries.view
+        .filterKeys(PlanAudit.eagerAtBuild).toMap
+      val rs = PlanAudit.sweep(spark, sf0001, eager)
+      assert(rs.size == PlanAudit.eagerAtBuild.size)
+      val bad = PlanAudit.failures(rs)
+      assert(bad.isEmpty, "plan audit failures:\n" +
+        bad.map { case (n, v, d) => s"  $n: $v $d" }.mkString("\n"))
+    } else cancel("eager-at-build sweep runs under GRAFT_FULL_SMOKE=1 " +
+      "(round close); skipped in the fast default suite")
   }
 
   test("streaming/capstone interior plans are keyed (q112/q115 executed shapes)") {

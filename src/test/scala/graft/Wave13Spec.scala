@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 class Wave13Spec extends SparkSpec {
 
+  // the four maintenance-equivalence gates below re-run full ledger
+  // builds / streaming ingest loops (~2 min combined) — full-smoke
+  // only (VERDICT r16 #7); the fast default suite keeps this wave's
+  // cheap value pins. Round close runs GRAFT_FULL_SMOKE=1.
+  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
+  private def slowGate(): Unit =
+    if (!fullSmoke) cancel("maintenance-equivalence gate runs under " +
+      "GRAFT_FULL_SMOKE=1 (round close)")
+
   test("q172 maintained card: n_docs == the rebuild ledger's kept count") {
     val card = SparkEntry.queries("q172_maintained_card")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -39,6 +48,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q174 bloom-decontamination ledger == q168's broadcast-path ledger") {
+    slowGate()
     val bloom = SparkEntry.queries("q174_ledger_bloom")(spark, sf0001)
     val bcast = SparkEntry.queries("q168_ledger_incremental")(spark, sf0001)
     assert(bloom.schema == bcast.schema, "ledger schemas differ")
@@ -68,6 +78,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q177 append-store maintenance ledger == q168 rewrite-path ledger") {
+    slowGate()
     val app = SparkEntry.queries("q177_ledger_append")(spark, sf0001)
     val rew = SparkEntry.queries("q168_ledger_incremental")(spark, sf0001)
     // parquet read-back loosens nullability; names+types must agree
@@ -78,6 +89,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q178 cell-cap rehearsal: engages, and the REAL machinery agrees") {
+    slowGate()
     import graft.ext.Similarity
     val rows = SparkEntry.queries("q178_cell_cap_rehearsal")(spark, sf0001)
       .collect()
@@ -106,6 +118,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q179 streaming ledger == the shipped v2 release ledger (q162)") {
+    slowGate()
     val str = SparkEntry.queries("q179_stream_ledger")(spark, sf0001)
     val rebuilt = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
     assert(str.schema.map(f => (f.name, f.dataType)) ==
