@@ -91,7 +91,9 @@ object PlanAudit {
     "q234_pq_staleness" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the query side and each index build's encode (q232's fan-out)",
     "q235_ivfpq_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (query side keep=16 + the index build's encode) + the 5-row probe grid joined to the crank histogram and the truth side (q216's fenced sweep pattern)",
     "q236_mixture_order" -> "q228's one-row fill-normalizer crossJoins (source-keyed), the q209 2-scalar tercile broadcast, and the one-row collected span-array broadcast feeding weightedInterleaveRank's closed-form rank (q230's pattern at unequal stream lengths)",
-    "q237_residual_opq" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each leg's corpus/query sides (q229's fan-out) + the one-row per-layout MSE scalar crossJoins (q48's pattern)")
+    "q237_residual_opq" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each leg's corpus/query sides (q229's fan-out) + the one-row per-layout MSE scalar crossJoins (q48's pattern)",
+    "q238_pq_retrain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out, one per monitored slice) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the card is 3 rows",
+    "q239_pq_index_chain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + one per chained delta ingest); the released index is a persisted-artifact scan")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -118,9 +120,9 @@ object PlanAudit {
     // class); q232 additionally runs its streaming ingest loop
     "q229_ivfpq_residual", "q232_stream_pq_index",
     "q234_pq_staleness", "q235_ivfpq_operating_point",
-    // q237 collects the aniso trained coarse cells + two residual
-    // codebooks (bounded artifacts) at plan time — q229's class
-    "q237_residual_opq")
+    // q237/q238 collect trained coarse cells + residual codebooks
+    // (bounded artifacts) at plan time — q229's class
+    "q237_residual_opq", "q238_pq_retrain", "q239_pq_index_chain")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

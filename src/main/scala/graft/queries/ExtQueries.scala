@@ -8023,6 +8023,104 @@ object ExtQueries {
       }
       leg("identity", identity).unionByName(leg("balanced", balanced))
         .orderBy(col("layout"))
+    }),
+
+    // ---- the RESIDUAL-CODEBOOK RETRAIN TRIGGER (VERDICT r16 #4):
+    //      q232/q234 freeze the base-trained IVF-PQ artifacts
+    //      forever — this card closes the frozen-artifact loop with
+    //      its q198-style drift decision. Monitor = per-subspace
+    //      encode MSE (q129's currency) under the FROZEN base-trained
+    //      coarse cells + residual codebook, measured on three
+    //      slices: `base` (the training population — the reference),
+    //      `delta` (the md5 incoming slice, same distribution →
+    //      ratio ≈ 1, decision KEEP), and `shifted` (the same delta
+    //      after encoder drift — the aniso rehearsal's dims-0-7 ×4
+    //      rule — where the frozen codebook's cells and centroids no
+    //      longer span the energy → ratio blows past the threshold,
+    //      decision RETRAIN). The trigger is ENGAGED on the fixture,
+    //      not just plumbed (the q175/q178 discipline). frozen_mse is
+    //      the ordered 8-term per-sub sum (q237's fold); threshold
+    //      1.25 on round(mse/base_mse, 6). Artifacts are memoized
+    //      bounded literals; each slice costs one assignment + one
+    //      encode pass ----
+    "q238_pq_retrain" -> ((s, d) => {
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = true)
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val usable = Tables.embeddings(s, d).filter(expr(
+        """aggregate(zip_with(CAST(embedding AS array<double>),
+           CAST(embedding AS array<double>), (p, q) -> p * q),
+           0D, (a, v) -> a + v) > 0"""))
+      val base = usable.filter(!isDelta(col("vec_id")))
+      val delta = usable.filter(isDelta(col("vec_id")))
+      val shifted = delta.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * when(i < lit(8), lit(4.0)).otherwise(lit(1.0)))
+          .as("embedding"))
+      val identity: Seq[Int] = 0 until 64
+      def mseOf(df: DataFrame) = Similarity
+        .pqPermMse(residualFrameOf(df, coarse), "vec_id", "resid",
+          identity, residRows)
+        .agg(max(col("n_vecs")).as("n_vecs"),
+          (0 until 8).map(i =>
+            max(when(col("sub") === i, col("mse"))).as(s"m$i")): _*)
+        .select(col("n_vecs"), round((0 until 8).map(i => col(s"m$i"))
+          .reduce(_ + _), 6).as("frozen_mse"))
+      val b = graft.util.Persist(mseOf(base))
+      def row(name: String, x: DataFrame) =
+        x.select(lit(name).as("slice"), col("n_vecs"), col("frozen_mse"))
+      row("base", b)
+        .unionByName(row("delta", mseOf(delta)))
+        .unionByName(row("shifted", mseOf(shifted)))
+        .crossJoin(broadcast(b.select(col("frozen_mse").as("base_mse"))))
+        .select(col("slice"), col("n_vecs"), col("frozen_mse"),
+          round(col("frozen_mse") / col("base_mse"), 6).as("mse_ratio"),
+          when(round(col("frozen_mse") / col("base_mse"), 6) > 1.25, 1L)
+            .otherwise(0L).as("retrain"))
+        .orderBy(col("slice"))
+    }),
+
+    // ---- CHAINED IVF-PQ index ingest (VERDICT r16 #6): q234 prices
+    //      ONE release of staleness; this card applies the q142/q171
+    //      chaining discipline to the q232 maintained index — TWO
+    //      delta ingests against the same frozen base-trained
+    //      artifacts (delta1 = md5 '0', delta2 = md5 '1'/'2'), each
+    //      appended without touching released rows: v1 = the q232
+    //      released base-index artifact (scanned, not rebuilt), v2 =
+    //      v1 ∪ encode(delta1), v3 = v2 ∪ encode(delta2). Because the
+    //      frozen-artifact encode is per-row deterministic, append is
+    //      ASSOCIATIVE across releases — v3 must equal the one-shot
+    //      full rebuild row-for-row, and its restriction to the v2
+    //      population must equal v2's own rebuild (Wave28Spec pins
+    //      both against q232's maintained index). Output is the q232
+    //      oracle shape with the chain step in `src` ----
+    "q239_pq_index_chain" -> ((s, d) => {
+      def firstHex(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1)
+      val emb = Tables.embeddings(s, d)
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = true)
+      val cb = codebookMap(residRows)
+      // the SAME released artifact q232 maintains (shared dir)
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q232_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndex(
+            emb.filter(!firstHex(col("vec_id")).isin("0", "1", "2")),
+            "vec_id", "embedding", coarse, cb)
+          .write.mode("overwrite").parquet(p)
+      }
+      val v1 = s.read.parquet(idxDir).withColumn("src", lit("base"))
+      def ingest(name: String, pred: Column) =
+        Similarity.ivfPqResidualIndex(emb.filter(pred), "vec_id",
+            "embedding", coarse, cb)
+          .withColumn("src", lit(name))
+      val v2 = v1.unionByName(
+        ingest("delta1", firstHex(col("vec_id")) === "0"))
+      val v3 = v2.unionByName(
+        ingest("delta2", firstHex(col("vec_id")).isin("1", "2")))
+      v3.select(col("cell"), col("id").as("vec_id"),
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code"), col("src"))
+        .orderBy(col("vec_id"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -8417,6 +8515,85 @@ object ExtQueries {
              CAST(COUNT(a.n_id) AS BIGINT) AS n_found
            FROM ex LEFT JOIN ${px}ap a
              ON ex.q_id = a.q_id AND ex.n_id = a.n_id)"""
+
+  /** The shared q232/q239 index-rebuild oracle CTEs: frozen
+    * base-slice training (ivfPqTrainSqlFor), whole-corpus assignment
+    * and residual encode against the frozen artifacts, codes as
+    * codebook positions rendered CSV (`ea`, `ecsv`). Both consumers
+    * differ only in how the final SELECT labels `src`.
+    */
+  private lazy val pqIndexEncodeCtes: String = s"""
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         ecd AS (SELECT n_id, sub, c FROM (
+           SELECT r.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(
+                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
+                     b.bvec), 6), b.c) AS rn
+           FROM erv r, brcb b) t WHERE rn = 1),
+         epos AS (SELECT sub, c,
+             ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c) - 1 AS p
+           FROM brcb),
+         ecsv AS (SELECT n_id,
+             string_agg(CAST(p AS VARCHAR), ',' ORDER BY ecd.sub) AS code
+           FROM ecd JOIN epos ON epos.sub = ecd.sub AND epos.c = ecd.c
+           GROUP BY n_id)"""
+
+  /** Frozen-codebook encode-MSE oracle block (q238): assign `$src` to
+    * the FROZEN `bcent` cells, residuals against them, per-subspace
+    * argmin against the FROZEN `brcb` codebook (rounded key, low c),
+    * err = |sv|² + unrounded key (pqPermMse's identity-layout
+    * arithmetic exactly), ending in `${px}m8(n_vecs, frozen_mse)` —
+    * the ordered 8-term per-sub sum. Requires `bcent`, `brcb`, `poss`
+    * in scope.
+    */
+  private def frozenMseSqlFor(px: String, src: String): String = s"""
+         ${px}as AS (SELECT n_id, n_vec, cvec FROM (
+             SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cvec,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+                 c.cell) AS rn
+             FROM $src e, bcent c) t WHERE rn = 1),
+         ${px}rv AS (SELECT n_id, list_transform(generate_series(1, 64),
+             i -> n_vec[i] - cvec[i]) AS rvecd FROM ${px}as),
+         ${px}sv AS (SELECT r.n_id, s.pos AS sub,
+             list_slice(r.rvecd, s.pos * 8 + 1, s.pos * 8 + 8) AS sv
+           FROM ${px}rv r CROSS JOIN poss s
+           WHERE list_inner_product(r.rvecd, r.rvecd) > 0),
+         ${px}mk AS (SELECT s.n_id, s.sub, s.sv, b.c,
+             list_inner_product(b.bvec, b.bvec)
+               - 2 * list_inner_product(s.sv, b.bvec) AS key
+           FROM ${px}sv s JOIN brcb b ON b.sub = s.sub),
+         ${px}mm AS (SELECT n_id, sub,
+             list_inner_product(sv, sv) + key AS err FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id, sub
+               ORDER BY round(key, 6), c) AS rn FROM ${px}mk) t
+           WHERE rn = 1),
+         ${px}me AS (SELECT sub, round(avg(err), 6) AS mse,
+             COUNT(*) AS nv FROM ${px}mm GROUP BY sub),
+         ${px}m8 AS (SELECT CAST(MAX(nv) AS BIGINT) AS n_vecs,
+             round(${(0 until 8).map(i => s"MAX(mse) FILTER (sub = $i)")
+               .mkString(" + ")}, 6) AS frozen_mse
+           FROM ${px}me)"""
 
   /** The FFD packing fold as a recursive oracle CTE chain ending in
     * `${px}fold` — one recursion step per (source, rank) placing the
@@ -12519,40 +12696,7 @@ object ExtQueries {
     // (rank of the centroid id within its subspace, mirroring the
     // Spark side's ordered-list encode) and rendered CSV
     "q232_stream_pq_index" -> s"""
-         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
-         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
-         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
-         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
-           WHERE $usableVec),
-         eb AS (SELECT * FROM e
-           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
-             NOT IN ('0', '1', '2')),
-         ${ivfPqTrainSqlFor("b", "eb")},
-         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
-           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
-               c.cell) AS rn
-           FROM e, bcent c) t WHERE rn = 1),
-         erv AS (SELECT n_id, cell,
-             list_transform(generate_series(1, 64),
-               i -> n_vec[i] - cvec[i]) AS rvecd
-           FROM ea),
-         ecd AS (SELECT n_id, sub, c FROM (
-           SELECT r.n_id, b.sub, b.c,
-             ROW_NUMBER() OVER (PARTITION BY r.n_id, b.sub
-               ORDER BY round(list_inner_product(b.bvec, b.bvec)
-                 - 2 * list_inner_product(
-                     list_slice(r.rvecd, b.sub * 8 + 1, b.sub * 8 + 8),
-                     b.bvec), 6), b.c) AS rn
-           FROM erv r, brcb b) t WHERE rn = 1),
-         epos AS (SELECT sub, c,
-             ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c) - 1 AS p
-           FROM brcb),
-         ecsv AS (SELECT n_id,
-             string_agg(CAST(p AS VARCHAR), ',' ORDER BY ecd.sub) AS code
-           FROM ecd JOIN epos ON epos.sub = ecd.sub AND epos.c = ecd.c
-           GROUP BY n_id)
+         WITH $pqIndexEncodeCtes
          SELECT ea.cell, ea.n_id AS vec_id, ecsv.code,
            CASE WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1)
              IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS src
@@ -12900,7 +13044,66 @@ object ExtQueries {
              ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END,
            resid_mse
          FROM rirec, rim8
-         ORDER BY layout""")
+         ORDER BY layout""",
+    // frozen base-trained artifacts (the q232 training replay), then
+    // the frozenMseSqlFor block per slice: base / md5-delta /
+    // encoder-drifted delta (dims 0-7 x4), ratio'd against base
+    "q238_pq_retrain" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         sdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ed AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2')),
+         esh AS (SELECT vec_id,
+             list(vec[dim + 1] * CASE WHEN dim < 8 THEN 4.0 ELSE 1.0 END
+               ORDER BY dim) AS vec
+           FROM ed CROSS JOIN sdims GROUP BY vec_id),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         ${frozenMseSqlFor("fb", "eb")},
+         ${frozenMseSqlFor("fd", "ed")},
+         ${frozenMseSqlFor("fs", "esh")}
+         SELECT 'base' AS slice, n_vecs, frozen_mse,
+           round(frozen_mse / (SELECT frozen_mse FROM fbm8), 6)
+             AS mse_ratio,
+           CAST(CASE WHEN round(frozen_mse /
+               (SELECT frozen_mse FROM fbm8), 6) > 1.25
+             THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         FROM fbm8
+         UNION ALL
+         SELECT 'delta', n_vecs, frozen_mse,
+           round(frozen_mse / (SELECT frozen_mse FROM fbm8), 6),
+           CAST(CASE WHEN round(frozen_mse /
+               (SELECT frozen_mse FROM fbm8), 6) > 1.25
+             THEN 1 ELSE 0 END AS BIGINT)
+         FROM fdm8
+         UNION ALL
+         SELECT 'shifted', n_vecs, frozen_mse,
+           round(frozen_mse / (SELECT frozen_mse FROM fbm8), 6),
+           CAST(CASE WHEN round(frozen_mse /
+               (SELECT frozen_mse FROM fbm8), 6) > 1.25
+             THEN 1 ELSE 0 END AS BIGINT)
+         FROM fsm8
+         ORDER BY slice""",
+    // the q232 rebuild replay with the chain step labeled: delta1 =
+    // md5 '0', delta2 = md5 '1'/'2' — rebuild == chained append
+    // because the frozen-artifact encode is per-row deterministic
+    "q239_pq_index_chain" -> s"""
+         WITH $pqIndexEncodeCtes
+         SELECT ea.cell, ea.n_id AS vec_id, ecsv.code,
+           CASE WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1) = '0'
+               THEN 'delta1'
+             WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1)
+               IN ('1', '2') THEN 'delta2'
+             ELSE 'base' END AS src
+         FROM ea JOIN ecsv ON ecsv.n_id = ea.n_id
+         ORDER BY vec_id""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

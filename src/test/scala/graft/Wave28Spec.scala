@@ -135,4 +135,77 @@ class Wave28Spec extends SparkSpec {
     assert(byL("balanced")._4 > byL("identity")._4,
       "balanced layout should raise ADC recall on the aniso fixture")
   }
+
+  test("q238 retrain trigger: base ratio exactly 1, same-distribution " +
+      "delta KEEPS, drifted slice fires RETRAIN, decision arithmetic") {
+    val rows = SparkEntry.queries("q238_pq_retrain")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq("base", "delta", "shifted"))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = rows.head
+    rows.foreach { case (sl, n, mse, ratio, retrain) =>
+      assert(n > 0 && mse > 0, s"$sl: empty slice or degenerate MSE")
+      assert(ratio == rd(mse / base._3), s"$sl: ratio arithmetic broken")
+      assert(retrain == (if (ratio > 1.25) 1L else 0L),
+        s"$sl: decision does not follow the threshold")
+    }
+    assert(base._4 == 1.0 && base._5 == 0L)
+    val byS = rows.map(r => r._1 -> r).toMap
+    // same distribution -> the frozen codebook still spans it
+    assert(byS("delta")._5 == 0L, "iid delta must not trigger a retrain")
+    // encoder drift (dims 0-7 x4) -> frozen cells/codebook can no
+    // longer span the energy; the trigger must FIRE (engaged regime,
+    // ~3.6x here)
+    assert(byS("shifted")._5 == 1L && byS("shifted")._4 > 2.0,
+      "drifted slice must fire the retrain trigger")
+    // the monitored slices are the same population
+    assert(byS("delta")._2 == byS("shifted")._2)
+  }
+
+  test("q239 chained ingest ≡ q232 streamed maintenance row-for-row; " +
+      "append is associative (v2 restriction is v2's own rebuild)") {
+    def rowsOf(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3)))
+    val chained = rowsOf("q239_pq_index_chain")
+    val streamed = rowsOf("q232_stream_pq_index")
+    // maintained ≡ rebuild at the composed level: the two-step chain
+    // produces exactly the rows the one-delta streamed maintenance
+    // (itself gated ≡ full rebuild by the q232 oracle) produces
+    assert(chained.map(r => (r._1, r._2, r._3)).toSet ==
+      streamed.map(r => (r._1, r._2, r._3)).toSet,
+      "chained index != streamed maintained index")
+    // chain labels follow the md5 split and tile the q232 delta set
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(id: Long) = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.substring(0, 1)
+    }
+    chained.foreach { case (_, id, _, src) =>
+      val expected = hex1(id) match {
+        case "0" => "delta1"
+        case "1" | "2" => "delta2"
+        case _ => "base"
+      }
+      assert(src == expected, s"$id: chain label does not match md5 rule")
+    }
+    assert(chained.exists(_._4 == "delta1") &&
+      chained.exists(_._4 == "delta2"))
+    val streamedDelta = streamed.filter(_._4 == "delta").map(_._2).toSet
+    assert(chained.filter(r => r._4 == "delta1" || r._4 == "delta2")
+      .map(_._2).toSet == streamedDelta)
+    // ASSOCIATIVITY: the v2 release (base ∪ delta1) is the full
+    // rebuild restricted to the v2 population — released rows never
+    // moved when delta2 arrived
+    val v2 = chained.filter(_._4 != "delta2")
+    val v2Ids = v2.map(_._2).toSet
+    assert(v2.map(r => (r._1, r._2, r._3)).toSet ==
+      streamed.filter(r => v2Ids(r._2)).map(r => (r._1, r._2, r._3)).toSet,
+      "v2 release is not the rebuild restricted to its population")
+  }
 }
