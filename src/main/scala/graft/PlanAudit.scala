@@ -93,7 +93,8 @@ object PlanAudit {
     "q236_mixture_order" -> "q228's one-row fill-normalizer crossJoins (source-keyed), the q209 2-scalar tercile broadcast, and the one-row collected span-array broadcast feeding weightedInterleaveRank's closed-form rank (q230's pattern at unequal stream lengths)",
     "q237_residual_opq" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each leg's corpus/query sides (q229's fan-out) + the one-row per-layout MSE scalar crossJoins (q48's pattern)",
     "q238_pq_retrain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out, one per monitored slice) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the card is 3 rows",
-    "q239_pq_index_chain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + one per chained delta ingest); the released index is a persisted-artifact scan")
+    "q239_pq_index_chain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + one per chained delta ingest); the released index is a persisted-artifact scan",
+    "q240_pq_retrain_ladder" -> "bounded trained-centroid assignment BNLJs (q238's fan-out, one per regime row) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the ladder is 3 rows")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -122,7 +123,8 @@ object PlanAudit {
     "q234_pq_staleness", "q235_ivfpq_operating_point",
     // q237/q238 collect trained coarse cells + residual codebooks
     // (bounded artifacts) at plan time — q229's class
-    "q237_residual_opq", "q238_pq_retrain", "q239_pq_index_chain")
+    "q237_residual_opq", "q238_pq_retrain", "q239_pq_index_chain",
+    "q240_pq_retrain_ladder")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

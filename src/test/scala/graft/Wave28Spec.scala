@@ -208,4 +208,30 @@ class Wave28Spec extends SparkSpec {
       streamed.filter(r => v2Ids(r._2)).map(r => (r._1, r._2, r._3)).toSet,
       "v2 release is not the rebuild restricted to its population")
   }
+
+  test("q240 remediation ladder: strictly monotone, never back to 1 " +
+      "(retrain fixes staleness, not intrinsic hardness)") {
+    val rows = SparkEntry.queries("q240_pq_retrain_ladder")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("frozen", "retrained", "retrained_opq"))
+    // one population, scored three ways
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 > 0)
+    rows.foreach { case (rg, _, mse, ratio) =>
+      assert(mse > 0 && ratio > 1.0,
+        s"$rg: the drifted slice cannot score better than base")
+    }
+    val byR = rows.map(r => r._1 -> r._4).toMap
+    // the q238 trigger regime (same artifacts, same slice)
+    assert(byR("frozen") > 1.25, "ladder must start in the fired regime")
+    // each remediation step strictly improves: one Lloyd retrain on
+    // the post-drift corpus, then the q237 layout step on top
+    // (fixture: ~3.6 -> ~2.8 -> ~1.9)
+    assert(byR("retrained") < byR("frozen"),
+      "retraining must improve the drifted slice")
+    assert(byR("retrained_opq") < byR("retrained"),
+      "the layout step must improve on the identity retrain")
+  }
 }
