@@ -44,7 +44,6 @@ class PlanAuditSpec extends SparkSpec {
   // QueriesSpec sample (same md5-quarter + newest-10 rule, so the
   // wave under construction is ALWAYS plan-gated); GRAFT_FULL_SMOKE=1
   // restores the full registry sweep — mandatory at round close.
-  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
   private def inSample(name: String): Boolean = fullSmoke ||
     (java.security.MessageDigest.getInstance("MD5")
       .digest(name.getBytes("UTF-8"))(0) & 0xff) < 64 || {

@@ -136,6 +136,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("connectedComponents matches local union-find on random graphs") {
+    slowGate()
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
       val n = 10 + rnd.nextInt(30)
@@ -198,6 +199,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("SimHash64 property: equals a pure-Scala reference on unicode input") {
+    slowGate()
     // independent reference: bit j votes on bit (j%4) of md5 hex
     // nibble (j/4), majority rule, \s+ tokens of the lowercased text
     def ref(text: String): Long = {
@@ -223,6 +225,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("fused expressions == composed forms through the codegen runtime (batched)") {
+    slowGate()
     // one DataFrame job over 300 generated strings — exercises doGenCode,
     // not just the static compute() the other property tests call
     val in = Gen.listOfN(300, uniTexts).sample.getOrElse(Seq.fill(300)("a b c"))

@@ -25,12 +25,17 @@ class QueriesSpec extends SparkSpec {
   }
 
   private val all = SparkEntry.queries.toSeq.sortBy(_._1)
-  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
-  // first md5 byte < 64: a stable ~25% of any registry size — the
-  // sample changes only when a NAME changes, never run-to-run
+  // first md5 byte < 48: a stable ~19% of any registry size — the
+  // sample changes only when a NAME changes, never run-to-run.
+  // Eager-at-build queries (ingest loops, trainings — PlanAudit's
+  // list) are excluded from the md5 draw: each costs 5-25 s, has its
+  // own wave-spec pins, and the driver's full sweep runs it every
+  // round; the newest-10 rule below still smokes them while they ARE
+  // the wave under construction.
   private def inSample(name: String): Boolean =
-    (java.security.MessageDigest.getInstance("MD5")
-      .digest(name.getBytes("UTF-8"))(0) & 0xff) < 64
+    !PlanAudit.eagerAtBuild(name) &&
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes("UTF-8"))(0) & 0xff) < 48
   // "newest" by NUMERIC query id, not lexicographic name order —
   // takeRight on the sorted names permanently picked q90-q99 and
   // silently excluded the wave under construction (ADVICE r16 #1)
@@ -43,7 +48,7 @@ class QueriesSpec extends SparkSpec {
 
   test(s"smoke selection is deterministic and non-trivial " +
       s"(${chosen.size}/${all.size}${if (fullSmoke) ", full" else ""})") {
-    assert(chosen.size >= math.min(all.size, 40))
+    assert(chosen.size >= math.min(all.size, 30))
     assert(newest.subsetOf(chosen.map(_._1).toSet))
     // the wave under construction is IN the default gate: the
     // max-numbered registered query must be sampled

@@ -205,6 +205,7 @@ class Wave10Spec extends SparkSpec {
   }
 
   test("q160 streaming containment == q158 batch incremental, row for row") {
+    slowGate()
     // the shared DuckDB oracle already pins both; this is the direct
     // in-engine statement of the same claim (q149/q148's pattern)
     val stream = SparkEntry.queries("q160_stream_containment")(spark, sf0001)

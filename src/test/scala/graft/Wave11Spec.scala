@@ -149,6 +149,7 @@ class Wave11Spec extends SparkSpec {
   }
 
   test("q168 incremental ledger == q162 full-rebuild ledger, row for row") {
+    slowGate()
     // the DuckDB gate proves it against the oracle; this pins the two
     // Spark paths directly against each other at spec speed — the
     // maintenance-equals-rebuild claim with no oracle in the loop

@@ -12,16 +12,12 @@ import org.apache.spark.sql.functions._
   */
 class Wave13Spec extends SparkSpec {
 
-  // the four maintenance-equivalence gates below re-run full ledger
-  // builds / streaming ingest loops (~2 min combined) — full-smoke
-  // only (VERDICT r16 #7); the fast default suite keeps this wave's
-  // cheap value pins. Round close runs GRAFT_FULL_SMOKE=1.
-  private val fullSmoke = sys.env.contains("GRAFT_FULL_SMOKE")
-  private def slowGate(): Unit =
-    if (!fullSmoke) cancel("maintenance-equivalence gate runs under " +
-      "GRAFT_FULL_SMOKE=1 (round close)")
+  // the maintenance-equivalence gates in this wave re-run full
+  // ledger builds / streaming ingest loops (~2 min combined) —
+  // full-smoke only via SparkSpec.slowGate (VERDICT r16 #7)
 
   test("q172 maintained card: n_docs == the rebuild ledger's kept count") {
+    slowGate()
     val card = SparkEntry.queries("q172_maintained_card")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val kept = SparkEntry.queries("q162_curated_corpus")(spark, sf0001)
@@ -34,6 +30,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q173 diff: new side IS q172's card, delta = new - base") {
+    slowGate()
     val card = SparkEntry.queries("q172_maintained_card")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val diff = SparkEntry.queries("q173_maintained_diff")(spark, sf0001)
@@ -196,6 +193,7 @@ class Wave13Spec extends SparkSpec {
   }
 
   test("q184 OPQ-lite: balanced layout beats identity; identity pays at sub 0") {
+    slowGate()
     val rows = SparkEntry.queries("q184_opq_gain")(spark, sf0001).collect()
     assert(rows.length == 16, s"expected 16 (layout, sub) rows, got ${rows.length}")
     val id = rows.filter(_.getString(0) == "identity")

@@ -113,6 +113,7 @@ class Wave17Spec extends SparkSpec {
 
   test("q197 OPQ recall: the balanced layout beats identity on the " +
       "anisotropic fixture") {
+    slowGate()
     val rows = SparkEntry.queries("q197_opq_recall")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
     val byLayout = rows.groupBy(_._1)

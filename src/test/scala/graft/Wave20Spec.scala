@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 class Wave20Spec extends SparkSpec {
 
   test("q214 streaming mixture is row-identical to the q212 batch chain") {
+    slowGate()
     val stream = SparkEntry.queries("q214_stream_mixture")(spark, sf0001)
       .collect().map(_.toSeq).sortBy(_.head.toString)
     val batch = SparkEntry.queries("q212_doremi_chained")(spark, sf0001)

@@ -8,6 +8,7 @@ class Wave26Spec extends SparkSpec {
 
   test("q229 IVF-PQ: shared routing, recall arithmetic, residual " +
       "encoding beats flat on the trained cells (fixture pin)") {
+    slowGate()
     val rows = SparkEntry.queries("q229_ivfpq_residual")(spark, sf0001)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

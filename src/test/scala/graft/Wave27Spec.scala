@@ -86,6 +86,7 @@ class Wave27Spec extends SparkSpec {
 
   test("q234 PQ staleness: the crowd-out theorem, the gain identity, " +
       "and maintenance recovers delta truth somewhere (fixture pin)") {
+    slowGate()
     val rows = SparkEntry.queries("q234_pq_staleness")(spark, sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -109,6 +110,7 @@ class Wave27Spec extends SparkSpec {
 
   test("q235 IVF-PQ operating point: nested candidate sets, and the " +
       "nProbe=4 row is value-identical to q229's residual leg") {
+    slowGate()
     val rows = SparkEntry.queries("q235_ivfpq_operating_point")(
         spark, sf0001)
       .collect()
