@@ -107,6 +107,19 @@ class Wave28Spec extends SparkSpec {
             s"phase $phase $src: repeated sequence reuses a draw")
         }
       }
+      // RESUME contract at the weighted rung (q230's suffix ≡ tail):
+      // the suffix recomputed from a cursor's (fraction, source) key
+      // alone — no global state — equals the tail of the phase block,
+      // so a (phase, src_pos-per-source) cursor restarts a loader
+      val cur = sorted(sorted.length / 3)
+      def after(a: (Long, Long, String, Long, Long, Long, String)) = {
+        val l = (a._6 + 1) * n(cur._3); val r = (cur._6 + 1) * n(a._3)
+        l > r || (l == r && a._3 > cur._3)
+      }
+      val resumed = ph.filter(after).sortBy(_._1)
+      val tail = sorted.drop(sorted.length / 3 + 1)
+      assert(resumed.toSeq == tail.toSeq,
+        s"phase $phase: cursor-key resume does not reproduce the suffix")
     }
   }
 
