@@ -132,10 +132,17 @@ object Bench {
       .map(_._1).toSet
     val calRetry = if (flagged.nonEmpty) calibrate() else -1.0
     val byName = bench.toMap
+    // ADVICE r17 #4: min-of-passes is one-sided (totals bias downward
+    // vs pre-r17 single-pass anchors), so record BOTH passes' medians
+    // and which was chosen per flagged row — cross-round diffs can
+    // then normalize to first-pass values against older anchors
+    val healLog =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val results = firstPass.map { case (name, times, probes) =>
       if (!flagged(name)) (name, times, probes)
       else {
         val (t2, p2) = measure(byName(name))
+        healLog += ((name, medOf(times), medOf(t2)))
         if (medOf(t2) < medOf(times)) (name, t2, p2)
         else (name, times, probes)
       }
@@ -182,12 +189,20 @@ object Bench {
     val detailProbes = results
       .map { case (k, _, ps) => "\"" + short(k) + "\":" + fmt(med(ps)) }
       .mkString("{", ",", "}")
+    // both passes of every flagged row, keyed like queries/probes;
+    // "chosen" names the pass whose runs the queries map reports
+    val detailHeal = healLog
+      .map { case (k, m1, m2) =>
+        "\"" + short(k) + "\":{\"first\":" + fmt(m1) + ",\"retry\":" +
+          fmt(m2) + ",\"chosen\":\"" +
+          (if (m2 < m1) "retry" else "first") + "\"}" }
+      .mkString("{", ",", "}")
     val detailJson =
       s"""{"total":${fmt(total3)},"runs":$runs,"cal":[${fmt(calPre)},""" +
         s"""${fmt(calPost)}],"load":[${fmt1(loadPre)},""" +
         s"""${fmt1(loadPost)}],"retried":$retried,""" +
-        s""""cal_retry":${fmt(calRetry)},"queries":$detailQs,""" +
-        s""""probes":$detailProbes}"""
+        s""""cal_retry":${fmt(calRetry)},"heal":$detailHeal,""" +
+        s""""queries":$detailQs,"probes":$detailProbes}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detailJson + "\n").getBytes("UTF-8"))

@@ -94,7 +94,11 @@ object PlanAudit {
     "q237_residual_opq" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on each leg's corpus/query sides (q229's fan-out) + the one-row per-layout MSE scalar crossJoins (q48's pattern)",
     "q238_pq_retrain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out, one per monitored slice) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the card is 3 rows",
     "q239_pq_index_chain" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + one per chained delta ingest); the released index is a persisted-artifact scan",
-    "q240_pq_retrain_ladder" -> "bounded trained-centroid assignment BNLJs (q238's fan-out, one per regime row) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the ladder is 3 rows")
+    "q240_pq_retrain_ladder" -> "bounded trained-centroid assignment BNLJs (q238's fan-out, one per regime row) + the one-row base-MSE reference scalar crossJoin (q48's pattern); the ladder is 3 rows",
+    "q241_mixture_append" -> "q236's bounded broadcasts twice (frozen 2-scalar terciles, fill normalizers, per-block collected span arrays feeding the weighted closed form) + the one-row released-total cursor scalar and the (phase, source)-bounded released-count broadcast (q233's cursor pattern in the weighted geometry)",
+    "q242_stream_opq_index" -> "q232's bounded trained-centroid assignment BNLJ (16 collected rows) inside the frozen perm-layout encode — the base-index artifact write on a cold session and each micro-batch's own encode; everything else is a persisted-artifact scan",
+    "q243_adc_rerank" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the shortlist's corpus/query sides (q237's fan-out); the exact re-rank joins are id-keyed against the bounded |Q|x10 shortlist broadcast",
+    "q244_order_tombstones" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q230's allowlisted pattern; the mask accounting adds only keyed aggregates and shard-partitioned windows)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -124,7 +128,11 @@ object PlanAudit {
     // q237/q238 collect trained coarse cells + residual codebooks
     // (bounded artifacts) at plan time — q229's class
     "q237_residual_opq", "q238_pq_retrain", "q239_pq_index_chain",
-    "q240_pq_retrain_ladder")
+    "q240_pq_retrain_ladder",
+    // q242 collects the frozen OPQ bundle + runs its ingest loop at
+    // plan time (q232's class); q243 collects the aniso trained
+    // artifacts (q237's class)
+    "q242_stream_opq_index", "q243_adc_rerank")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

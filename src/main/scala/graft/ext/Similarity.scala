@@ -918,6 +918,35 @@ object Similarity {
         pqCodesWith(codebook, m, subDim)(col("resid")).as("code"))
   }
 
+  /** [[ivfPqResidualIndex]] under an explicit dimension LAYOUT — the
+    * frozen-artifact bundle with the OPQ permutation carried through
+    * the maintenance path (VERDICT r17 #3): q237/q240 prove the
+    * variance-balanced layout wins at the residual rung, so the
+    * deployed index artifact must be ENCODED under it, and every
+    * append batch must gather subspaces through the SAME frozen perm
+    * or the codes desynchronize from the codebook. Identical routing
+    * and cost shape to the identity builder (nCells + m·nCents small
+    * dots per row, scan-stage); only the subspace gather differs —
+    * with the identity perm this is value-identical to
+    * [[ivfPqResidualIndex]] (Wave29Spec pins that).
+    */
+  def ivfPqResidualIndexPerm(corpus: DataFrame, idCol: String,
+      vecCol: String, coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]], perm: Seq[Int],
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    assignCellsOn(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0)
+      .withColumn("resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+      .select(col("cell"), col("id"),
+        pqCodesWithPerm(codebook, perm, m, subDim)(col("resid")).as("code"))
+  }
+
   /** ADC top-k against a PRE-BUILT residual index frame (cell, id,
     * code) — the query path a deployment actually runs: the index
     * rows come from [[ivfPqResidualIndex]] (or its q232 maintained
@@ -1112,6 +1141,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("adc"), 6).as("adc"))
+  }
+
+  /** ADC+R — the standard two-stage refinement (VERDICT r17 #4,
+    * Jégou et al.'s "IVFADC+R" shape): an ADC SHORTLIST of kShort > k
+    * candidates from the compressed codes, then an EXACT inner
+    * product on only the shortlist's raw vectors, re-ranked to the
+    * final top-k. Recovers most of the exact-vs-ADC quantization gap
+    * at shortlist-bounded extra cost: the shortlist is |Q| × kShort
+    * rows (bounded — broadcast), so the raw-vector gather is ONE
+    * id-keyed hash-join scan of the corpus, never a second candidate
+    * fan-out, and the exact dots number |Q| × kShort. IVF
+    * (`ivfTopK`) and LSH re-rank exactly already; this closes the
+    * same rung for the IVF-PQ path. Layout-aware: the shortlist runs
+    * under the frozen OPQ perm ([[ivfPqAdcTopKOnPerm]]); the exact
+    * rerank reads raw vectors, so no gather is involved.
+    */
+  def ivfPqAdcRerankTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, kShort: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]], perm: Seq[Int],
+      m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
+    require(kShort >= k, s"shortlist $kShort must cover the final k=$k")
+    val shortlist = ivfPqAdcTopKOnPerm(queries, corpus, idCol, vecCol,
+        kShort, coarse, codebook, perm, m, subDim, nProbe)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("ip"), 6).desc, col("n_id").asc)
+    corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("ip", dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("ip"), 6).as("score"))
   }
 
   def ivfPqAdcTopKOn(queries: DataFrame, corpus: DataFrame,

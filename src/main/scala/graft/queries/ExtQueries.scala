@@ -1698,6 +1698,50 @@ object ExtQueries {
       out
     })
 
+  /** The FROZEN residual-OPQ bundle for the REAL embeddings fixture
+    * (VERDICT r17 #3), memoized per input dir: the q232 base-trained
+    * coarse cells, the variance-balanced layout dealt from the BASE
+    * residual frame's per-dim variances (what the deployed codebook
+    * actually spans — [[anisoResidualBase]]'s rule on the production
+    * population), and the residual codebook trained UNDER that
+    * layout on the base residuals. This is the artifact bundle a
+    * deployment freezes at release: q242's streaming maintenance
+    * appends delta batches encoded through the SAME frozen perm, so
+    * maintenance ≡ rebuild continues to hold with the permutation
+    * carried. All bounded collects (16×64 + 64 + 1024 doubles — the
+    * [[ivfPqTrained]] discipline).
+    */
+  private val ivfOpqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Seq[Double])], Seq[Int], Seq[(Int, Int, Seq[Double])])]()
+
+  private[graft] def ivfPqOpqTrained(s: SparkSession, d: String):
+      (Seq[(Int, Seq[Double])], Seq[Int], Seq[(Int, Int, Seq[Double])]) =
+    ivfOpqCache.computeIfAbsent(d, { _ =>
+      val (coarse, _) = ivfPqTrained(s, d, baseOnly = true)
+      // the exact training population ivfPqTrained(base) saw: the
+      // oracle's usableVec contract + the md5 base rule
+      val baseEmb = Tables.embeddings(s, d)
+        .filter(expr(
+          """aggregate(zip_with(CAST(embedding AS array<double>),
+             CAST(embedding AS array<double>), (p, q) -> p * q),
+             0D, (a, v) -> a + v) > 0"""))
+        .filter(!substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2"))
+      val rf = graft.util.Persist(residualFrameOf(baseEmb, coarse))
+      val aggs = (0 until 64).map(i =>
+        round(var_pop(element_at(col("resid"), i + 1)), 6).as(s"v$i"))
+      val r = rf.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val perm = Similarity.balancedLayout((0 until 64).map(r.getDouble))
+      val cb = Similarity.pqTrainIterationPerm(rf, "vec_id", "resid", perm)
+        .collect()
+        .groupBy(x => (x.getLong(0).toInt, x.getLong(1).toInt))
+        .map { case ((sub, c), rows) =>
+          (sub, c, rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq) }
+        .toSeq.sortBy(x => (x._1, x._2))
+      rf.unpersist()
+      (coarse, perm, cb)
+    })
+
 
   /** q96's 5-round BPE trainer loop, factored out so q122 can APPLY
     * the trained merge table. Each round: pair stats over the
@@ -1956,8 +2000,23 @@ object ExtQueries {
     * Counts beyond 16 would also widen the 1-hex-char hash prefix the
     * rule draws from — the rule is honest only for nShards ≤ 16.
     */
-  private[graft] val orderShards: Int =
-    sys.env.get("GRAFT_ORDER_SHARDS").map(_.toInt).getOrElse(8)
+  private[graft] val orderShards: Int = {
+    val raw = sys.env.get("GRAFT_ORDER_SHARDS")
+    val n = try raw.map(_.trim.toInt).getOrElse(8)
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GRAFT_ORDER_SHARDS must be an integer in [1, 16], got " +
+          s"'${raw.getOrElse("")}'")
+    }
+    // the shard rule draws from ONE hex char of the md5 prefix:
+    // n <= 0 breaks the pmod/% rule outright, and n > 16 would leave
+    // shards 16..n-1 permanently empty (16 distinct draws can never
+    // cover them) — fail loudly at load instead (ADVICE r17 #1)
+    require(n >= 1 && n <= 16,
+      s"GRAFT_ORDER_SHARDS must be in [1, 16] (the shard rule draws " +
+        s"from a 1-hex-char md5 prefix — 16 distinct values), got $n")
+    n
+  }
 
   /** CLOSED-FORM round-robin rank (VERDICT r16 #1): the global
     * training-order position of a sequence is pure per-row arithmetic
@@ -2011,11 +2070,17 @@ object ExtQueries {
     * plus the exact-tie sources before s: (k+1)·n_{s'} ≡ 0 mod n_s.
     * `manifest` needs (phase, source, src_pos, dn = own row count);
     * `spans` is (phase, source, n), phase×source-cardinality-bounded.
-    * Scale note: the cross products reach (rows-per-source)², ~4e18
-    * at a trillion-token source — a production deployment widens the
-    * lambda to DECIMAL(38,0) (DuckDB: HUGEINT); the fixture stays in
-    * longs. Wave28Spec pins arithmetic ≡ exact-fraction sort
-    * row-for-row and the prefix-share tracking bound.
+    * Scale note (VERDICT r17 #1): the cross products reach
+    * (rows-per-source)² — ~4e18 at a trillion-token source, PAST
+    * Long.MaxValue (9.2e18) once a source holds ~3e9 rows, which a
+    * 100 TB corpus with one dominant source does — so the
+    * cross-multiplication runs in DECIMAL(38,0) (DuckDB: HUGEINT).
+    * Long² caps at ~8.5e37 < 10³⁸−1, so the widened product can
+    * NEVER overflow; the quotient/tie terms fall back to longs
+    * (`div` on decimals yields BIGINT, and the quotient is ≤ x.n, a
+    * row count). Wave28Spec pins arithmetic ≡ exact-fraction sort
+    * row-for-row; Wave29Spec pins the overflow regime against BigInt
+    * on synthetic spans with n·src_pos past 2⁶³.
     */
   private[graft] def weightedInterleaveRank(manifest: DataFrame,
       spans: DataFrame): DataFrame = {
@@ -2025,8 +2090,10 @@ object ExtQueries {
     manifest.crossJoin(broadcast(arr))
       .withColumn("phase_pos", expr(
         """aggregate(spans, 0L, (acc, x) -> acc + IF(x.p = phase,
-             least(((src_pos + 1L) * x.n - 1L) div dn, x.n)
-             + IF(x.s < source AND ((src_pos + 1L) * x.n) % dn = 0L,
+             least((CAST(src_pos + 1L AS DECIMAL(20,0)) * x.n - 1L)
+               div dn, x.n)
+             + IF(x.s < source AND
+                  (CAST(src_pos + 1L AS DECIMAL(20,0)) * x.n) % dn = 0L,
                   1L, 0L),
              0L))"""))
       .drop("spans")
@@ -8224,6 +8291,319 @@ object ExtQueries {
         .select(col("regime"), col("n_vecs"), col("shifted_mse"),
           round(col("shifted_mse") / col("base_mse"), 6).as("mse_ratio"))
         .orderBy(col("regime"))
+    }),
+
+    // ---- the MIXTURE-ORDER APPEND CONTRACT (VERDICT r17 #2): q233
+    //      freezes released positions for the UNIFORM interleave;
+    //      q236 emits the weighted mixture order but had no
+    //      corpus-growth story — a loader mid-run through the
+    //      COMMITTED mixture had no released-position-freeze
+    //      guarantee. This card composes the two: EVERYTHING the v1
+    //      release committed is FROZEN (the q193/q232 frozen-artifact
+    //      discipline applied to the ORDER) — the tercile thresholds
+    //      (computed on v1 quality scores), the water-fill epochs
+    //      (the committed mixture, filled on v1 token counts at the
+    //      q236 2.0× budget), and every released (src_pos,
+    //      global_pos) verbatim. The delta ingest classifies its docs
+    //      under the FROZEN thresholds, packs its own fold with seq
+    //      ids offset past the released per-(phase, source) max
+    //      (q233's cursor discipline at the composite key), replays
+    //      the FROZEN epochs on its own sequence counts, and
+    //      interleaves as its OWN weighted-geometry block — fractions
+    //      are relative to a block's n, so the appended block
+    //      realizes the committed mixture ON THE GROWTH, phase blocks
+    //      low→high among themselves, positioned after ALL released
+    //      rows. A loader that consumed v1 to completion resumes at
+    //      cursor |v1| and reads ONLY appended rows (absolute
+    //      src_pos continues per (phase, source) for the per-source
+    //      cursor). No total-order window anywhere: both blocks rank
+    //      through weightedInterleaveRank's DECIMAL-widened closed
+    //      form; cursor state = bounded count frames, broadcast ----
+    "q241_mixture_append" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val isD = isDeltaDoc(col("doc_id"))
+      // FROZEN v1 artifacts: thresholds + the committed mixture
+      val q = docQuality(s, d)
+      val th = sourceQuantiles(q.filter(!isD),
+          Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+          keys = Seq.empty, valueCol = "quality_score")
+        .select(col("t1"), col("t2"))
+      val fill = waterFillAlloc(
+          Tables.documents(s, d).filter(!isD)
+            .select(col("source"),
+              size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+            .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+            .filter(col("n_tokens") > 0)
+            .select(col("source").as("lang"), col("n_tokens")), Seq(2.0))
+        .select(col("lang").as("source"), col("final_epochs"))
+      // every doc phased under the FROZEN v1 thresholds
+      val nt = Tables.documents(s, d).select(col("doc_id"),
+        size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val ph = q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
+        .withColumn("phase",
+          when(col("quality_score") <= col("t1"), 1L)
+            .when(col("quality_score") <= col("t2"), 2L)
+            .otherwise(3L))
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      // released fold (v1 alone) + the delta fold with its seq ids
+      // offset past the released per-(phase:source) max (q233)
+      val relPack = graft.util.Persist(ffdPack(ph.filter(!isD)))
+      val seq0 = relPack.groupBy(col("source"))
+        .agg((max(col("seq_id")) + 1).as("seq0"))
+      val delPack = ffdPack(ph.filter(isD))
+        .join(broadcast(seq0), Seq("source"), "left")
+        .withColumn("seq_id", col("seq_id") + coalesce(col("seq0"), lit(0L)))
+        .drop("seq0")
+      def seqsOf(df: DataFrame) = df.groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("n_kept")).as("kept_tokens"))
+        .select(split(col("source"), ":").getItem(0).cast("long").as("phase"),
+          split(col("source"), ":").getItem(1).as("source"),
+          col("seq_id"), col("kept_tokens"))
+      // one mixture-ordered block (q236's body): frozen epochs
+      // replayed on the block's OWN counts, per-epoch draws, the
+      // weighted closed-form rank, phase blocks concatenated
+      def orderedBlock(seqs: DataFrame): DataFrame = {
+        val np = seqs.groupBy(col("phase"), col("source"))
+          .agg(count(lit(1)).as("n_ps"))
+        val ep = np.join(fill, Seq("source"))
+          .withColumn("fe", floor(col("final_epochs")))
+          .withColumn("n_part", floor(round(
+            (col("final_epochs") - floor(col("final_epochs")).cast("double"))
+              * col("n_ps").cast("double"), 6)))
+          .select(col("phase"), col("source"), col("fe"), col("n_part"))
+        val wEp = Window.partitionBy(col("phase"), col("source"), col("epoch"))
+          .orderBy(col("draw"), col("seq_id"))
+        val wSrc = Window.partitionBy(col("phase"), col("source"))
+          .orderBy(col("epoch"), col("draw"), col("seq_id"))
+        val rows = graft.util.Persist(
+          seqs.join(broadcast(ep), Seq("phase", "source"))
+            .withColumn("epoch", explode(sequence(lit(0L), col("fe"))))
+            .withColumn("draw", substring(md5(concat_ws(":",
+              lit("graft-order-v2"), col("epoch").cast("string"),
+              col("phase").cast("string"), col("source"),
+              col("seq_id").cast("string"))), 1, 8))
+            .withColumn("er", row_number().over(wEp).cast("long"))
+            .filter(col("epoch") < col("fe") || col("er") <= col("n_part"))
+            .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
+            .select(col("phase"), col("source"), col("seq_id"), col("epoch"),
+              col("kept_tokens"), col("draw"), col("src_pos")))
+        val spans = rows.groupBy(col("phase"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val wPh = Window.orderBy(col("phase"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val phOff = spans.groupBy(col("phase")).agg(sum(col("n")).as("np"))
+          .withColumn("poff", coalesce(sum(col("np")).over(wPh), lit(0L)))
+          .select(col("phase"), col("poff"))
+        weightedInterleaveRank(
+            rows.join(broadcast(spans.withColumnRenamed("n", "dn")),
+              Seq("phase", "source")),
+            spans)
+          .join(broadcast(phOff), Seq("phase"))
+          .withColumn("block_pos", col("phase_pos") + col("poff"))
+      }
+      val rel = orderedBlock(seqsOf(relPack))
+      // cursor state: released per-(phase, source) counts + the
+      // released grand total — bounded frames, broadcast
+      val relPs = rel.groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("rc"))
+      val relTot = rel.agg(count(lit(1)).as("tc"))
+      val app = orderedBlock(seqsOf(delPack))
+        .join(broadcast(relPs), Seq("phase", "source"), "left")
+        .withColumn("src_pos", col("src_pos") + coalesce(col("rc"), lit(0L)))
+        .drop("rc")
+        .crossJoin(broadcast(relTot))
+        .withColumn("block_pos", col("block_pos") + col("tc"))
+        .drop("tc")
+      rel.withColumn("origin", lit("released"))
+        .unionByName(app.withColumn("origin", lit("appended")))
+        .select(col("block_pos").as("global_pos"), col("phase"),
+          col("source"), col("seq_id"), col("epoch"), col("src_pos"),
+          col("kept_tokens"), col("draw"), col("origin"))
+        .orderBy(col("global_pos"))
+    }),
+
+    // ---- STREAMING IVF-PQ maintenance under the FROZEN OPQ LAYOUT
+    //      (VERDICT r17 #3): q232/q239 freeze and append under the
+    //      IDENTITY layout while q237/q240 prove the variance-
+    //      balanced layout wins at the residual rung — so the
+    //      deployed frozen-artifact bundle must CARRY the
+    //      permutation. Same loop as q232 (base batch-build of the
+    //      persisted index, 4-micro-batch delta file stream, each
+    //      batch appended through the idempotent batch_id-partitioned
+    //      K2 sink), but the bundle is (coarse, perm, codebook):
+    //      the layout is dealt ONCE from the BASE residual variances
+    //      and the codebook trained under it on the base residuals
+    //      ([[ivfPqOpqTrained]]); every append batch gathers
+    //      subspaces through the SAME frozen perm, or its codes
+    //      would desynchronize from the codebook. The oracle replays
+    //      base training + the layout deal + a FULL whole-corpus
+    //      encode under the frozen bundle — maintenance ≡ rebuild
+    //      with the permutation carried ----
+    "q242_stream_opq_index" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val (coarse, perm, cbRows) = ivfPqOpqTrained(s, d)
+      val cb = codebookMap(cbRows)
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q242_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndexPerm(
+            emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", coarse, cb, perm)
+          .write.mode("overwrite").parquet(p)
+      }
+      val baseIdx = s.read.parquet(idxDir)
+      val delta = emb.filter(isDelta(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val in = CoreQueries.sharedInputDir(
+        s"graft_q242_in_${(d.hashCode & 0x7fffffff).toHexString}") { p =>
+        delta.repartition(4).write.mode("overwrite").parquet(p)
+      }
+      val dir = CoreQueries.tempQueryDir("graft_q242_sopq_")
+      val out = s"$dir/out"; val ck = s"$dir/ck"
+      val stream = graft.streaming.Streaming.eventsStream(s, in, delta.schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val qy = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             id: Long) =>
+            graft.streaming.Streaming.writeBatch(
+              Similarity.ivfPqResidualIndexPerm(batch.toDF(), "vec_id",
+                "embedding", coarse, cb, perm), id, out, append = true)
+          }.start()
+        try qy.processAllAvailable() finally qy.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("cell"), col("id"), col("code"))
+        .withColumn("src", lit("delta"))
+        .unionByName(baseIdx.select(col("cell"), col("id"), col("code"))
+          .withColumn("src", lit("base")))
+        .select(col("cell"), col("id").as("vec_id"),
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code"), col("src"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- ADC+R exact re-rank (VERDICT r17 #4): IVF and LSH re-rank
+    //      their candidates exactly; the IVF-PQ path returned raw ADC
+    //      order. This card adds the standard two-stage (IVFADC+R):
+    //      ADC shortlist of k′ = 10 > k = 3 from the compressed
+    //      codes, then the EXACT inner product on only the
+    //      shortlist's raw vectors, re-ranked to the final top-3 —
+    //      gated against the pure-ADC leg on the aniso rehearsal
+    //      fixture under the IDENTITY residual codebook (where the
+    //      quantization gap is widest — q237's 0.11 recall leg), so
+    //      the recovery the rerank buys is measurable and engaged.
+    //      Cost shape: the shortlist is |Q| × k′ rows (bounded,
+    //      broadcast), the raw gather ONE id-keyed join scan, the
+    //      exact dots |Q| × k′ — shortlist-bounded, never a second
+    //      candidate fan-out. Same trained coarse cells on both legs
+    //      → identical candidates; the delta is pure re-scoring ----
+    "q243_adc_rerank" -> ((s, d) => {
+      val aniso = anisoEmb(s, d)
+      val q = aniso.filter(col("vec_id") < 50)
+      val (coarse, _) = anisoResidualBase(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val cb = codebookMap(anisoResidualCb(s, d, "identity", identity))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def leg(name: String, kShort: Long, ap: DataFrame) = {
+        val a = ap.select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(a,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .select(lit(name).as("leg"), lit(kShort).as("k_short"),
+            col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"))
+      }
+      val adc = Similarity.ivfPqAdcTopKOnPerm(q, aniso, "vec_id", "vec",
+        k = 3, coarse, cb, identity)
+      val rr = Similarity.ivfPqAdcRerankTopK(q, aniso, "vec_id", "vec",
+        k = 3, kShort = 10, coarse, cb, identity)
+      leg("adc", 3L, adc).unionByName(leg("adc_rerank", 10L, rr))
+        .orderBy(col("leg"))
+    }),
+
+    // ---- TOMBSTONES for the packed/order manifest (VERDICT r17 #7):
+    //      q219 proves deletion maintenance for the cell index; the
+    //      packing/order family had no delete story — a doc dropped
+    //      post-release (takedown, licensing, PII) left its tokens in
+    //      released sequences forever. The remedy mirrors released-
+    //      rows-are-immutable: positions NEVER move (global_pos /
+    //      shard_offset / src_pos are q230's verbatim — a loader's
+    //      cursor survives the deletion); instead the tombstoned
+    //      doc's (offset_in_seq, n_kept) spans are MASKED in the
+    //      manifest — the loader skips masked spans at read time (the
+    //      q180 span-excision discipline applied to the packed
+    //      artifact). Output per released sequence: the unchanged
+    //      order row + n_masked_docs / masked_tokens / live_tokens
+    //      and the masked-span fingerprint (md5 of the ordered
+    //      offset:len list — pins the EXACT spans, not just counts),
+    //      plus per-shard loss accounting (the shard-window sums a
+    //      capacity plan reads). Conservation — masked + live = kept,
+    //      per row and per shard — is Wave29Spec-pinned. Tombstone
+    //      rule: md5 first hex 'f' (~1/16 of docs), orthogonal to the
+    //      0/1/2 delta rule so the two lifecycles compose ----
+    "q244_order_tombstones" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TA.normWords(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val tomb = substring(md5(col("doc_id").cast("string")), 1, 1) === "f"
+      // the q230 sequence frame + the per-sequence mask accounting in
+      // ONE aggregate over the packing fold (offset_in_seq/n_kept are
+      // exactly the span a tombstone masks)
+      val seqs = graft.util.Persist(ffdPack(docs)
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_kept")).as("kept_tokens"),
+          count(when(tomb, lit(1))).as("n_masked_docs"),
+          coalesce(sum(when(tomb, col("n_kept"))), lit(0L))
+            .as("masked_tokens"),
+          substring(md5(concat_ws(",", transform(
+            sort_array(collect_list(when(tomb,
+              struct(col("offset_in_seq").as("o"), col("n_kept").as("t"))))),
+            x => concat_ws(":", x.getField("o"), x.getField("t"))))), 1, 16)
+            .as("masked_spans_fp"))
+        .withColumn("draw", substring(md5(concat_ws(":",
+          lit("graft-order-v1"), col("source"),
+          col("seq_id").cast("string"))), 1, 8))
+        .withColumn("shard_id",
+          pmod(conv(substring(md5(concat_ws(":", col("source"),
+            col("seq_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+            lit(orderShards.toLong)))
+        .withColumn("src_pos", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("draw"), col("seq_id"))).cast("long") - 1))
+      val spans = seqs.groupBy(col("source"))
+        .agg(lit(0L).as("lo"), count(lit(1)).as("n"))
+      val wShard = Window.partitionBy(col("shard_id"))
+        .orderBy(col("src_pos"), col("source"))
+      val wSh = Window.partitionBy(col("shard_id"))
+      interleaveRank(seqs, spans)
+        .withColumn("shard_offset",
+          row_number().over(wShard).cast("long") - 1)
+        .withColumn("live_tokens", col("kept_tokens") - col("masked_tokens"))
+        .withColumn("shard_masked_tokens",
+          sum(col("masked_tokens")).over(wSh))
+        .withColumn("shard_live_tokens", sum(col("live_tokens")).over(wSh))
+        .select(col("global_pos"), col("source"), col("seq_id"),
+          col("shard_id"), col("shard_offset"), col("src_pos"),
+          col("n_docs"), col("kept_tokens"), col("n_masked_docs"),
+          col("masked_tokens"), col("live_tokens"), col("masked_spans_fp"),
+          col("shard_masked_tokens"), col("shard_live_tokens"))
+        .orderBy(col("global_pos"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -8595,11 +8975,11 @@ object ExtQueries {
            JOIN ${px}code k ON k.vec_id = pr.n_id
            JOIN ${px}rc r ON r.sub = k.sub AND r.c = k.c
            JOIN ${px}qsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
-         ${px}ap AS (SELECT q_id, n_id FROM (
-             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
-               ORDER BY round(adc, 6) DESC, n_id) AS rank
+         ${px}rkd AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY
+               q_id ORDER BY round(adc, 6) DESC, n_id) AS rank
              FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
-               FROM ${px}tm GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+               FROM ${px}tm GROUP BY q_id, n_id) a),
+         ${px}ap AS (SELECT q_id, n_id FROM ${px}rkd WHERE rank <= 3),
          ${px}mk AS (SELECT s.vec_id, s.sub, s.sv, r.c,
              list_inner_product(r.rvec, r.rvec)
                - 2 * list_inner_product(s.sv, r.rvec) AS key
@@ -13080,9 +13460,10 @@ object ExtQueries {
            GROUP BY 1, 2),
          mpos AS (SELECT r.phase, r.source, r.seq_id, r.epoch,
              r.kept_tokens, r.draw, r.src_pos,
-             SUM(LEAST(((r.src_pos + 1) * s.n - 1) // rn.n, s.n)
+             SUM(LEAST((CAST(r.src_pos + 1 AS HUGEINT) * s.n - 1) // rn.n,
+                 s.n)
                + CASE WHEN s.source < r.source
-                   AND ((r.src_pos + 1) * s.n) % rn.n = 0
+                   AND (CAST(r.src_pos + 1 AS HUGEINT) * s.n) % rn.n = 0
                  THEN 1 ELSE 0 END) AS phase_pos
            FROM msp r
            JOIN mspan rn ON rn.phase = r.phase AND rn.source = r.source
@@ -13292,7 +13673,245 @@ object ExtQueries {
          SELECT 'retrained_opq', n_vecs, shifted_mse,
            round(shifted_mse / (SELECT frozen_mse FROM fbm8), 6)
          FROM om8
-         ORDER BY regime""")
+         ORDER BY regime""",
+    // FROZEN v1 artifacts (terciles + fill on the v1 slice), every
+    // doc phased under them, two packing folds with the q233
+    // composite-key seq offset, one mixtureBlockSqlFor per block,
+    // appended positions offset past the released cursor counts
+    "q241_mixture_append" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         ath AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2
+           FROM sc WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${waterFillSqlFor("aw",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')",
+           keyCol = "source", budgetX = "2.0")},
+         acnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         aph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN acnt USING (doc_id), ath),
+         ${ffdFoldSqlFor("ar",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("ad",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1', '2')""")},
+         ar0 AS (SELECT source, seq_id, CAST(SUM(t) AS BIGINT)
+             AS kept_tokens
+           FROM arfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         as0 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM ar0 GROUP BY 1),
+         ad0 AS (SELECT source, seq_id, CAST(SUM(t) AS BIGINT)
+             AS kept_tokens
+           FROM adfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         arq AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id, kept_tokens
+           FROM ar0),
+         adq AS (SELECT CAST(str_split(o.source, ':')[1] AS BIGINT)
+               AS phase,
+             str_split(o.source, ':')[2] AS source,
+             o.seq_id + COALESCE(s.s0, 0) AS seq_id, o.kept_tokens
+           FROM ad0 o LEFT JOIN as0 s ON o.source = s.source),
+         ${mixtureBlockSqlFor("br", "arq", "awout")},
+         ${mixtureBlockSqlFor("bd", "adq", "awout")},
+         crc AS (SELECT phase, source, COUNT(*) AS rc FROM brsp
+           GROUP BY 1, 2),
+         ctc AS (SELECT COUNT(*) AS tc FROM brsp)
+         SELECT CAST(p.phase_pos + o.poff AS BIGINT) AS global_pos,
+           p.phase, p.source, p.seq_id, CAST(p.epoch AS BIGINT) AS epoch,
+           CAST(p.src_pos AS BIGINT) AS src_pos, p.kept_tokens, p.draw,
+           'released' AS origin
+         FROM brps p JOIN bro2 o ON o.phase = p.phase
+         UNION ALL
+         SELECT CAST(p.phase_pos + o.poff + tc AS BIGINT), p.phase,
+           p.source, p.seq_id, CAST(p.epoch AS BIGINT),
+           CAST(p.src_pos + COALESCE(rc, 0) AS BIGINT), p.kept_tokens,
+           p.draw, 'appended'
+         FROM bdps p JOIN bdo2 o ON o.phase = p.phase
+         LEFT JOIN crc ON crc.phase = p.phase AND crc.source = p.source,
+           ctc
+         ORDER BY global_pos""",
+    // the q232 rebuild replay with the frozen OPQ bundle: base
+    // training, the layout dealt from the BASE residual variances
+    // (q240's snake rule on brv), the codebook trained UNDER the
+    // perm on the base residuals, then a whole-corpus perm-gathered
+    // encode — maintenance == rebuild with the permutation carried
+    "q242_stream_opq_index" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         sdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         qvr AS (SELECT dim, round(var_pop(rvecd[dim + 1]), 6) AS v
+           FROM brv CROSS JOIN sdims GROUP BY dim),
+         qrk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1
+             AS r FROM qvr),
+         qbmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM qrk),
+         qsv AS (SELECT r.n_id AS vec_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM brv r CROSS JOIN qbmap m
+           WHERE list_inner_product(r.rvecd, r.rvecd) > 0
+           GROUP BY r.n_id, m.sub),
+         qk0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM qsv s JOIN pqc p ON p.sub = s.sub),
+         qcd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM qk0) t WHERE rn = 1),
+         qref AS (SELECT cd.sub, cd.c, poss.pos,
+             round(avg(cd.sv[poss.pos + 1]), 6) AS cv
+           FROM qcd cd CROSS JOIN poss GROUP BY 1, 2, 3),
+         qrc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM qref GROUP BY 1, 2),
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         esv AS (SELECT r.n_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM erv r CROSS JOIN qbmap m GROUP BY r.n_id, m.sub),
+         ecd AS (SELECT n_id, sub, c FROM (
+           SELECT s.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY s.n_id, b.sub
+               ORDER BY round(list_inner_product(b.rvec, b.rvec)
+                 - 2 * list_inner_product(s.sv, b.rvec), 6), b.c) AS rn
+           FROM esv s JOIN qrc b ON b.sub = s.sub) t WHERE rn = 1),
+         epos AS (SELECT sub, c,
+             ROW_NUMBER() OVER (PARTITION BY sub ORDER BY c) - 1 AS p
+           FROM qrc),
+         ecsv AS (SELECT n_id,
+             string_agg(CAST(p AS VARCHAR), ',' ORDER BY ecd.sub) AS code
+           FROM ecd JOIN epos ON epos.sub = ecd.sub AND epos.c = ecd.c
+           GROUP BY n_id)
+         SELECT ea.cell, ea.n_id AS vec_id, ecsv.code,
+           CASE WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS src
+         FROM ea JOIN ecsv ON ecsv.n_id = ea.n_id
+         ORDER BY vec_id""",
+    // the q237 identity-leg scaffold (aniso corpus, trained coarse
+    // routing, identity residual codebook, fenced exact-IP truth),
+    // the ADC ranks kept to 10 for the shortlist, then the exact
+    // inner-product re-rank over the shortlist's raw vectors
+    "q243_adc_rerank" -> s"""
+         WITH $anisoCtes,
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         ${ivfPqTrainSqlFor("w7", "au")},
+         rimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM au
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, cell, cd FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, w7cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.cd, ca.n_id
+           FROM qa JOIN w7ca ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, au cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         ${residOpqSqlFor("ri", "rimap")},
+         rsh AS (SELECT q_id, n_id FROM rirkd WHERE rank <= 10),
+         rrx AS (SELECT s.q_id, s.n_id,
+             ROW_NUMBER() OVER (PARTITION BY s.q_id
+               ORDER BY round(list_inner_product(q.q_vec, c.vec), 6) DESC,
+               s.n_id) AS rank
+           FROM rsh s JOIN qq q ON q.q_id = s.q_id
+           JOIN au c ON c.vec_id = s.n_id),
+         rr3 AS (SELECT q_id, n_id FROM rrx WHERE rank <= 3),
+         rrrec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN rr3 a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id)
+         SELECT 'adc' AS leg, CAST(3 AS BIGINT) AS k_short, n_truth,
+           n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3
+         FROM rirec
+         UNION ALL
+         SELECT 'adc_rerank', 10, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+         FROM rrrec
+         ORDER BY leg""",
+    // the q230 fold + order rules with the per-sequence tombstone
+    // mask accounting (md5 first hex 'f') read straight off the
+    // fold's per-doc (offset, kept) spans; positions are q230's
+    // verbatim, the loss accounting shard-windowed
+    "q244_order_tombstones" -> s"""
+         WITH RECURSIVE
+         ${ffdFoldSqlFor("tb")},
+         tts AS (SELECT source, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens,
+             CAST(COUNT(*) FILTER (
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f')
+               AS BIGINT) AS n_masked_docs,
+             CAST(COALESCE(SUM(t) FILTER (
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'), 0)
+               AS BIGINT) AS masked_tokens,
+             substr(md5(COALESCE(string_agg(
+               CAST(off AS VARCHAR) || ':' || CAST(t AS VARCHAR), ','
+               ORDER BY off, t) FILTER (
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'), '')),
+               1, 16) AS masked_spans_fp
+           FROM tbfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         ttd AS (SELECT *,
+             substr(md5('graft-order-v1' || ':' || source || ':' ||
+               CAST(seq_id AS VARCHAR)), 1, 8) AS draw,
+             CAST(((strpos('0123456789abcdef',
+               substr(md5(source || ':' || CAST(seq_id AS VARCHAR)), 1, 1))
+               - 1) % $orderShards) AS BIGINT) AS shard_id
+           FROM tts),
+         ttp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY draw, seq_id) - 1 AS src_pos FROM ttd),
+         ttg AS (SELECT *,
+             ROW_NUMBER() OVER (ORDER BY src_pos, source) - 1 AS global_pos,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+               ORDER BY src_pos, source) - 1 AS shard_offset
+           FROM ttp)
+         SELECT CAST(global_pos AS BIGINT) AS global_pos, source, seq_id,
+           shard_id, CAST(shard_offset AS BIGINT) AS shard_offset,
+           CAST(src_pos AS BIGINT) AS src_pos, n_docs, kept_tokens,
+           n_masked_docs, masked_tokens,
+           kept_tokens - masked_tokens AS live_tokens, masked_spans_fp,
+           CAST(SUM(masked_tokens) OVER (PARTITION BY shard_id) AS BIGINT)
+             AS shard_masked_tokens,
+           CAST(SUM(kept_tokens - masked_tokens)
+             OVER (PARTITION BY shard_id) AS BIGINT) AS shard_live_tokens
+         FROM ttg ORDER BY global_pos""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed
@@ -13341,6 +13960,59 @@ object ExtQueries {
            GROUP BY 1, 2, 3),
          ${px}rcb AS (SELECT sub, c, list(cv ORDER BY pos) AS bvec
            FROM ${px}rref GROUP BY sub, c)"""
+
+  /** One mixture-ordered BLOCK of the q241 append oracle — the q236
+    * oracle body from the (phase, source, seq_id, kept_tokens) seq
+    * CTE `$seqCte` to the ranked rows `${px}ps(phase, source, seq_id,
+    * epoch, kept_tokens, draw, src_pos, phase_pos)` and the phase
+    * offsets `${px}o2(phase, poff)`: the FROZEN fill `$fillCte`
+    * replayed on the block's own counts (fe full passes + the
+    * floor(round(frac·n_ps, 6)) partial), per-epoch seeded draws,
+    * and the weighted closed-form rank in HUGEINT (the Spark side's
+    * DECIMAL(38,0) twin). Factored so the released and appended
+    * blocks of the append contract cannot desynchronize on a rule.
+    */
+  private def mixtureBlockSqlFor(px: String, seqCte: String,
+      fillCte: String): String = s"""
+         ${px}np AS (SELECT phase, source, COUNT(*) AS n_ps FROM $seqCte
+           GROUP BY 1, 2),
+         ${px}ep AS (SELECT phase, ${px}np.source,
+             CAST(floor(final_epochs) AS BIGINT) AS fe,
+             CAST(floor(round((final_epochs - floor(final_epochs))
+               * CAST(n_ps AS DOUBLE), 6)) AS BIGINT) AS n_part
+           FROM ${px}np JOIN $fillCte w ON w.lang = ${px}np.source),
+         ${px}r0 AS (SELECT q.phase, q.source, q.seq_id, q.kept_tokens,
+             unnest(generate_series(0, e.fe)) AS epoch, e.fe, e.n_part
+           FROM $seqCte q JOIN ${px}ep e ON e.phase = q.phase
+             AND e.source = q.source),
+         ${px}dw AS (SELECT *, substr(md5('graft-order-v2' || ':'
+             || CAST(epoch AS VARCHAR) || ':' || CAST(phase AS VARCHAR)
+             || ':' || source || ':' || CAST(seq_id AS VARCHAR)), 1, 8)
+             AS draw FROM ${px}r0),
+         ${px}kp AS (SELECT * FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY phase, source, epoch
+               ORDER BY draw, seq_id) AS er FROM ${px}dw) t
+           WHERE epoch < fe OR er <= n_part),
+         ${px}sp AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase, source
+             ORDER BY epoch, draw, seq_id) - 1 AS src_pos FROM ${px}kp),
+         ${px}sn AS (SELECT phase, source, COUNT(*) AS n FROM ${px}sp
+           GROUP BY 1, 2),
+         ${px}ps AS (SELECT r.phase, r.source, r.seq_id, r.epoch,
+             r.kept_tokens, r.draw, r.src_pos,
+             SUM(LEAST((CAST(r.src_pos + 1 AS HUGEINT) * s.n - 1) // rn.n,
+                 s.n)
+               + CASE WHEN s.source < r.source
+                   AND (CAST(r.src_pos + 1 AS HUGEINT) * s.n) % rn.n = 0
+                 THEN 1 ELSE 0 END) AS phase_pos
+           FROM ${px}sp r
+           JOIN ${px}sn rn ON rn.phase = r.phase AND rn.source = r.source
+           JOIN ${px}sn s ON s.phase = r.phase
+           GROUP BY r.phase, r.source, r.seq_id, r.epoch, r.kept_tokens,
+             r.draw, r.src_pos),
+         ${px}o1 AS (SELECT phase, SUM(n) AS np FROM ${px}sn GROUP BY 1),
+         ${px}o2 AS (SELECT phase, COALESCE(SUM(np) OVER (ORDER BY phase
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS poff FROM ${px}o1)"""
 
   /** The exact water-fill as oracle CTEs ending in `${px}out(lang,
     * n_tokens, w_a07, final_alloc, final_epochs, capped)` — the q228

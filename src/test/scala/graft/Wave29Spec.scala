@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 pins. Opens with the VERDICT r17 #1 hardening gate: the
+  * weighted closed-form rank must stay exact PAST the Long overflow
+  * wall (~3e9 rows in one source — exactly the regime its Scaladoc
+  * advertises for a 100 TB corpus with a dominant source). The spans
+  * are synthetic — the rank is pure arithmetic over the bounded span
+  * broadcast, so no big data is needed: a handful of manifest rows
+  * with n and src_pos in the billions exercise every cross product
+  * the formula evaluates, compared against BigInt truth.
+  */
+class Wave29Spec extends SparkSpec {
+
+  test("weightedInterleaveRank: exact past the Long overflow wall " +
+      "(DECIMAL-widened cross products vs BigInt truth)") {
+    import spark.implicits._
+    // two sources in the billions: a × b cross products reach 1.2e19,
+    // past Long.MaxValue (9.22e18) — the regime the r17 verdict named
+    val nA = 3000000000L
+    val nB = 4000000000L
+    val spans = Seq((1L, "a", nA), (1L, "b", nB))
+      .toDF("phase", "source", "n")
+    val manifest = Seq(
+      (1L, "a", 0L, nA), (1L, "a", 1L, nA),
+      (1L, "a", 1500000000L, nA), (1L, "a", 2999999999L, nA),
+      (1L, "b", 0L, nB), (1L, "b", 2249999999L, nB),
+      (1L, "b", 3999999999L, nB))
+      .toDF("phase", "source", "src_pos", "dn")
+    val spanList = Seq(("a", nA), ("b", nB))
+    def truth(source: String, srcPos: Long, dn: Long): BigInt =
+      spanList.map { case (s, n) =>
+        val prod = BigInt(srcPos + 1) * BigInt(n)
+        val below = ((prod - 1) / BigInt(dn)).min(BigInt(n))
+        val tie = if (s < source && prod % BigInt(dn) == 0) BigInt(1)
+          else BigInt(0)
+        below + tie
+      }.sum
+    val got = graft.queries.ExtQueries.weightedInterleaveRank(manifest, spans)
+      .select(col("source"), col("src_pos"), col("dn"), col("phase_pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 7)
+    got.foreach { case (src, pos, dn, rank) =>
+      val want = truth(src, pos, dn)
+      assert(want.isValidLong && BigInt(rank) == want,
+        s"$src/$pos: widened rank $rank != BigInt truth $want")
+    }
+    // the regime is genuinely adversarial: the raw Long arithmetic
+    // WOULD have wrapped on the big rows (documents why the widening
+    // exists — if this stops holding the fixture lost its teeth)
+    val wrapped = spanList.map { case (_, n) =>
+      ((3000000000L * n - 1) / nA).min(n) }.sum
+    assert(BigInt(wrapped) != truth("a", 2999999999L, nA),
+      "fixture no longer exercises the overflow regime")
+    // and the last row of each source lands at the span total minus
+    // its own tie-free tail — cheap structural sanity on the formula
+    val total = nA + nB
+    val lastA = got.find(r => r._1 == "a" && r._2 == nA - 1).get._4
+    val lastB = got.find(r => r._1 == "b" && r._2 == nB - 1).get._4
+    assert(lastB == total - 1, "last row of the longest source must rank last")
+    assert(lastA < total - 1 && lastA > total - 3,
+      "last row of the shorter source must rank near the tail")
+  }
+
+  test("q241 mixture append: released block frozen as a dense prefix, " +
+      "appended block a weighted-geometry tail, seq cursor past the " +
+      "released max, per-block closed form ≡ exact-fraction sort") {
+    val rows = SparkEntry.queries("q241_mixture_append")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(7), r.getString(8)))
+    val rel = rows.filter(_._8 == "released")
+    val app = rows.filter(_._8 == "appended")
+    assert(rel.nonEmpty && app.nonEmpty)
+    // dense global order: released exactly [0, |rel|), appended the tail
+    assert(rows.sortBy(_._1).map(_._1).toSeq == rows.indices.map(_.toLong))
+    assert(rel.map(_._1).max == rel.length - 1L,
+      "a released position moved past the cursor — immutability broken")
+    assert(app.map(_._1).min == rel.length.toLong,
+      "the appended tail must start exactly at cursor |v1|")
+    // cursor discipline at the composite key: every appended seq id
+    // is past the released per-(phase, source) max
+    val relMaxSeq = rel.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.map(_._4).max }
+    app.foreach { r =>
+      relMaxSeq.get((r._2, r._3)).foreach(mx =>
+        assert(r._4 > mx, s"appended seq ${r._4} not past released max $mx"))
+    }
+    // draws are globally distinct across blocks and epochs
+    val draws = rows.map(r => (r._2, r._3, r._4, r._5, r._7))
+    assert(draws.distinct.length == draws.length, "draw collision")
+    // per block: phases contiguous, and the closed form reproduces
+    // the exact-fraction sort on the block's LOCAL positions
+    def checkBlock(blk: Array[(Long, Long, String, Long, Long, Long,
+        String, String)], off: Map[(Long, String), Long]): Unit = {
+      val phaseOf = blk.sortBy(_._1).map(_._2)
+      assert(phaseOf.sameElements(phaseOf.sorted),
+        "a phase interleaves into another phase's block")
+      blk.groupBy(_._2).foreach { case (phase, ph) =>
+        val n = ph.groupBy(_._3).map { case (s, rs) => s -> rs.length.toLong }
+        def local(r: (Long, Long, String, Long, Long, Long, String,
+            String)) = r._6 - off.getOrElse((r._2, r._3), 0L)
+        val sorted = ph.sortWith { (a, b) =>
+          val l = (local(a) + 1) * n(b._3); val r = (local(b) + 1) * n(a._3)
+          if (l != r) l < r else a._3 < b._3
+        }
+        val base = ph.map(_._1).min
+        sorted.zipWithIndex.foreach { case (r, i) =>
+          assert(r._1 == base + i,
+            s"phase $phase ${r._3}/${r._4}: closed form != fraction sort")
+        }
+      }
+    }
+    checkBlock(rel, Map.empty)
+    val relCnt = rel.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    checkBlock(app, relCnt)
+  }
+
+  test("q242 streamed OPQ index: identity perm ≡ the identity builder; " +
+      "the dealt layout is ENGAGED (codes differ from q232's); " +
+      "base/delta tile the md5 rule") {
+    import graft.ext.Similarity
+    val emb = graft.util.Tables.embeddings(spark, sf0001)
+      .limit(200)
+    // a tiny shared bundle: any coarse/codebook works for the
+    // identity-equivalence pin — the two builders must agree code
+    // for code when perm = identity
+    val coarse = Seq(0 -> Seq.fill(64)(0.05), 1 -> Seq.fill(64)(-0.05))
+    val cb = (0 until 8).map(s => s ->
+      Seq(Seq.fill(8)(0.1), Seq.fill(8)(-0.1), Seq.fill(8)(0.0))).toMap
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell"), col("id"),
+        array_join(transform(col("code"), _.cast("string")), ",").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val a = rowsOf(Similarity.ivfPqResidualIndex(
+      emb, "vec_id", "embedding", coarse, cb))
+    val b = rowsOf(Similarity.ivfPqResidualIndexPerm(
+      emb, "vec_id", "embedding", coarse, cb, 0 until 64))
+    assert(a.nonEmpty && a == b,
+      "identity-perm builder must be value-identical to the identity one")
+    // the gated row: base/delta labels tile the md5 rule; every code
+    // is 8 bytes; the frozen layout actually changes codes vs q232
+    def gated(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    val opq = gated("q242_stream_opq_index")
+    val idn = gated("q232_stream_pq_index").map(r => r._1 -> r._2).toMap
+    assert(opq.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 1)
+    opq.foreach { case (id, code, src) =>
+      assert(code.split(",").length == 8, s"$id: code must be m=8 bytes")
+      val want = if (Set("0", "1", "2")(hex1(id))) "delta" else "base"
+      assert(src == want, s"$id: src label breaks the md5 rule")
+    }
+    assert(opq.map(_._1).toSet == idn.keySet,
+      "OPQ index must cover exactly the q232 population")
+    assert(opq.exists { case (id, code, _) => idn(id) != code },
+      "the frozen layout left every code unchanged — perm not engaged")
+  }
+
+  test("q243 ADC+R: the exact re-rank recovers recall over the pure " +
+      "ADC leg at shortlist-bounded cost") {
+    val rows = SparkEntry.queries("q243_adc_rerank")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("adc", "adc_rerank"))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (l, ks, nt, nf, rec) =>
+      assert(nt == 150, s"$l: truth side should be 50 queries x top-3")
+      assert(nf >= 0 && nf <= nt && rec == rd(nf.toDouble / nt),
+        s"$l: recall arithmetic broken")
+    }
+    val byL = rows.map(r => r._1 -> r).toMap
+    assert(byL("adc")._2 == 3L && byL("adc_rerank")._2 == 10L)
+    // same candidates, exact scores on the shortlist: the rerank can
+    // only fix quantization mistakes, and on the aniso fixture (the
+    // widest ADC gap — q237's 0.11 identity leg) it must visibly
+    // recover some of it
+    assert(byL("adc_rerank")._4 > byL("adc")._4,
+      "the exact re-rank must recover recall on the aniso fixture")
+  }
+
+  test("q244 tombstones: conservation per row and per shard, positions " +
+      "are q230's verbatim, the mask rule follows md5, the span " +
+      "fingerprint is empty iff nothing is masked") {
+    val rows = SparkEntry.queries("q244_order_tombstones")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getString(11),
+        r.getLong(12), r.getLong(13)))
+    assert(rows.nonEmpty && rows.exists(_._9 > 0),
+      "the tombstone rule must be engaged on the fixture")
+    val emptyFp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 16)
+    }
+    rows.foreach { r =>
+      // conservation: masked + live = kept, and masked ≤ kept
+      assert(r._10 + r._11 == r._8 && r._10 >= 0 && r._11 >= 0,
+        s"seq ${r._2}/${r._3}: token conservation broken")
+      assert((r._9 == 0) == (r._12 == emptyFp),
+        s"seq ${r._2}/${r._3}: span fp disagrees with the mask count")
+    }
+    // per-shard accounting = the shard group sums, on every row
+    val byShard = rows.groupBy(_._4)
+    byShard.foreach { case (sh, rs) =>
+      val m = rs.map(_._10).sum; val l = rs.map(_._11).sum
+      rs.foreach(r => assert(r._13 == m && r._14 == l,
+        s"shard $sh: windowed loss accounting disagrees with the sums"))
+    }
+    // released positions NEVER move under deletion: the order columns
+    // are q230's row-for-row
+    val q230 = SparkEntry.queries("q230_training_order")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.length == q230.size)
+    rows.foreach { r =>
+      val (gp, sh, so, sp) = q230((r._2, r._3))
+      assert(r._1 == gp && r._4 == sh && r._5 == so && r._6 == sp,
+        s"seq ${r._2}/${r._3}: a released position moved")
+    }
+  }
+}
