@@ -98,7 +98,9 @@ object PlanAudit {
     "q241_mixture_append" -> "q236's bounded broadcasts twice (frozen 2-scalar terciles, fill normalizers, per-block collected span arrays feeding the weighted closed form) + the one-row released-total cursor scalar and the (phase, source)-bounded released-count broadcast (q233's cursor pattern in the weighted geometry)",
     "q242_stream_opq_index" -> "q232's bounded trained-centroid assignment BNLJ (16 collected rows) inside the frozen perm-layout encode — the base-index artifact write on a cold session and each micro-batch's own encode; everything else is a persisted-artifact scan",
     "q243_adc_rerank" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the shortlist's corpus/query sides (q237's fan-out); the exact re-rank joins are id-keyed against the bounded |Q|x10 shortlist broadcast",
-    "q244_order_tombstones" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q230's allowlisted pattern; the mask accounting adds only keyed aggregates and shard-partitioned windows)")
+    "q244_order_tombstones" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q230's allowlisted pattern; the mask accounting adds only keyed aggregates and shard-partitioned windows)",
+    "q245_rerank_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + q243's bounded centroid-assignment BNLJs + per-level one-row exact-dot-budget scalar crossJoins (q216's fenced sweep pattern); the raw gather is one id-keyed join against the bounded max-shortlist broadcast",
+    "q246_opq_index_serving" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs on the query side and each bundle's encode (q232/q242's fan-out); both serving joins are cell-keyed against persisted-artifact scans")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -130,9 +132,11 @@ object PlanAudit {
     "q237_residual_opq", "q238_pq_retrain", "q239_pq_index_chain",
     "q240_pq_retrain_ladder",
     // q242 collects the frozen OPQ bundle + runs its ingest loop at
-    // plan time (q232's class); q243 collects the aniso trained
-    // artifacts (q237's class)
-    "q242_stream_opq_index", "q243_adc_rerank")
+    // plan time (q232's class); q243/q245 collect the aniso trained
+    // artifacts (q237's class); q246 collects both frozen bundles +
+    // cold-session artifact writes
+    "q242_stream_opq_index", "q243_adc_rerank",
+    "q245_rerank_operating_point", "q246_opq_index_serving")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

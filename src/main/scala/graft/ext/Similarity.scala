@@ -993,6 +993,53 @@ object Similarity {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** [[ivfPqAdcTopKIndex]] under an explicit dimension LAYOUT — the
+    * serving half of the frozen-OPQ bundle: the index rows carry
+    * codes encoded through the frozen perm
+    * ([[ivfPqResidualIndexPerm]] / the q242 maintained artifact), so
+    * the query-side LUT must GATHER its subvectors through the SAME
+    * perm or every lookup reads the wrong subspace. Identical cost
+    * shape to the identity serving path (cell-keyed equi-join, m LUT
+    * lookups per candidate, raw corpus vectors never touched);
+    * Wave29Spec pins serving-the-artifact ≡ the direct corpus encode
+    * path row-for-row.
+    */
+  def ivfPqAdcTopKIndexPerm(queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarse: Seq[(Int, Seq[Double])],
+      codebook: Map[Int, Seq[Seq[Double]]], perm: Seq[Int],
+      m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
+      .toDF("cell", "cvec"))
+    val c = index.select(col("cell"), col("id").as("n_id"),
+      col("code").as("n_code"))
+    val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
+        cents, nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+      .filter(col("q_norm") > 0)
+      .withColumn("lut", array((0 until m).map { sub =>
+        val sv = permSub(col("q_vec"), perm, sub, subDim)
+        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+      }: _*))
+      .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 6).desc, col("n_id").asc)
+    val lutSum = (0 until m).map { sub =>
+      element_at(element_at(col("lut"), sub + 1),
+        element_at(col("n_code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("coarse") + lutSum)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("adc"), 6).as("adc"))
+  }
+
   /** The probe-budget sweep over a pre-built residual index: ADC
     * top-k per nProbe level in `probes`, computed from ONE query-side
     * assignment (keep = max probe, the cell rank `crank` retained)

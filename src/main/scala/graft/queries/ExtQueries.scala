@@ -8604,6 +8604,141 @@ object ExtQueries {
           col("masked_tokens"), col("live_tokens"), col("masked_spans_fp"),
           col("shard_masked_tokens"), col("shard_live_tokens"))
         .orderBy(col("global_pos"))
+    }),
+
+    // ---- ADC+R OPERATING-POINT sweep (q216/q235's discipline at the
+    //      re-rank rung): q243 proves the k′ = 10 rerank recovers
+    //      recall; this card gives a deployment the CURVE to pick k′
+    //      at the knee — per shortlist size k′ ∈ {3, 5, 10, 20}, the
+    //      exact-dot budget spent (n_exact = shortlist rows scored)
+    //      and recall@3 after the exact re-rank. ONE ADC pass at the
+    //      max level (rank retained) and ONE raw-vector gather for
+    //      the max shortlist; each level is a rank filter + its own
+    //      re-rank window, never a re-scan. Recall is provably
+    //      monotone in k′ (a truth item displaced from the top-3 by
+    //      a higher-exact-IP candidate is displaced by another truth
+    //      item), Wave29Spec-pinned along with the q243 cross-pins
+    //      (k′=3 ≡ the pure-ADC set, k′=10 ≡ q243's rerank row) ----
+    "q245_rerank_operating_point" -> ((s, d) => {
+      val aniso = anisoEmb(s, d)
+      val q = aniso.filter(col("vec_id") < 50)
+      val (coarse, _) = anisoResidualBase(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val cb = codebookMap(anisoResidualCb(s, d, "identity", identity))
+      val levels = Seq(3, 5, 10, 20)
+      val short = graft.util.Persist(
+        Similarity.ivfPqAdcTopKOnPerm(q, aniso, "vec_id", "vec",
+          k = levels.max, coarse, cb, identity)
+          .select(col("q_id"), col("rank"), col("n_id")))
+      val qv = q.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      // one gather of the max shortlist's raw vectors + exact dots;
+      // every level re-ranks a filter of this frame
+      val scored = graft.util.Persist(
+        aniso.select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
+          .join(broadcast(short), Seq("n_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("ip", round(expr(
+            "aggregate(zip_with(q_vec, n_vec, (p, q) -> p * q), 0D, (a, v) -> a + v)"),
+            6))
+          .select(col("q_id"), col("n_id"), col("rank"), col("ip")))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+          .select(col("q_id"), col("n_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("ip").desc, col("n_id").asc)
+      levels.map { l =>
+        val lv = scored.filter(col("rank") <= l)
+        val top = lv.withColumn("rr", row_number().over(w))
+          .filter(col("rr") <= 3)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        val cost = lv.agg(count(lit(1)).as("n_exact"))
+        exact.join(top,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .crossJoin(broadcast(cost))
+          .select(lit(l.toLong).as("k_short"), col("n_truth"),
+            col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"),
+            col("n_exact"))
+      }.reduce(_ unionByName _).orderBy(col("k_short"))
+    }),
+
+    // ---- SERVING the frozen-OPQ maintained index (closes the q242
+    //      loop): q242 maintains the artifact under the frozen perm
+    //      bundle but nothing READ it yet — this card runs the
+    //      deployed query path (ivfPqAdcTopKIndexPerm: query LUT
+    //      gathered through the SAME frozen perm, coarse dot + m
+    //      lookups per candidate, raw vectors only in the fenced
+    //      truth side) over the q242-shape maintained rows
+    //      (base artifact ∪ delta encode), next to the identity
+    //      bundle serving q232's rows — same frozen coarse cells →
+    //      identical candidates, so the delta is pure layout
+    //      geometry. On the ISOTROPIC real-embedding fixture the
+    //      layout gain is expected ≈ nil (the r11/r12 standing-skip
+    //      rationale — the honest null; the aniso rehearsal q237/
+    //      q240 carries the engaged gain); what this card GATES is
+    //      that the perm-serving path is value-correct against the
+    //      full replay, and Wave29Spec pins serving-the-artifact ≡
+    //      the direct corpus encode path row-for-row ----
+    "q246_opq_index_serving" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def rec(name: String, ap: DataFrame) = {
+        val a = ap.select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(a,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .select(lit(name).as("layout"), col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"))
+      }
+      // balanced: the q242 released artifact + delta encode under the
+      // frozen perm bundle, served through the perm LUT path
+      val (coarse, perm, cbRows) = ivfPqOpqTrained(s, d)
+      val cb = codebookMap(cbRows)
+      val opqDir = CoreQueries.sharedInputDir(
+        s"graft_q242_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndexPerm(
+            emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", coarse, cb, perm)
+          .write.mode("overwrite").parquet(p)
+      }
+      val opqIdx = s.read.parquet(opqDir)
+        .select(col("cell"), col("id"), col("code"))
+        .unionByName(Similarity.ivfPqResidualIndexPerm(
+          emb.filter(isDelta(col("vec_id"))),
+          "vec_id", "embedding", coarse, cb, perm))
+      // identity: the q232 released artifact + delta encode, served
+      // through the identity LUT path (q234's maintained side)
+      val (iCoarse, iRows) = ivfPqTrained(s, d, baseOnly = true)
+      val iCb = codebookMap(iRows)
+      val idDir = CoreQueries.sharedInputDir(
+        s"graft_q232_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndex(emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", iCoarse, iCb)
+          .write.mode("overwrite").parquet(p)
+      }
+      val idIdx = s.read.parquet(idDir)
+        .select(col("cell"), col("id"), col("code"))
+        .unionByName(Similarity.ivfPqResidualIndex(
+          emb.filter(isDelta(col("vec_id"))),
+          "vec_id", "embedding", iCoarse, iCb))
+      rec("balanced", Similarity.ivfPqAdcTopKIndexPerm(q, opqIdx,
+          "vec_id", "embedding", k = 3, coarse, cb, perm))
+        .unionByName(rec("identity", Similarity.ivfPqAdcTopKIndex(q, idIdx,
+          "vec_id", "embedding", k = 3, iCoarse, iCb)))
+        .orderBy(col("layout"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -13911,7 +14046,195 @@ object ExtQueries {
              AS shard_masked_tokens,
            CAST(SUM(kept_tokens - masked_tokens)
              OVER (PARTITION BY shard_id) AS BIGINT) AS shard_live_tokens
-         FROM ttg ORDER BY global_pos""")
+         FROM ttg ORDER BY global_pos""",
+    // the q243 scaffold with the ADC ranks kept to the max level;
+    // one exact-dot frame over the max shortlist, each level a rank
+    // filter + its own re-rank window + recall/cost aggregates
+    "q245_rerank_operating_point" -> s"""
+         WITH $anisoCtes,
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         ${ivfPqTrainSqlFor("w7", "au")},
+         rimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM au
+           WHERE vec_id < 50),
+         qa AS (SELECT q_id, cell, cd FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, w7cent) t WHERE rn <= 4),
+         prs AS (SELECT qa.q_id, qa.cd, ca.n_id
+           FROM qa JOIN w7ca ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, au cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         ${residOpqSqlFor("ri", "rimap")},
+         rex AS (SELECT s.q_id, s.n_id, s.rank AS arank,
+             round(list_inner_product(q.q_vec, c.vec), 6) AS ip
+           FROM rirkd s JOIN qq q ON q.q_id = s.q_id
+           JOIN au c ON c.vec_id = s.n_id
+           WHERE s.rank <= 20),
+         lvl AS (SELECT unnest([3, 5, 10, 20]) AS k_short),
+         rl AS (SELECT l.k_short, r.q_id, r.n_id,
+             ROW_NUMBER() OVER (PARTITION BY l.k_short, r.q_id
+               ORDER BY r.ip DESC, r.n_id) AS rr
+           FROM lvl l JOIN rex r ON r.arank <= l.k_short),
+         rt AS (SELECT k_short, q_id, n_id FROM rl WHERE rr <= 3),
+         rne AS (SELECT l.k_short, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM lvl l JOIN rex r ON r.arank <= l.k_short GROUP BY 1),
+         rrc AS (SELECT l.k_short, CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(t.n_id) AS BIGINT) AS n_found
+           FROM lvl l CROSS JOIN ex e LEFT JOIN rt t
+             ON t.k_short = l.k_short AND t.q_id = e.q_id
+             AND t.n_id = e.n_id
+           GROUP BY 1)
+         SELECT CAST(r.k_short AS BIGINT) AS k_short, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3, n_exact
+         FROM rrc r JOIN rne n USING (k_short) ORDER BY k_short""",
+    // the q242 frozen-bundle replay (train + layout deal + codebook
+    // + whole-corpus encode under BOTH layouts), then each layout's
+    // LUT-style ADC over the SAME frozen-cell candidates against the
+    // fenced full-corpus exact-IP truth
+    "q246_opq_index_serving" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         sdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         qvr AS (SELECT dim, round(var_pop(rvecd[dim + 1]), 6) AS v
+           FROM brv CROSS JOIN sdims GROUP BY dim),
+         qrk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1
+             AS r FROM qvr),
+         qbmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM qrk),
+         imap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM sdims),
+         qsv AS (SELECT r.n_id AS vec_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM brv r CROSS JOIN qbmap m
+           WHERE list_inner_product(r.rvecd, r.rvecd) > 0
+           GROUP BY r.n_id, m.sub),
+         qk0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM qsv s JOIN pqc p ON p.sub = s.sub),
+         qcd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM qk0) t WHERE rn = 1),
+         qref AS (SELECT cd.sub, cd.c, poss.pos,
+             round(avg(cd.sv[poss.pos + 1]), 6) AS cv
+           FROM qcd cd CROSS JOIN poss GROUP BY 1, 2, 3),
+         qrc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM qref GROUP BY 1, 2),
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         besv AS (SELECT r.n_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM erv r CROSS JOIN qbmap m GROUP BY r.n_id, m.sub),
+         bcd AS (SELECT n_id, sub, c FROM (
+           SELECT s.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY s.n_id, b.sub
+               ORDER BY round(list_inner_product(b.rvec, b.rvec)
+                 - 2 * list_inner_product(s.sv, b.rvec), 6), b.c) AS rn
+           FROM besv s JOIN qrc b ON b.sub = s.sub) t WHERE rn = 1),
+         iesv AS (SELECT r.n_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM erv r CROSS JOIN imap m GROUP BY r.n_id, m.sub),
+         icd AS (SELECT n_id, sub, c FROM (
+           SELECT s.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY s.n_id, b.sub
+               ORDER BY round(list_inner_product(b.bvec, b.bvec)
+                 - 2 * list_inner_product(s.sv, b.bvec), 6), b.c) AS rn
+           FROM iesv s JOIN brcb b ON b.sub = s.sub) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e
+           WHERE vec_id < 50),
+         qac AS (SELECT q_id, cell, cd FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, bcent) t WHERE rn <= 4),
+         prs AS (SELECT qac.q_id, qac.cd, ea.n_id
+           FROM qac JOIN ea ON ea.cell = qac.cell
+           WHERE qac.q_id <> ea.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         bqsv AS (SELECT q.q_id, m.sub,
+             list(q.q_vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM qq q CROSS JOIN qbmap m GROUP BY q.q_id, m.sub),
+         iqsv AS (SELECT q.q_id, m.sub,
+             list(q.q_vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM qq q CROSS JOIN imap m GROUP BY q.q_id, m.sub),
+         btm AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(qs.sv, r.rvec) AS term
+           FROM prs pr
+           JOIN bcd k ON k.n_id = pr.n_id
+           JOIN qrc r ON r.sub = k.sub AND r.c = k.c
+           JOIN bqsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
+         bap AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(adc, 6) DESC, n_id) AS rank
+             FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+               FROM btm GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+         brc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN bap a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id),
+         itm AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(qs.sv, r.bvec) AS term
+           FROM prs pr
+           JOIN icd k ON k.n_id = pr.n_id
+           JOIN brcb r ON r.sub = k.sub AND r.c = k.c
+           JOIN iqsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
+         iap AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(adc, 6) DESC, n_id) AS rank
+             FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+               FROM itm GROUP BY q_id, n_id) a) t WHERE rank <= 3),
+         irc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN iap a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id)
+         SELECT 'balanced' AS layout, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3
+         FROM brc
+         UNION ALL
+         SELECT 'identity', n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+         FROM irc
+         ORDER BY layout""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

@@ -188,6 +188,75 @@ class Wave29Spec extends SparkSpec {
       "the exact re-rank must recover recall on the aniso fixture")
   }
 
+  test("q245 rerank sweep: recall and cost monotone in the shortlist, " +
+      "endpoints cross-pin q243's two legs") {
+    val rows = SparkEntry.queries("q245_rerank_operating_point")(
+        spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(3L, 5L, 10L, 20L))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (ks, nt, nf, rec, ne) =>
+      assert(nt == 150 && rec == rd(nf.toDouble / nt),
+        s"k'=$ks: recall arithmetic broken")
+      assert(ne >= 0, s"k'=$ks: negative exact-dot budget")
+    }
+    // monotone: a bigger shortlist can only swap a displaced truth
+    // item for another truth item (exact-IP argument), and can only
+    // cost more exact dots
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"recall must be monotone in k' (${a._1}->${b._1})")
+      assert(b._5 >= a._5, s"cost must be monotone in k' (${a._1}->${b._1})")
+    }
+    // endpoint cross-pins: k'=3 re-ranks the pure-ADC top-3 SET (same
+    // found count as q243's adc leg); k'=10 IS q243's rerank leg
+    val q243 = SparkEntry.queries("q243_adc_rerank")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val byK = rows.map(r => r._1 -> r._3).toMap
+    assert(byK(3L) == q243("adc"), "k'=3 must equal the pure-ADC set")
+    assert(byK(10L) == q243("adc_rerank"), "k'=10 must equal q243's rerank")
+  }
+
+  test("q246 OPQ serving: the perm LUT path over the BUILT index ≡ " +
+      "the direct corpus encode path row-for-row; card arithmetic") {
+    import graft.ext.Similarity
+    // serving equivalence on the real frozen bundle at sf0.001: the
+    // artifact round-trip (encode -> parquet-shape frame -> LUT scan)
+    // must reproduce the direct path exactly
+    val s = spark
+    val emb = graft.util.Tables.embeddings(s, sf0001)
+    val q = emb.filter(col("vec_id") < 50)
+    val (coarse, perm, cbRows) =
+      graft.queries.ExtQueries.ivfPqOpqTrained(s, sf0001)
+    val cb = cbRows.groupBy(_._1)
+      .map { case (sub, xs) => sub -> xs.sortBy(_._2).map(_._3) }
+    val idx = Similarity.ivfPqResidualIndexPerm(emb, "vec_id", "embedding",
+      coarse, cb, perm)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val served = rowsOf(Similarity.ivfPqAdcTopKIndexPerm(q, idx,
+      "vec_id", "embedding", k = 3, coarse, cb, perm))
+    val direct = rowsOf(Similarity.ivfPqAdcTopKOnPerm(q, emb,
+      "vec_id", "embedding", k = 3, coarse, cb, perm))
+    assert(served.nonEmpty && served == direct,
+      "serving the built artifact must equal the direct encode path")
+    // the gated card: two layouts, same truth, valid arithmetic
+    val rows = SparkEntry.queries("q246_opq_index_serving")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("balanced", "identity"))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (l, nt, nf, rec) =>
+      assert(nt == 150 && nf >= 0 && nf <= nt && rec == rd(nf.toDouble / nt),
+        s"$l: card arithmetic broken")
+    }
+  }
+
   test("q244 tombstones: conservation per row and per shard, positions " +
       "are q230's verbatim, the mask rule follows md5, the span " +
       "fingerprint is empty iff nothing is masked") {
