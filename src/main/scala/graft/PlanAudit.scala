@@ -100,7 +100,8 @@ object PlanAudit {
     "q243_adc_rerank" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs on the shortlist's corpus/query sides (q237's fan-out); the exact re-rank joins are id-keyed against the bounded |Q|x10 shortlist broadcast",
     "q244_order_tombstones" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q230's allowlisted pattern; the mask accounting adds only keyed aggregates and shard-partitioned windows)",
     "q245_rerank_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + q243's bounded centroid-assignment BNLJs + per-level one-row exact-dot-budget scalar crossJoins (q216's fenced sweep pattern); the raw gather is one id-keyed join against the bounded max-shortlist broadcast",
-    "q246_opq_index_serving" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs on the query side and each bundle's encode (q232/q242's fan-out); both serving joins are cell-keyed against persisted-artifact scans")
+    "q246_opq_index_serving" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs on the query side and each bundle's encode (q232/q242's fan-out); both serving joins are cell-keyed against persisted-artifact scans",
+    "q247_takedown_stream_cost" -> "q236's bounded broadcasts (q228 one-row fill normalizers + the q209 2-scalar tercile broadcast) feeding the occurrence explosion; the cost card is (phase x source)-bounded aggregates, no rank and no span broadcast")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

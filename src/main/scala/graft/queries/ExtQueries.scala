@@ -8739,6 +8739,84 @@ object ExtQueries {
         .unionByName(rec("identity", Similarity.ivfPqAdcTopKIndex(q, idIdx,
           "vec_id", "embedding", k = 3, iCoarse, iCb)))
         .orderBy(col("layout"))
+    }),
+
+    // ---- TAKEDOWN cost in the COMMITTED training stream (the q244
+    //      tombstone rule composed with the q236 mixture order): a
+    //      doc deleted post-release costs its masked spans ONCE per
+    //      packed sequence in the manifest (q244's card) — but the
+    //      committed order REPLAYS sequences across epochs, so the
+    //      cost to a training run is masked tokens × the sequence's
+    //      occurrence count (⌊e_s⌋ full passes + partial-pass
+    //      membership). This card prices exactly that: per (phase,
+    //      source), the stream rows, stream tokens, masked stream
+    //      tokens (epoch multiplicity included), and the mask rate —
+    //      what a capacity/compliance decision reads to know how
+    //      much of the committed run a takedown invalidates. Same
+    //      fold, frozen fill, epochs, draws, and partial-pass rule
+    //      as q236 (one Persist'd pack feeds both the seq frame and
+    //      the mask accounting — they cannot diverge); no rank
+    //      needed, so the card is aggregates only, (phase×source)-
+    //      bounded output ----
+    "q247_takedown_stream_cost" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tomb = substring(md5(col("doc_id").cast("string")), 1, 1) === "f"
+      val fill = waterFillAlloc(
+          Tables.documents(s, d)
+            .select(col("source"),
+              size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+            .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+            .filter(col("n_tokens") > 0)
+            .select(col("source").as("lang"), col("n_tokens")), Seq(2.0))
+        .select(col("lang").as("source"), col("final_epochs"))
+      val cf = curriculumFrame(s, d)
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      // ONE fold: the seq frame and the mask accounting read the
+      // same packed rows (tombstoned spans can never desynchronize
+      // from the sequences they live in)
+      val packed = graft.util.Persist(ffdPack(cf))
+      val seqs = packed.groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("n_kept")).as("kept_tokens"),
+          coalesce(sum(when(tomb, col("n_kept"))), lit(0L))
+            .as("masked_tokens"))
+        .select(split(col("source"), ":").getItem(0).cast("long").as("phase"),
+          split(col("source"), ":").getItem(1).as("source"),
+          col("seq_id"), col("kept_tokens"), col("masked_tokens"))
+      val np = seqs.groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_ps"))
+      val ep = np.join(fill, Seq("source"))
+        .withColumn("fe", floor(col("final_epochs")))
+        .withColumn("n_part", floor(round(
+          (col("final_epochs") - floor(col("final_epochs")).cast("double"))
+            * col("n_ps").cast("double"), 6)))
+        .select(col("phase"), col("source"), col("fe"), col("n_part"))
+      val wEp = Window.partitionBy(col("phase"), col("source"), col("epoch"))
+        .orderBy(col("draw"), col("seq_id"))
+      // the q236 occurrence rows (epoch explosion + partial-pass
+      // membership), WITHOUT the rank — a pure cost card
+      seqs.join(broadcast(ep), Seq("phase", "source"))
+        .withColumn("epoch", explode(sequence(lit(0L), col("fe"))))
+        .withColumn("draw", substring(md5(concat_ws(":",
+          lit("graft-order-v2"), col("epoch").cast("string"),
+          col("phase").cast("string"), col("source"),
+          col("seq_id").cast("string"))), 1, 8))
+        .withColumn("er", row_number().over(wEp).cast("long"))
+        .filter(col("epoch") < col("fe") || col("er") <= col("n_part"))
+        .groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("masked_tokens") > 0, lit(1)))
+            .as("n_masked_rows"),
+          sum(col("kept_tokens")).as("stream_tokens"),
+          sum(col("masked_tokens")).as("masked_stream_tokens"),
+          sum(col("kept_tokens") - col("masked_tokens"))
+            .as("live_stream_tokens"))
+        .withColumn("mask_rate",
+          round(col("masked_stream_tokens").cast("double") /
+            col("stream_tokens").cast("double"), 6))
+        .orderBy(col("phase"), col("source"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -14234,7 +14312,64 @@ object ExtQueries {
            CASE WHEN n_truth = 0 THEN 0.0
              ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
          FROM irc
-         ORDER BY layout""")
+         ORDER BY layout""",
+    // the q236 occurrence machinery (fold, fill, epochs, draws,
+    // partial-pass rule) with the q244 tombstone mask carried on the
+    // seq frame, aggregated per (phase, source) — no rank CTEs
+    "q247_takedown_stream_cost" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         ${waterFillSqlFor("mw", "TRUE", keyCol = "source",
+           budgetX = "2.0")},
+         mcnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         mth AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2 FROM sc),
+         mph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN mcnt USING (doc_id), mth),
+         ${ffdFoldSqlFor("mo",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM mph""")},
+         msq AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id,
+             CAST(SUM(t) AS BIGINT) AS kept_tokens,
+             CAST(COALESCE(SUM(t) FILTER (
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'), 0)
+               AS BIGINT) AS masked_tokens
+           FROM mofold WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3),
+         mnp AS (SELECT phase, source, COUNT(*) AS n_ps FROM msq
+           GROUP BY 1, 2),
+         mep AS (SELECT phase, mnp.source,
+             CAST(floor(final_epochs) AS BIGINT) AS fe,
+             CAST(floor(round((final_epochs - floor(final_epochs))
+               * CAST(n_ps AS DOUBLE), 6)) AS BIGINT) AS n_part
+           FROM mnp JOIN mwout w ON w.lang = mnp.source),
+         mrows0 AS (SELECT q.phase, q.source, q.seq_id, q.kept_tokens,
+             q.masked_tokens,
+             unnest(generate_series(0, e.fe)) AS epoch, e.fe, e.n_part
+           FROM msq q JOIN mep e ON e.phase = q.phase
+             AND e.source = q.source),
+         mdrw AS (SELECT *, substr(md5('graft-order-v2' || ':'
+             || CAST(epoch AS VARCHAR) || ':' || CAST(phase AS VARCHAR)
+             || ':' || source || ':' || CAST(seq_id AS VARCHAR)), 1, 8)
+             AS draw FROM mrows0),
+         mkept AS (SELECT * FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY phase, source, epoch
+               ORDER BY draw, seq_id) AS er FROM mdrw) t
+           WHERE epoch < fe OR er <= n_part)
+         SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (masked_tokens > 0) AS BIGINT)
+             AS n_masked_rows,
+           CAST(SUM(kept_tokens) AS BIGINT) AS stream_tokens,
+           CAST(SUM(masked_tokens) AS BIGINT) AS masked_stream_tokens,
+           CAST(SUM(kept_tokens - masked_tokens) AS BIGINT)
+             AS live_stream_tokens,
+           round(CAST(SUM(masked_tokens) AS DOUBLE)
+             / CAST(SUM(kept_tokens) AS DOUBLE), 6) AS mask_rate
+         FROM mkept GROUP BY 1, 2 ORDER BY 1, 2""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

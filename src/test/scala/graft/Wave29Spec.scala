@@ -257,6 +257,32 @@ class Wave29Spec extends SparkSpec {
     }
   }
 
+  test("q247 takedown stream cost: conservation, engaged mask, and " +
+      "the occurrence counts are q236's group counts exactly") {
+    val rows = SparkEntry.queries("q247_takedown_stream_cost")(
+        spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty && rows.exists(_._6 > 0),
+      "the tombstone rule must be engaged in the stream")
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (ph, src, nr, nm, st, mt, lt, rate) =>
+      assert(mt + lt == st && mt >= 0 && lt >= 0 && nm <= nr,
+        s"$ph/$src: stream-token conservation broken")
+      assert(rate == rd(mt.toDouble / st), s"$ph/$src: mask rate broken")
+    }
+    // the cost card's multiplicity IS the committed order's: per
+    // (phase, source), n_rows must equal q236's occurrence count
+    val q236 = SparkEntry.queries("q236_mixture_order")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == q236,
+      "cost-card occurrence counts diverge from the committed order")
+  }
+
   test("q244 tombstones: conservation per row and per shard, positions " +
       "are q230's verbatim, the mask rule follows md5, the span " +
       "fingerprint is empty iff nothing is masked") {
