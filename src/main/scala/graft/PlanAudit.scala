@@ -101,7 +101,9 @@ object PlanAudit {
     "q244_order_tombstones" -> "one-row broadcast of the collected source-span array feeding interleaveRank's closed-form global rank (q230's allowlisted pattern; the mask accounting adds only keyed aggregates and shard-partitioned windows)",
     "q245_rerank_operating_point" -> "brute-force exact-IP truth side (q128's fenced design) + q243's bounded centroid-assignment BNLJs + per-level one-row exact-dot-budget scalar crossJoins (q216's fenced sweep pattern); the raw gather is one id-keyed join against the bounded max-shortlist broadcast",
     "q246_opq_index_serving" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs on the query side and each bundle's encode (q232/q242's fan-out); both serving joins are cell-keyed against persisted-artifact scans",
-    "q247_takedown_stream_cost" -> "q236's bounded broadcasts (q228 one-row fill normalizers + the q209 2-scalar tercile broadcast) feeding the occurrence explosion; the cost card is (phase x source)-bounded aggregates, no rank and no span broadcast")
+    "q247_takedown_stream_cost" -> "q236's bounded broadcasts (q228 one-row fill normalizers + the q209 2-scalar tercile broadcast) feeding the occurrence explosion; the cost card is (phase x source)-bounded aggregates, no rank and no span broadcast",
+    "q248_serving_stack" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs (query side + the bundle encodes, q246's fan-out); the rerank gather is one id-keyed join against the bounded |Q|x10 shortlist broadcast",
+    "q249_pq_index_tombstones" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + the delta encode); the tombstone drop is a scan-stage filter on the maintained rows")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -137,7 +139,10 @@ object PlanAudit {
     // artifacts (q237's class); q246 collects both frozen bundles +
     // cold-session artifact writes
     "q242_stream_opq_index", "q243_adc_rerank",
-    "q245_rerank_operating_point", "q246_opq_index_serving")
+    "q245_rerank_operating_point", "q246_opq_index_serving",
+    // q248/q249 collect the frozen bundles + cold-session artifact
+    // writes (q246/q232's class)
+    "q248_serving_stack", "q249_pq_index_tombstones")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

@@ -1213,13 +1213,30 @@ object Similarity {
     val shortlist = ivfPqAdcTopKOnPerm(queries, corpus, idCol, vecCol,
         kShort, coarse, codebook, perm, m, subDim, nProbe)
       .select(col("q_id"), col("n_id"))
+    exactRerank(shortlist, queries, corpus, idCol, vecCol, k)
+  }
+
+  /** The exact re-rank STAGE of ADC+R on its own — so any shortlist
+    * producer (the corpus-path ADC, the index-serving LUT path, an
+    * LSH bucket scan) composes with the same refinement: the
+    * (q_id, n_id) shortlist is bounded (|Q| × k′), so it broadcasts
+    * and the raw-vector gather is ONE id-keyed hash-join scan of the
+    * corpus; the exact dots number |Q| × k′. Ordering is the rounded
+    * inner product with low-id ties — the [[bruteForceDotTopK]]
+    * discipline, so a full-corpus shortlist would reproduce the
+    * exact truth ranking.
+    */
+  def exactRerank(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(round(col("ip"), 6).desc, col("n_id").asc)
     corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec"))
-      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(shortlist.select(col("q_id"), col("n_id"))),
+        Seq("n_id"))
       .join(broadcast(qv), Seq("q_id"))
       .withColumn("ip", dot(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -8817,6 +8817,108 @@ object ExtQueries {
           round(col("masked_stream_tokens").cast("double") /
             col("stream_tokens").cast("double"), 6))
         .orderBy(col("phase"), col("source"))
+    }),
+
+    // ---- the FULL deployed serving stack on the real corpus: q246
+    //      proves the perm LUT path over the maintained OPQ artifact;
+    //      q243/q245 prove ADC+R on the aniso corpus path. This card
+    //      composes all of it into the configuration a deployment
+    //      actually runs: frozen OPQ bundle → maintained index rows →
+    //      perm-LUT ADC shortlist (k′ = 10) → exact re-rank on the
+    //      raw-vector store → top-3, next to the shortlist-free
+    //      index-ADC leg, both against the fenced full-corpus
+    //      exact-IP truth. The raw store appears ONLY in the rerank
+    //      gather (one id-keyed join against the bounded |Q| × k′
+    //      shortlist broadcast) and the fenced truth — never in
+    //      candidate generation. On the isotropic real fixture the
+    //      rerank's recovery is the honest (modest) one; the aniso
+    //      rehearsal (q243) carries the engaged-regime proof ----
+    "q248_serving_stack" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 50)
+      val (coarse, perm, cbRows) = ivfPqOpqTrained(s, d)
+      val cb = codebookMap(cbRows)
+      val opqDir = CoreQueries.sharedInputDir(
+        s"graft_q242_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndexPerm(
+            emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", coarse, cb, perm)
+          .write.mode("overwrite").parquet(p)
+      }
+      val idx = s.read.parquet(opqDir)
+        .select(col("cell"), col("id"), col("code"))
+        .unionByName(Similarity.ivfPqResidualIndexPerm(
+          emb.filter(isDelta(col("vec_id"))),
+          "vec_id", "embedding", coarse, cb, perm))
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("n_id")))
+      def rec(name: String, kShort: Long, ap: DataFrame) = {
+        val a = ap.select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        exact.join(a,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .select(lit(name).as("leg"), lit(kShort).as("k_short"),
+            col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"))
+      }
+      val adc = Similarity.ivfPqAdcTopKIndexPerm(q, idx,
+        "vec_id", "embedding", k = 3, coarse, cb, perm)
+      val short = Similarity.ivfPqAdcTopKIndexPerm(q, idx,
+        "vec_id", "embedding", k = 10, coarse, cb, perm)
+      val rr = Similarity.exactRerank(short, q, emb,
+        "vec_id", "embedding", k = 3)
+      rec("adc_index", 3L, adc)
+        .unionByName(rec("adc_index_rerank", 10L, rr))
+        .orderBy(col("leg"))
+    }),
+
+    // ---- TOMBSTONES for the maintained PQ index (q219's deletion
+    //      discipline at the q232 rung): a vector deleted post-release
+    //      (takedown, re-embed, PII) must leave the SERVING artifact
+    //      without a retrain — the frozen coarse cells and codebook
+    //      are untouched (they are trained constants, not membership
+    //      state), so deletion is a pure id-keyed row drop on the
+    //      maintained rows: at 100 TB an anti-join against the
+    //      bounded tombstone list (or a partition rewrite of the
+    //      touched cells), never a re-encode. Because the frozen-
+    //      artifact encode is per-row deterministic, drop commutes
+    //      with encode — the retained rows must equal the
+    //      rebuild-with-frozen-artifacts of the retained population
+    //      row-for-row, which is exactly what the oracle replays
+    //      (same md5-'f' rule as the q244 manifest masks, so the two
+    //      deletion lifecycles compose across families) ----
+    "q249_pq_index_tombstones" -> ((s, d) => {
+      def isDelta(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
+      def tomb(c: Column): Column =
+        substring(md5(c.cast("string")), 1, 1) === "f"
+      val emb = Tables.embeddings(s, d)
+      val (coarse, residRows) = ivfPqTrained(s, d, baseOnly = true)
+      val cb = codebookMap(residRows)
+      val idxDir = CoreQueries.sharedInputDir(
+        s"graft_q232_idx_${CoreQueries.dirToken(d)}") { p =>
+        Similarity.ivfPqResidualIndex(emb.filter(!isDelta(col("vec_id"))),
+            "vec_id", "embedding", coarse, cb)
+          .write.mode("overwrite").parquet(p)
+      }
+      val maintained = s.read.parquet(idxDir)
+        .select(col("cell"), col("id"), col("code"))
+        .withColumn("src", lit("base"))
+        .unionByName(Similarity.ivfPqResidualIndex(
+          emb.filter(isDelta(col("vec_id"))),
+          "vec_id", "embedding", coarse, cb)
+          .withColumn("src", lit("delta")))
+      maintained.filter(!tomb(col("id")))
+        .select(col("cell"), col("id").as("vec_id"),
+          array_join(transform(col("code"), _.cast("string")), ",")
+            .as("code"), col("src"))
+        .orderBy(col("vec_id"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -14369,7 +14471,136 @@ object ExtQueries {
              AS live_stream_tokens,
            round(CAST(SUM(masked_tokens) AS DOUBLE)
              / CAST(SUM(kept_tokens) AS DOUBLE), 6) AS mask_rate
-         FROM mkept GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM mkept GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the q246 balanced-leg replay with the ADC ranks kept to the
+    // k'=10 shortlist, then the exact inner-product re-rank over the
+    // raw-vector store (one id-keyed gather of the shortlist)
+    "q248_serving_stack" -> s"""
+         WITH cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         sdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE $usableVec),
+         eb AS (SELECT * FROM e
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${ivfPqTrainSqlFor("b", "eb")},
+         qvr AS (SELECT dim, round(var_pop(rvecd[dim + 1]), 6) AS v
+           FROM brv CROSS JOIN sdims GROUP BY dim),
+         qrk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY v DESC, dim) - 1
+             AS r FROM qvr),
+         qbmap AS (SELECT dim,
+             CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+               ELSE 7 - (r % 8) END AS BIGINT) AS sub,
+             CAST(r // 8 AS BIGINT) AS pos FROM qrk),
+         qsv AS (SELECT r.n_id AS vec_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM brv r CROSS JOIN qbmap m
+           WHERE list_inner_product(r.rvecd, r.rvecd) > 0
+           GROUP BY r.n_id, m.sub),
+         qk0 AS (SELECT s.vec_id, s.sub, s.sv, p.c,
+             list_inner_product(p.pvec, p.pvec)
+               - 2 * list_inner_product(s.sv, p.pvec) AS key
+           FROM qsv s JOIN pqc p ON p.sub = s.sub),
+         qcd AS (SELECT vec_id, sub, sv, c FROM (
+             SELECT vec_id, sub, sv, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id, sub ORDER BY round(key, 6), c) AS rn
+             FROM qk0) t WHERE rn = 1),
+         qref AS (SELECT cd.sub, cd.c, poss.pos,
+             round(avg(cd.sv[poss.pos + 1]), 6) AS cv
+           FROM qcd cd CROSS JOIN poss GROUP BY 1, 2, 3),
+         qrc AS (SELECT sub, c, list(cv ORDER BY pos) AS rvec
+           FROM qref GROUP BY 1, 2),
+         ea AS (SELECT n_id, n_vec, cell, cvec FROM (
+           SELECT e.vec_id AS n_id, e.vec AS n_vec, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.vec, c.cvec), 6) DESC,
+               c.cell) AS rn
+           FROM e, bcent c) t WHERE rn = 1),
+         erv AS (SELECT n_id, cell,
+             list_transform(generate_series(1, 64),
+               i -> n_vec[i] - cvec[i]) AS rvecd
+           FROM ea),
+         besv AS (SELECT r.n_id, m.sub,
+             list(r.rvecd[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM erv r CROSS JOIN qbmap m GROUP BY r.n_id, m.sub),
+         bcd AS (SELECT n_id, sub, c FROM (
+           SELECT s.n_id, b.sub, b.c,
+             ROW_NUMBER() OVER (PARTITION BY s.n_id, b.sub
+               ORDER BY round(list_inner_product(b.rvec, b.rvec)
+                 - 2 * list_inner_product(s.sv, b.rvec), 6), b.c) AS rn
+           FROM besv s JOIN qrc b ON b.sub = s.sub) t WHERE rn = 1),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM e
+           WHERE vec_id < 50),
+         qac AS (SELECT q_id, cell, cd FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, bcent) t WHERE rn <= 4),
+         prs AS (SELECT qac.q_id, qac.cd, ea.n_id
+           FROM qac JOIN ea ON ea.cell = qac.cell
+           WHERE qac.q_id <> ea.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, e cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         bqsv AS (SELECT q.q_id, m.sub,
+             list(q.q_vec[m.dim + 1] ORDER BY m.pos) AS sv
+           FROM qq q CROSS JOIN qbmap m GROUP BY q.q_id, m.sub),
+         btm AS (SELECT pr.q_id, pr.n_id, pr.cd, k.sub,
+             list_inner_product(qs.sv, r.rvec) AS term
+           FROM prs pr
+           JOIN bcd k ON k.n_id = pr.n_id
+           JOIN qrc r ON r.sub = k.sub AND r.c = k.c
+           JOIN bqsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
+         brkd AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY
+               q_id ORDER BY round(adc, 6) DESC, n_id) AS rank
+             FROM (SELECT q_id, n_id, MAX(cd) + ($pqTermPivot) AS adc
+               FROM btm GROUP BY q_id, n_id) a),
+         bap AS (SELECT q_id, n_id FROM brkd WHERE rank <= 3),
+         brc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN bap a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id),
+         bsh AS (SELECT q_id, n_id FROM brkd WHERE rank <= 10),
+         rrx AS (SELECT s.q_id, s.n_id,
+             ROW_NUMBER() OVER (PARTITION BY s.q_id
+               ORDER BY round(list_inner_product(q.q_vec, c.vec), 6) DESC,
+               s.n_id) AS rank
+           FROM bsh s JOIN qq q ON q.q_id = s.q_id
+           JOIN e c ON c.vec_id = s.n_id),
+         rr3 AS (SELECT q_id, n_id FROM rrx WHERE rank <= 3),
+         rrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(a.n_id) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN rr3 a
+             ON ex.q_id = a.q_id AND ex.n_id = a.n_id)
+         SELECT 'adc_index' AS leg, CAST(3 AS BIGINT) AS k_short,
+           n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+             AS recall_at_3
+         FROM brc
+         UNION ALL
+         SELECT 'adc_index_rerank', 10, n_truth, n_found,
+           CASE WHEN n_truth = 0 THEN 0.0
+             ELSE round(CAST(n_found AS DOUBLE) / n_truth, 6) END
+         FROM rrc
+         ORDER BY leg""",
+    // the q232 rebuild replay restricted to the retained population:
+    // deletion under frozen artifacts commutes with the per-row
+    // deterministic encode, so retained == rebuild row-for-row
+    "q249_pq_index_tombstones" -> s"""
+         WITH $pqIndexEncodeCtes
+         SELECT ea.cell, ea.n_id AS vec_id, ecsv.code,
+           CASE WHEN substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1)
+             IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS src
+         FROM ea JOIN ecsv ON ecsv.n_id = ea.n_id
+         WHERE substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1) <> 'f'
+         ORDER BY vec_id""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

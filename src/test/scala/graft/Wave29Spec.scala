@@ -257,6 +257,53 @@ class Wave29Spec extends SparkSpec {
     }
   }
 
+  test("q248 serving stack: the rerank leg strictly recovers recall " +
+      "over the index-ADC leg on the deployed configuration") {
+    val rows = SparkEntry.queries("q248_serving_stack")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq("adc_index", "adc_index_rerank"))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (l, ks, nt, nf, rec) =>
+      assert(nt == 150 && nf >= 0 && nf <= nt && rec == rd(nf.toDouble / nt),
+        s"$l: card arithmetic broken")
+    }
+    val byL = rows.map(r => r._1 -> r).toMap
+    assert(byL("adc_index")._2 == 3L && byL("adc_index_rerank")._2 == 10L)
+    // exact re-scoring of a superset shortlist can only fix
+    // quantization mistakes; on this fixture it roughly doubles
+    // recall (sf0.01: 17 -> 34 of 150)
+    assert(byL("adc_index_rerank")._4 > byL("adc_index")._4,
+      "the rerank leg must strictly recover recall")
+  }
+
+  test("q249 PQ-index tombstones: retained rows are q232's minus " +
+      "exactly the md5-'f' ids, codes untouched (no re-encode)") {
+    def rowsOf(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3)))
+    val retained = rowsOf("q249_pq_index_tombstones")
+    val full = rowsOf("q232_stream_pq_index")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 1)
+    val tombed = full.filter(r => hex1(r._2) == "f")
+    assert(retained.nonEmpty && tombed.nonEmpty,
+      "the tombstone rule must be engaged on the fixture")
+    // deletion = a pure row drop: the survivors keep cell and code
+    // verbatim (frozen artifacts untouched), the tombstoned ids are
+    // gone, nothing else moved
+    assert(retained.map(r => (r._1, r._2, r._3)).toSet ==
+      full.filter(r => hex1(r._2) != "f")
+        .map(r => (r._1, r._2, r._3)).toSet,
+      "retained rows must be the maintained index minus the 'f' ids")
+    assert(retained.forall(r => hex1(r._2) != "f"),
+      "a tombstoned id survived the delete")
+  }
+
   test("q247 takedown stream cost: conservation, engaged mask, and " +
       "the occurrence counts are q236's group counts exactly") {
     val rows = SparkEntry.queries("q247_takedown_stream_cost")(
