@@ -103,7 +103,8 @@ object PlanAudit {
     "q246_opq_index_serving" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs on the query side and each bundle's encode (q232/q242's fan-out); both serving joins are cell-keyed against persisted-artifact scans",
     "q247_takedown_stream_cost" -> "q236's bounded broadcasts (q228 one-row fill normalizers + the q209 2-scalar tercile broadcast) feeding the occurrence explosion; the cost card is (phase x source)-bounded aggregates, no rank and no span broadcast",
     "q248_serving_stack" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs (query side + the bundle encodes, q246's fan-out); the rerank gather is one id-keyed join against the bounded |Q|x10 shortlist broadcast",
-    "q249_pq_index_tombstones" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + the delta encode); the tombstone drop is a scan-stage filter on the maintained rows")
+    "q249_pq_index_tombstones" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + the delta encode); the tombstone drop is a scan-stage filter on the maintained rows",
+    "q250_mixture_chain" -> "q241's bounded broadcasts once per chained step (frozen terciles/fill normalizers, per-block span arrays, running seq/position cursor frames — all (phase x source)- or one-row-bounded, q233's cursor pattern chained)")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,

@@ -8919,6 +8919,147 @@ object ExtQueries {
           array_join(transform(col("code"), _.cast("string")), ",")
             .as("code"), col("src"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- CHAINED mixture-order ingest (the q142/q171/q239 chaining
+    //      discipline at the weighted-order rung): q241 proves ONE
+    //      v1→v2 append; a production corpus never stops, so the
+    //      contract must survive a CHAIN — v1 release, then delta1
+    //      (md5 '0'), then delta2 (md5 '1'/'2'), each step appending
+    //      under the SAME frozen v1 artifacts (terciles + fill) with
+    //      its seq ids offset past the running per-(phase:source) max
+    //      of EVERYTHING shipped before it, its block interleaved in
+    //      its own weighted geometry, and its positions offset past
+    //      the running cursor counts. Unlike the index chain (q239),
+    //      append here is NOT associative — two appended blocks are
+    //      not one (fractions are per-block) — and the card does not
+    //      pretend it is: the invariant is PREFIX IMMUTABILITY
+    //      (every row shipped at step k is verbatim in step k+1's
+    //      manifest; a loader's cursor composes across releases),
+    //      which the chained offsets realize by construction and the
+    //      oracle replays independently. Cursor state between steps
+    //      = the bounded count frames, exactly what a deployment
+    //      persists next to the manifest ----
+    "q250_mixture_chain" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def hex1(c: Column): Column = substring(md5(c.cast("string")), 1, 1)
+      val isD = isDeltaDoc(col("doc_id"))
+      // FROZEN v1 artifacts (q241's)
+      val q = docQuality(s, d)
+      val th = sourceQuantiles(q.filter(!isD),
+          Seq(1.0 / 3 -> "t1", 2.0 / 3 -> "t2"),
+          keys = Seq.empty, valueCol = "quality_score")
+        .select(col("t1"), col("t2"))
+      val fill = waterFillAlloc(
+          Tables.documents(s, d).filter(!isD)
+            .select(col("source"),
+              size(TA.wsTokens(col("text"))).cast("long").as("nt"))
+            .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+            .filter(col("n_tokens") > 0)
+            .select(col("source").as("lang"), col("n_tokens")), Seq(2.0))
+        .select(col("lang").as("source"), col("final_epochs"))
+      val nt = Tables.documents(s, d).select(col("doc_id"),
+        size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val ph = q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
+        .withColumn("phase",
+          when(col("quality_score") <= col("t1"), 1L)
+            .when(col("quality_score") <= col("t2"), 2L)
+            .otherwise(3L))
+        .select(col("doc_id"),
+          concat_ws(":", col("phase"), col("source")).as("source"),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      def seqsOf(df: DataFrame) = df.groupBy(col("source"), col("seq_id"))
+        .agg(sum(col("n_kept")).as("kept_tokens"))
+        .select(split(col("source"), ":").getItem(0).cast("long").as("phase"),
+          split(col("source"), ":").getItem(1).as("source"),
+          col("seq_id"), col("kept_tokens"))
+      def orderedBlock(seqs: DataFrame): DataFrame = {
+        val np = seqs.groupBy(col("phase"), col("source"))
+          .agg(count(lit(1)).as("n_ps"))
+        val ep = np.join(fill, Seq("source"))
+          .withColumn("fe", floor(col("final_epochs")))
+          .withColumn("n_part", floor(round(
+            (col("final_epochs") - floor(col("final_epochs")).cast("double"))
+              * col("n_ps").cast("double"), 6)))
+          .select(col("phase"), col("source"), col("fe"), col("n_part"))
+        val wEp = Window.partitionBy(col("phase"), col("source"), col("epoch"))
+          .orderBy(col("draw"), col("seq_id"))
+        val wSrc = Window.partitionBy(col("phase"), col("source"))
+          .orderBy(col("epoch"), col("draw"), col("seq_id"))
+        val rows = graft.util.Persist(
+          seqs.join(broadcast(ep), Seq("phase", "source"))
+            .withColumn("epoch", explode(sequence(lit(0L), col("fe"))))
+            .withColumn("draw", substring(md5(concat_ws(":",
+              lit("graft-order-v2"), col("epoch").cast("string"),
+              col("phase").cast("string"), col("source"),
+              col("seq_id").cast("string"))), 1, 8))
+            .withColumn("er", row_number().over(wEp).cast("long"))
+            .filter(col("epoch") < col("fe") || col("er") <= col("n_part"))
+            .withColumn("src_pos", row_number().over(wSrc).cast("long") - 1)
+            .select(col("phase"), col("source"), col("seq_id"), col("epoch"),
+              col("kept_tokens"), col("draw"), col("src_pos")))
+        val spans = rows.groupBy(col("phase"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val wPh = Window.orderBy(col("phase"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val phOff = spans.groupBy(col("phase")).agg(sum(col("n")).as("np"))
+          .withColumn("poff", coalesce(sum(col("np")).over(wPh), lit(0L)))
+          .select(col("phase"), col("poff"))
+        weightedInterleaveRank(
+            rows.join(broadcast(spans.withColumnRenamed("n", "dn")),
+              Seq("phase", "source")),
+            spans)
+          .join(broadcast(phOff), Seq("phase"))
+          .withColumn("block_pos", col("phase_pos") + col("poff"))
+      }
+      // chained folds: each ingest's seq ids offset past the running
+      // per-composite max of everything shipped before it
+      val steps = Seq(
+        ("released", !hex1(col("doc_id")).isin("0", "1", "2")),
+        ("append1", hex1(col("doc_id")) === "0"),
+        ("append2", hex1(col("doc_id")).isin("1", "2")))
+      var seqCursor: DataFrame = null // (source composite, seq0)
+      var out: DataFrame = null
+      steps.foreach { case (name, pred) =>
+        val pk0 = ffdPack(ph.filter(pred))
+        val pk = graft.util.Persist(
+          if (seqCursor == null) pk0
+          else pk0.join(broadcast(seqCursor), Seq("source"), "left")
+            .withColumn("seq_id", col("seq_id") + coalesce(col("seq0"), lit(0L)))
+            .drop("seq0"))
+        val mx = pk.groupBy(col("source"))
+          .agg((max(col("seq_id")) + 1).as("m"))
+        seqCursor =
+          if (seqCursor == null) mx.withColumnRenamed("m", "seq0")
+          else seqCursor.withColumnRenamed("seq0", "p")
+            .join(mx, Seq("source"), "full")
+            .select(col("source"),
+              greatest(coalesce(col("p"), lit(0L)),
+                coalesce(col("m"), lit(0L))).as("seq0"))
+        // position cursors = counts over everything shipped so far
+        val blk = orderedBlock(seqsOf(pk))
+        val shifted =
+          if (out == null) blk
+          else {
+            val cumPs = out.groupBy(col("phase"), col("source"))
+              .agg(count(lit(1)).as("rc"))
+            val cumTot = out.agg(count(lit(1)).as("tc"))
+            blk.join(broadcast(cumPs), Seq("phase", "source"), "left")
+              .withColumn("src_pos",
+                col("src_pos") + coalesce(col("rc"), lit(0L)))
+              .drop("rc")
+              .crossJoin(broadcast(cumTot))
+              .withColumn("block_pos", col("block_pos") + col("tc"))
+              .drop("tc")
+          }
+        val tagged = shifted.withColumn("origin", lit(name))
+        out = if (out == null) tagged else out.unionByName(tagged)
+      }
+      out.select(col("block_pos").as("global_pos"), col("phase"),
+          col("source"), col("seq_id"), col("epoch"), col("src_pos"),
+          col("kept_tokens"), col("draw"), col("origin"))
+        .orderBy(col("global_pos"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -14600,7 +14741,105 @@ object ExtQueries {
              IN ('0', '1', '2') THEN 'delta' ELSE 'base' END AS src
          FROM ea JOIN ecsv ON ecsv.n_id = ea.n_id
          WHERE substr(md5(CAST(ea.n_id AS VARCHAR)), 1, 1) <> 'f'
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+    // the q241 frozen artifacts, THREE chained folds (each ingest's
+    // seq ids offset past the running union max), one
+    // mixtureBlockSqlFor per step, positions offset by the running
+    // cursor counts of everything shipped before the step
+    "q250_mixture_chain" -> s"""
+         WITH RECURSIVE $duckQualityCtes,
+         ath AS (SELECT round(quantile_cont(quality_score, 1.0/3), 6) AS t1,
+             round(quantile_cont(quality_score, 2.0/3), 6) AS t2
+           FROM sc WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+             NOT IN ('0', '1', '2')),
+         ${waterFillSqlFor("aw",
+           "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1', '2')",
+           keyCol = "source", budgetX = "2.0")},
+         acnt AS (SELECT doc_id,
+             CAST(len(${duckToks("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         aph AS (SELECT sc.doc_id,
+             CAST(CASE WHEN quality_score <= t1 THEN 1
+                  WHEN quality_score <= t2 THEN 2 ELSE 3 END AS BIGINT)
+               AS phase, source, n_tokens
+           FROM sc JOIN acnt USING (doc_id), ath),
+         ${ffdFoldSqlFor("cr",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                NOT IN ('0', '1', '2')""")},
+         ${ffdFoldSqlFor("c1",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'""")},
+         ${ffdFoldSqlFor("c2",
+           """SELECT doc_id, CAST(phase AS VARCHAR) || ':' || source
+                AS source, n_tokens FROM aph
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('1', '2')""")},
+         cr0 AS (SELECT source, seq_id, CAST(SUM(t) AS BIGINT)
+             AS kept_tokens
+           FROM crfold WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+         cs0 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM cr0 GROUP BY 1),
+         c10 AS (SELECT o.source, o.seq_id + COALESCE(s.s0, 0) AS seq_id,
+             o.kept_tokens
+           FROM (SELECT source, seq_id, CAST(SUM(t) AS BIGINT)
+               AS kept_tokens
+             FROM c1fold WHERE doc_id IS NOT NULL GROUP BY 1, 2) o
+           LEFT JOIN cs0 s ON o.source = s.source),
+         cs1 AS (SELECT source, MAX(seq_id) + 1 AS s0 FROM (
+             SELECT source, seq_id FROM cr0
+             UNION ALL SELECT source, seq_id FROM c10) GROUP BY 1),
+         c20 AS (SELECT o.source, o.seq_id + COALESCE(s.s0, 0) AS seq_id,
+             o.kept_tokens
+           FROM (SELECT source, seq_id, CAST(SUM(t) AS BIGINT)
+               AS kept_tokens
+             FROM c2fold WHERE doc_id IS NOT NULL GROUP BY 1, 2) o
+           LEFT JOIN cs1 s ON o.source = s.source),
+         crq AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id, kept_tokens
+           FROM cr0),
+         c1q AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id, kept_tokens
+           FROM c10),
+         c2q AS (SELECT CAST(str_split(source, ':')[1] AS BIGINT) AS phase,
+             str_split(source, ':')[2] AS source, seq_id, kept_tokens
+           FROM c20),
+         ${mixtureBlockSqlFor("g0", "crq", "awout")},
+         ${mixtureBlockSqlFor("g1", "c1q", "awout")},
+         ${mixtureBlockSqlFor("g2", "c2q", "awout")},
+         h0c AS (SELECT phase, source, COUNT(*) AS rc FROM g0sp
+           GROUP BY 1, 2),
+         h0t AS (SELECT COUNT(*) AS tc FROM g0sp),
+         h1c AS (SELECT phase, source, SUM(rc) AS rc FROM (
+             SELECT phase, source, COUNT(*) AS rc FROM g0sp GROUP BY 1, 2
+             UNION ALL
+             SELECT phase, source, COUNT(*) FROM g1sp GROUP BY 1, 2)
+           GROUP BY 1, 2),
+         h1t AS (SELECT (SELECT COUNT(*) FROM g0sp)
+             + (SELECT COUNT(*) FROM g1sp) AS tc)
+         SELECT CAST(p.phase_pos + o.poff AS BIGINT) AS global_pos,
+           p.phase, p.source, p.seq_id, CAST(p.epoch AS BIGINT) AS epoch,
+           CAST(p.src_pos AS BIGINT) AS src_pos, p.kept_tokens, p.draw,
+           'released' AS origin
+         FROM g0ps p JOIN g0o2 o ON o.phase = p.phase
+         UNION ALL
+         SELECT CAST(p.phase_pos + o.poff + tc AS BIGINT), p.phase,
+           p.source, p.seq_id, CAST(p.epoch AS BIGINT),
+           CAST(p.src_pos + COALESCE(rc, 0) AS BIGINT), p.kept_tokens,
+           p.draw, 'append1'
+         FROM g1ps p JOIN g1o2 o ON o.phase = p.phase
+         LEFT JOIN h0c ON h0c.phase = p.phase AND h0c.source = p.source,
+           h0t
+         UNION ALL
+         SELECT CAST(p.phase_pos + o.poff + tc AS BIGINT), p.phase,
+           p.source, p.seq_id, CAST(p.epoch AS BIGINT),
+           CAST(p.src_pos + COALESCE(rc, 0) AS BIGINT), p.kept_tokens,
+           p.draw, 'append2'
+         FROM g2ps p JOIN g2o2 o ON o.phase = p.phase
+         LEFT JOIN h1c ON h1c.phase = p.phase AND h1c.source = p.source,
+           h1t
+         ORDER BY global_pos""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

@@ -257,6 +257,73 @@ class Wave29Spec extends SparkSpec {
     }
   }
 
+  test("q250 mixture chain: dense prefix-immutable blocks, chained " +
+      "seq cursors, per-block closed form ≡ fraction sort, released " +
+      "block identical to q241's") {
+    val rows = SparkEntry.queries("q250_mixture_chain")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(7), r.getString(8)))
+    val byO = rows.groupBy(_._8)
+    assert(Seq("released", "append1", "append2").forall(o =>
+      byO.get(o).exists(_.nonEmpty)), "all three chain steps must ship rows")
+    // dense, with the blocks in chain order — prefix immutability's
+    // positional half
+    assert(rows.sortBy(_._1).map(_._1).toSeq == rows.indices.map(_.toLong))
+    val rel = byO("released"); val a1 = byO("append1"); val a2 = byO("append2")
+    assert(rel.map(_._1).max == rel.length - 1L)
+    assert(a1.map(_._1).min == rel.length.toLong &&
+      a1.map(_._1).max == rel.length + a1.length - 1L)
+    assert(a2.map(_._1).min == (rel.length + a1.length).toLong)
+    // chained seq cursors: every step's seq ids are past the running
+    // per-(phase, source) max of everything shipped before it
+    def maxSeq(blks: Array[(Long, Long, String, Long, Long, Long,
+        String, String)]) = blks.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.map(_._4).max }
+    val m0 = maxSeq(rel); val m01 = maxSeq(rel ++ a1)
+    a1.foreach(r => m0.get((r._2, r._3)).foreach(mx =>
+      assert(r._4 > mx, s"append1 seq ${r._4} not past released max")))
+    a2.foreach(r => m01.get((r._2, r._3)).foreach(mx =>
+      assert(r._4 > mx, s"append2 seq ${r._4} not past the running max")))
+    // draws globally distinct
+    val draws = rows.map(r => (r._2, r._3, r._4, r._5, r._7))
+    assert(draws.distinct.length == draws.length, "draw collision")
+    // per block: weighted closed form ≡ exact-fraction sort on LOCAL
+    // positions (offsets reconstructed from the prior blocks)
+    def checkBlock(blk: Array[(Long, Long, String, Long, Long, Long,
+        String, String)], off: Map[(Long, String), Long]): Unit =
+      blk.groupBy(_._2).foreach { case (phase, phB) =>
+        val n = phB.groupBy(_._3).map { case (s, rs) => s -> rs.length.toLong }
+        def local(r: (Long, Long, String, Long, Long, Long, String,
+            String)) = r._6 - off.getOrElse((r._2, r._3), 0L)
+        val sorted = phB.sortWith { (a, b) =>
+          val l = (local(a) + 1) * n(b._3); val r = (local(b) + 1) * n(a._3)
+          if (l != r) l < r else a._3 < b._3
+        }
+        val base = phB.map(_._1).min
+        sorted.zipWithIndex.foreach { case (r, i) =>
+          assert(r._1 == base + i,
+            s"phase $phase ${r._3}/${r._4}: closed form != fraction sort")
+        }
+      }
+    def cnt(blks: Array[(Long, Long, String, Long, Long, Long, String,
+        String)]) = blks.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    checkBlock(rel, Map.empty)
+    checkBlock(a1, cnt(rel))
+    checkBlock(a2, cnt(rel ++ a1))
+    // the chain's step 1 is EXACTLY q241's released block (two
+    // independently registered queries, same frozen artifacts)
+    val q241rel = SparkEntry.queries("q241_mixture_append")(spark, sf0001)
+      .collect()
+      .filter(_.getString(8) == "released")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(7)))
+      .toSet
+    assert(rel.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+      == q241rel, "chain step 1 diverged from q241's released block")
+  }
+
   test("q248 serving stack: the rerank leg strictly recovers recall " +
       "over the index-ADC leg on the deployed configuration") {
     val rows = SparkEntry.queries("q248_serving_stack")(spark, sf0001)
