@@ -104,7 +104,8 @@ object PlanAudit {
     "q247_takedown_stream_cost" -> "q236's bounded broadcasts (q228 one-row fill normalizers + the q209 2-scalar tercile broadcast) feeding the occurrence explosion; the cost card is (phase x source)-bounded aggregates, no rank and no span broadcast",
     "q248_serving_stack" -> "brute-force exact-IP truth side (q128's fenced design) + bounded frozen-centroid assignment BNLJs (query side + the bundle encodes, q246's fan-out); the rerank gather is one id-keyed join against the bounded |Q|x10 shortlist broadcast",
     "q249_pq_index_tombstones" -> "bounded frozen-centroid assignment BNLJs (q232's fan-out: the cold-session released-artifact write + the delta encode); the tombstone drop is a scan-stage filter on the maintained rows",
-    "q250_mixture_chain" -> "q241's bounded broadcasts once per chained step (frozen terciles/fill normalizers, per-block span arrays, running seq/position cursor frames — all (phase x source)- or one-row-bounded, q233's cursor pattern chained)")
+    "q250_mixture_chain" -> "q241's bounded broadcasts once per chained step (frozen terciles/fill normalizers, per-block span arrays, running seq/position cursor frames — all (phase x source)- or one-row-bounded, q233's cursor pattern chained)",
+    "q251_ann_operating_grid" -> "brute-force exact-IP truth side (q128's fenced design) + bounded trained-centroid assignment BNLJs (keep=16 query side + the index encode, q235's fan-out) + per-cell one-row exact-dot-budget scalar crossJoins (q216/q245's fenced sweep pattern); the raw gather is one id-keyed join against the bounded swept-shortlist broadcast")
 
   /** Queries whose plan BUILD executes real work (the
     * PlanAuditSpec-documented exceptions: streaming ingest loops,
@@ -142,8 +143,10 @@ object PlanAudit {
     "q242_stream_opq_index", "q243_adc_rerank",
     "q245_rerank_operating_point", "q246_opq_index_serving",
     // q248/q249 collect the frozen bundles + cold-session artifact
-    // writes (q246/q232's class)
-    "q248_serving_stack", "q249_pq_index_tombstones")
+    // writes (q246/q232's class); q251 collects the aniso trained
+    // artifacts (q237/q243's class)
+    "q248_serving_stack", "q249_pq_index_tombstones",
+    "q251_ann_operating_grid")
 
   /** The driver's verifier compares query outputs through pandas
     * `sort_values`, which crashes on unhashable cells — so NO

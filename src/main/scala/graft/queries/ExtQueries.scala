@@ -9060,6 +9060,82 @@ object ExtQueries {
           col("source"), col("seq_id"), col("epoch"), col("src_pos"),
           col("kept_tokens"), col("draw"), col("origin"))
         .orderBy(col("global_pos"))
+    }),
+
+    // ---- the 2-D ANN OPERATING GRID (nProbe × rerank k′): q235
+    //      sweeps the probe budget, q245 the rerank shortlist — but a
+    //      deployment sets BOTH knobs at once, and they interact (a
+    //      wider probe feeds the shortlist better candidates; a
+    //      deeper shortlist rescues what ADC mis-ranks within the
+    //      probed cells). Per (n_probe ∈ {1, 4, 16}, k′ ∈ {3, 10}):
+    //      the candidate mass ADC scans, the exact dots the rerank
+    //      spends, and recall@3 — the full cost/quality surface a
+    //      capacity plan reads. ONE query-side assignment (keep = 16,
+    //      crank retained), ONE candidate/ADC pass, ONE raw gather of
+    //      the max shortlist; every grid cell is a (crank, rank)
+    //      filter + its own re-rank window (q216/q235/q245's one-pass
+    //      sweep discipline composed). k′-monotonicity at fixed probe
+    //      is the q245 theorem (spec-pinned); probe-monotonicity is
+    //      NOT a theorem (more candidates can displace a truth item
+    //      from the ADC shortlist) and is deliberately not pinned.
+    //      The (4, 3)/(4, 10) cells cross-pin q243's two legs ----
+    "q251_ann_operating_grid" -> ((s, d) => {
+      val aniso = anisoEmb(s, d)
+      val q = aniso.filter(col("vec_id") < 50)
+      val (coarse, _) = anisoResidualBase(s, d)
+      val identity: Seq[Int] = 0 until 64
+      val cb = codebookMap(anisoResidualCb(s, d, "identity", identity))
+      val idx = Similarity.ivfPqResidualIndex(aniso, "vec_id", "vec",
+        coarse, cb)
+      val probes = Seq(1, 4, 16)
+      val kShorts = Seq(3, 10)
+      val swept = graft.util.Persist(
+        Similarity.ivfPqProbeSweep(q, idx, "vec_id", "vec",
+          k = kShorts.max, coarse, cb, probes))
+      val qv = q.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      // one raw gather + exact dots for the max shortlist of every
+      // probe level; each grid cell filters this frame
+      val scored = graft.util.Persist(
+        aniso.select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
+          .join(broadcast(swept.select(col("n_probe"), col("q_id"),
+            col("rank"), col("n_id"))), Seq("n_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("ip", round(expr(
+            "aggregate(zip_with(q_vec, n_vec, (p, q) -> p * q), 0D, (a, v) -> a + v)"),
+            6))
+          .select(col("n_probe"), col("q_id"), col("n_id"), col("rank"),
+            col("ip")))
+      val cost = Similarity.ivfPqProbeCosts(q, idx, "vec_id", "vec",
+        coarse, probes)
+      val exact = graft.util.Persist(
+        Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
+          .select(col("q_id"), col("n_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_probe"), col("q_id"))
+        .orderBy(col("ip").desc, col("n_id").asc)
+      val legs = for { p <- probes; ks <- kShorts } yield {
+        val lv = scored.filter(col("n_probe") === p && col("rank") <= ks)
+        val top = lv.withColumn("rr", row_number().over(w))
+          .filter(col("rr") <= 3)
+          .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+        val ne = lv.agg(count(lit(1)).as("n_exact"))
+        exact.join(top,
+            col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("a_n")).as("n_found"))
+          .crossJoin(broadcast(ne))
+          .select(lit(p.toLong).as("n_probe"), lit(ks.toLong).as("k_short"),
+            col("n_exact"), col("n_truth"), col("n_found"),
+            when(col("n_truth") === 0, 0.0)
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_truth"), 6)).as("recall_at_3"))
+      }
+      legs.reduce(_ unionByName _)
+        .join(broadcast(cost), Seq("n_probe"))
+        .select(col("n_probe"), col("k_short"), col("n_candidates"),
+          col("n_exact"), col("n_truth"), col("n_found"),
+          col("recall_at_3"))
+        .orderBy(col("n_probe"), col("k_short"))
     }))
 
   /** The exact temperature-weighted water-fill (q228; chained by
@@ -14839,7 +14915,91 @@ object ExtQueries {
          FROM g2ps p JOIN g2o2 o ON o.phase = p.phase
          LEFT JOIN h1c ON h1c.phase = p.phase AND h1c.source = p.source,
            h1t
-         ORDER BY global_pos""")
+         ORDER BY global_pos""",
+    // the q243 scaffold with crank-aware candidates (keep = 16), the
+    // identity trained codebook from residOpqSqlFor, one ADC frame
+    // over all candidates, then each (n_probe, k_short) grid cell is
+    // a (crank, rank) filter + its own exact re-rank + recall/cost
+    "q251_ann_operating_grid" -> s"""
+         WITH $anisoCtes,
+         cent0(cell, cvec) AS (VALUES $ivfCentroids),
+         pqc(sub, c, pvec) AS (VALUES $pqCentroids),
+         poss AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         aposs AS (SELECT unnest(generate_series(0, 7)) AS pos),
+         ${ivfPqTrainSqlFor("w7", "au")},
+         rimap AS (SELECT dim, CAST(dim // 8 AS BIGINT) AS sub,
+             CAST(dim % 8 AS BIGINT) AS pos FROM adims),
+         qq AS (SELECT vec_id AS q_id, vec AS q_vec FROM au
+           WHERE vec_id < 50),
+         qa16 AS (SELECT q_id, cell, cd, rn AS crank FROM (
+           SELECT q_id, cell, list_inner_product(q_vec, cvec) AS cd,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY round(list_inner_product(q_vec, cvec), 6) DESC,
+               cell) AS rn
+           FROM qq, w7cent) t WHERE rn <= 16),
+         qa AS (SELECT q_id, cell, cd FROM qa16 WHERE crank <= 4),
+         prs AS (SELECT qa.q_id, qa.cd, ca.n_id
+           FROM qa JOIN w7ca ca USING (cell) WHERE qa.q_id <> ca.n_id),
+         prsw AS (SELECT qa16.q_id, qa16.cd, qa16.crank, ca.n_id
+           FROM qa16 JOIN w7ca ca USING (cell)
+           WHERE qa16.q_id <> ca.n_id),
+         es AS (SELECT q.q_id, cc.vec_id AS n_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.q_vec, cc.vec), 6) DESC,
+               cc.vec_id) AS rank
+           FROM qq q, au cc WHERE q.q_id <> cc.vec_id),
+         ex AS (SELECT q_id, n_id FROM es WHERE rank <= 3),
+         ${residOpqSqlFor("ri", "rimap")},
+         swtm AS (SELECT pr.q_id, pr.n_id, pr.cd, pr.crank, k.sub,
+             list_inner_product(qs.sv, r.rvec) AS term
+           FROM prsw pr
+           JOIN ricode k ON k.vec_id = pr.n_id
+           JOIN rirc r ON r.sub = k.sub AND r.c = k.c
+           JOIN riqsv qs ON qs.q_id = pr.q_id AND qs.sub = k.sub),
+         swadc AS (SELECT q_id, n_id, crank,
+             MAX(cd) + ($pqTermPivot) AS adc
+           FROM swtm GROUP BY q_id, n_id, crank),
+         pgrid AS (SELECT unnest([1, 4, 16]) AS n_probe),
+         kgrid AS (SELECT unnest([3, 10]) AS k_short),
+         swrk AS (SELECT g.n_probe, a.q_id, a.n_id,
+             ROW_NUMBER() OVER (PARTITION BY g.n_probe, a.q_id
+               ORDER BY round(a.adc, 6) DESC, a.n_id) AS rank
+           FROM pgrid g JOIN swadc a ON a.crank <= g.n_probe),
+         swsh AS (SELECT r.n_probe, k.k_short, r.q_id, r.n_id
+           FROM swrk r, kgrid k WHERE r.rank <= k.k_short),
+         swip AS (SELECT s.n_probe, s.k_short, s.q_id, s.n_id,
+             round(list_inner_product(q.q_vec, c.vec), 6) AS ip
+           FROM swsh s JOIN qq q ON q.q_id = s.q_id
+           JOIN au c ON c.vec_id = s.n_id),
+         swtop AS (SELECT n_probe, k_short, q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probe, k_short,
+               q_id ORDER BY ip DESC, n_id) AS rr FROM swip) t
+           WHERE rr <= 3),
+         swne AS (SELECT n_probe, k_short,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM swsh GROUP BY 1, 2),
+         swnc AS (SELECT g.n_probe,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM pgrid g JOIN prsw p ON p.crank <= g.n_probe GROUP BY 1),
+         swrec AS (SELECT g.n_probe, k.k_short,
+             CAST(COUNT(*) AS BIGINT) AS n_truth,
+             CAST(COUNT(t.n_id) AS BIGINT) AS n_found
+           FROM pgrid g CROSS JOIN kgrid k CROSS JOIN ex e
+           LEFT JOIN swtop t ON t.n_probe = g.n_probe
+             AND t.k_short = k.k_short AND t.q_id = e.q_id
+             AND t.n_id = e.n_id
+           GROUP BY 1, 2)
+         SELECT CAST(r.n_probe AS BIGINT) AS n_probe,
+           CAST(r.k_short AS BIGINT) AS k_short,
+           c.n_candidates, ne.n_exact, r.n_truth, r.n_found,
+           CASE WHEN r.n_truth = 0 THEN 0.0
+             ELSE round(CAST(r.n_found AS DOUBLE) / r.n_truth, 6) END
+             AS recall_at_3
+         FROM swrec r
+         JOIN swnc c ON c.n_probe = r.n_probe
+         JOIN swne ne ON ne.n_probe = r.n_probe
+           AND ne.k_short = r.k_short
+         ORDER BY n_probe, k_short""")
 
   /** The IVF-PQ residual TRAINING replay as oracle CTEs — one Lloyd
     * step on the coarse centroids over `$eSrc` (q74's step, re-listed

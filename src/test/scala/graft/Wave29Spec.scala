@@ -324,6 +324,46 @@ class Wave29Spec extends SparkSpec {
       == q241rel, "chain step 1 diverged from q241's released block")
   }
 
+  test("q251 operating grid: k'-monotone at fixed probe, cost columns " +
+      "consistent, the probe-4 column cross-pins q243's legs") {
+    val rows = SparkEntry.queries("q251_ann_operating_grid")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 3L), (1L, 10L), (4L, 3L), (4L, 10L), (16L, 3L), (16L, 10L)))
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (p, ks, nc, ne, nt, nf, rec) =>
+      assert(nt == 150 && rec == rd(nf.toDouble / nt),
+        s"($p,$ks): recall arithmetic broken")
+      // the rerank never spends more exact dots than the shortlist
+      // could hold, and never scans more than the probed candidates
+      assert(ne <= 50 * ks && ne <= nc, s"($p,$ks): cost columns broken")
+    }
+    // q245's theorem per fixed candidate set: recall and cost
+    // monotone in k' at fixed probe
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      val s = g.sortBy(_._2)
+      s.sliding(2).foreach { case Array(a, b) =>
+        assert(b._7 >= a._7 && b._4 >= a._4,
+          s"probe $p: k' monotonicity broken")
+      }
+    }
+    // candidate mass strictly grows with the probe budget
+    val ncByP = rows.groupBy(_._1).map { case (p, g) => p -> g.head._3 }
+    assert(ncByP(1L) < ncByP(4L) && ncByP(4L) < ncByP(16L))
+    // the probe-4 column IS q243's two legs (index path ≡ corpus
+    // path at the identity layout)
+    val q243 = SparkEntry.queries("q243_adc_rerank")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val byCell = rows.map(r => (r._1, r._2) -> r._6).toMap
+    assert(byCell((4L, 3L)) == q243("adc"),
+      "(4,3) must equal q243's pure-ADC leg")
+    assert(byCell((4L, 10L)) == q243("adc_rerank"),
+      "(4,10) must equal q243's rerank leg")
+  }
+
   test("q248 serving stack: the rerank leg strictly recovers recall " +
       "over the index-ADC leg on the deployed configuration") {
     val rows = SparkEntry.queries("q248_serving_stack")(spark, sf0001)
