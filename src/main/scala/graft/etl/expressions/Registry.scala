@@ -31,6 +31,8 @@ object Registry {
     "simhash16" -> (es => SimHash16(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "char_bigrams" -> (es => CharBigrams(es.head)),
+    "dot_fold" -> (es => DotFold(es(0), es(1))),
+    "dot_fold_long" -> (es => DotFoldLong(es(0), es(1))),
     "cdc_chunks" -> (es => CdcChunks(es(0),
       intArg(es(1), "cdc_chunks"), intArg(es(2), "cdc_chunks"))))
 

@@ -23,9 +23,34 @@ object Similarity {
   /** Sequential left-fold dot product — the single definition every
     * rank path shares, so the bit-determinism claim (same fold order
     * as the oracle's list_inner_product) has exactly one place to hold.
+    *
+    * Compiled as the codegen'd [[graft.etl.expressions.DotFold]]
+    * kernel (round 18, guide §4): value-identical to the former
+    * `aggregate(zip_with(x, y, (p, q) => p * q), 0D, (acc, v) => acc + v)`
+    * — same IEEE accumulation order, same null/length semantics —
+    * but a primitive loop instead of ~2·dim interpreted lambda
+    * invocations per call. Pinned ≡ the HOF fold in Wave30Spec.
     */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.DotFold(
+        org.apache.spark.sql.GraftBridge.expression(x),
+        org.apache.spark.sql.GraftBridge.expression(y)))
+
+  /** Public form of [[dot]] for the composition sites in the query
+    * registry (usable-vector norm filters, rerank exact dots) — one
+    * kernel definition everywhere.
+    */
+  def dotFold(x: Column, y: Column): Column = dot(x, y)
+
+  /** One TYPED array literal instead of CreateArray over `dim` scalar
+    * literals (round 18): value-identical — CreateArray of foldable
+    * children constant-folds to exactly this Literal — but the
+    * expression tree carries 1 node instead of dim+1, which cuts
+    * analysis/optimizer/codegen time on the centroid/codebook-heavy
+    * ANN plans (16 cells × 64 dims × several consumers per query).
+    */
+  private[ext] def litArr(vs: Seq[Double]): Column = lit(vs.toArray)
 
   /** Cosine similarity of two double-array columns (sequential left
     * fold → bit-deterministic across engines).
@@ -113,7 +138,7 @@ object Similarity {
     val v = vec.cast("array<double>")
     val scale = math.sqrt(dim.toDouble)
     array((0 until outDim).map { p =>
-      val row = array((0 until dim).map(i => lit(signVal(p, i))): _*)
+      val row = litArr((0 until dim).map(i => signVal(p, i)))
       round(aggregate(zip_with(v, row, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x) / scale * 1e6).cast("long")
     }: _*)
@@ -125,7 +150,7 @@ object Similarity {
   def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column = {
     val v = vec.cast("array<double>")
     (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(i => lit(planeVal(p, i))): _*)
+      val plane = litArr((0 until dim).map(i => planeVal(p, i)))
       val proj = aggregate(
         zip_with(v, plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
@@ -200,8 +225,10 @@ object Similarity {
     * vector.
     */
   private def dotInt(x: Column, y: Column): Column =
-    aggregate(zip_with(x.cast("array<long>"), y.cast("array<long>"),
-      (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.DotFoldLong(
+        org.apache.spark.sql.GraftBridge.expression(x.cast("array<long>")),
+        org.apache.spark.sql.GraftBridge.expression(y.cast("array<long>"))))
 
   /** IVF ANN over int8-quantized codes — the consumer of
     * [[int8Scale]]/[[quantizeInt8]] (q81's storage shrink becomes a
@@ -236,7 +263,7 @@ object Similarity {
   def quantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     val qz = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
@@ -245,12 +272,8 @@ object Similarity {
         col("scale0").as("scale"))
       .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
       .filter(col("cnorm") > 0)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
-    qz.crossJoin(cents)
-      .withColumn("cdot", dot(col("code").cast("array<double>"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1)
+    qz.withColumn("cell",
+        bestCellOf(col("code").cast("array<double>"), cents))
       .select(col("cell"), col("id"), col("code"), col("scale"), col("cnorm"))
   }
 
@@ -258,7 +281,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
 
     // (id, code, scale, cnorm): per-row quantization, no shuffle.
     // scale0 = 0 yields an all-zero code -> cnorm 0 -> dropped (cosine
@@ -272,15 +295,11 @@ object Similarity {
         .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
         .filter(col("cnorm") > 0)
 
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
-      df.crossJoin(cents)
-        .withColumn("cdot", dot(col("code").cast("array<double>"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .drop("cdot", "rn", "cvec")
-    }
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame =
+      df.withColumn("bc",
+          explode(bestCells(col("code").cast("array<double>"), cents, keep)))
+        .withColumn("cell", col("bc").getField("cell"))
+        .drop("bc")
 
     // corpus side IS the persisted index frame (same plan as before
     // the quantizedIndex factoring: per-row encode + bounded centroid
@@ -321,21 +340,11 @@ object Similarity {
     */
   def kmeansIteration(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val dim = probeDim(corpus, vecCol)
-    val cents = broadcast(
-      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
-        .toDF("cell", "cvec"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
     corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
-      .crossJoin(cents)
-      .withColumn("cdot", dot(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("cell", bestCellOf(col("vec"), centroidSeq(nCells, dim)))
       .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos").cast("long").as("pos"))
       .agg(round(avg(col("v")), 6).as("c_val"), count(lit(1)).as("n_members"))
@@ -353,32 +362,72 @@ object Similarity {
     * Ranks order by round(dot/sim, 6) with id tie-breaks so results are
     * reproducible across engines (same discipline as [[bruteForceTopK]]).
     */
-  /** The deterministic coarse-centroid table (nCells rows — bounded by
-    * the cell count, not the corpus, so the broadcast is always safe).
+  /** Literal coarse-centroid sequence (cell asc) — the driver-side
+    * source of the static IVF cells, feeding the scan-stage assignment
+    * below (round 18: the former bounded-broadcast centroid frame is
+    * inlined as literals so assignment never leaves the scan stage).
     */
-  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
-      nCells: Int, dim: Int): DataFrame = {
-    import spark.implicits._
-    broadcast(
-      (0 until nCells).map(cl => (cl.toLong, (0 until dim).map(i => centroidVal(cl, i))))
-        .toDF("cell", "cvec"))
-  }
+  private def centroidSeq(nCells: Int, dim: Int): Seq[(Int, Seq[Double])] =
+    (0 until nCells).map(cl => (cl, (0 until dim).map(i => centroidVal(cl, i))))
+
+  /** Per-row candidate array for the coarse argmax: one struct per
+    * cell with nd = -round(dot, 6) (negated so ASCENDING struct order
+    * = the window's `round(cdot, 6) DESC, cell ASC`; double negation
+    * is exact in IEEE, and Double.compare orders -0.0 < 0.0 exactly as
+    * the desc window ordered 0.0 before -0.0), the cell id, and the
+    * UNROUNDED cdot the IVF-PQ paths keep as their coarse term.
+    */
+  private def cellCands(vec: Column, coarse: Seq[(Int, Seq[Double])]): Column =
+    array(coarse.map { case (cl, vs) =>
+      val cd = dot(vec, litArr(vs))
+      struct(negate(round(cd, 6)).as("nd"), lit(cl.toLong).as("cell"),
+        cd.as("cdot"))
+    }: _*)
+
+  /** The `keep` best cells of [[cellCands]] in rank order — argmax via
+    * array_min for keep = 1 (no sort), sort_array + slice otherwise.
+    * Value-identical to the former crossJoin(cents) + `row_number()
+    * over (partition by id order by round(cdot,6) desc, cell asc)
+    * <= keep` (Wave30Spec pins it row-for-row): same comparator, same
+    * tie-break, same multiplicity — but pure per-row scan-stage work
+    * where the window form cross-joined corpus × nCells and SHUFFLED
+    * the fan-out (vector payload included) by id for the rank sort
+    * (guide §2.4: remove the exchange outright). At 100 TB that
+    * exchange moved 16× the corpus bytes; this form moves none.
+    */
+  private def bestCells(vec: Column, coarse: Seq[(Int, Seq[Double])],
+      keep: Int): Column =
+    if (keep == 1) array(array_min(cellCands(vec, coarse)))
+    else slice(sort_array(cellCands(vec, coarse)), 1, keep)
+
+  /** The single best cell id of `vec` (scan-stage argmax) — public for
+    * the composition sites (residual frames) in the query registry.
+    */
+  def bestCellOf(vec: Column, coarse: Seq[(Int, Seq[Double])]): Column =
+    array_min(cellCands(vec, coarse)).getField("cell")
+
+  /** Literal centroid gather by cell id — a bounded CASE over the
+    * collected coarse artifact, for sites that need the winning
+    * centroid VECTOR (residual encode) after [[bestCellOf]].
+    */
+  def centroidOf(cell: Column, coarse: Seq[(Int, Seq[Double])]): Column =
+    coarse.tail.foldLeft(when(cell === coarse.head._1.toLong,
+        litArr(coarse.head._2))) { case (acc, (c, vs)) =>
+      acc.when(cell === c.toLong, litArr(vs))
+    }
 
   /** Assign each vector to its `keep` best coarse cells (argmax rounded
-    * dot, cell-id tie-break) — the bounded broadcast-NLJ every IVF path
-    * shares. NULL/empty vectors are dropped before assignment. `extra`
-    * columns (e.g. a training label) ride along untouched.
+    * dot, cell-id tie-break) — scan-stage (see [[bestCells]]). NULL/
+    * empty vectors are dropped before assignment. `extra` columns
+    * (e.g. a training label) ride along untouched.
     */
   private def assignCells(df: DataFrame, id: String, vec: String,
-      cents: DataFrame, keep: Int, extra: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+      cents: Seq[(Int, Seq[Double])], keep: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     df.select((Seq(id, vec) ++ extra).map(col): _*)
       .filter(col(vec).isNotNull && size(col(vec)) > 0)
-      .crossJoin(cents)
-      .withColumn("cdot", dot(col(vec), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
+      .withColumn("bc", explode(bestCells(col(vec), cents, keep)))
+      .withColumn("cell", col("bc").getField("cell"))
       .select((Seq(id, vec) ++ extra :+ "cell").map(col): _*)
   }
 
@@ -393,7 +442,7 @@ object Similarity {
       idCol: String, vecCol: String,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       assignCells(df, id, vec, cents, keep)
@@ -436,7 +485,7 @@ object Similarity {
       idCol: String, vecCol: String, labelCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
 
     val c = assignCells(corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("n_vec"),
@@ -488,7 +537,7 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     val assigned = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
       "id", "vec", cents, 1)
@@ -546,7 +595,7 @@ object Similarity {
   def semanticMaxSim(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     val assigned = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
       "id", "vec", cents, 1)
@@ -583,7 +632,7 @@ object Similarity {
   def cellIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     assignCells(corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
       .withColumn("nrm", norm(col("vec")))
@@ -639,7 +688,7 @@ object Similarity {
   def hotCells(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
       "id", "vec", cents, 1)
@@ -661,7 +710,7 @@ object Similarity {
   def cellSafetyStats(corpus: DataFrame, idCol: String, vecCol: String,
       heldSide: Column => Column, nCells: Int = 16): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
       "id", "vec", cents, 1)
@@ -702,7 +751,7 @@ object Similarity {
     array((0 until m).map { sub =>
       val sv = slice(v, sub * subDim + 1, subDim)
       val cands = array((0 until nCents).map { c =>
-        val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+        val cent = litArr((0 until subDim).map(i => pqVal(sub, c, i)))
         val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
         struct(round(key, 6).as("d"), lit(c).as("c"))
       }: _*)
@@ -754,12 +803,12 @@ object Similarity {
       m: Int = 8, subDim: Int = 8,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     def codesFor(vec: Column): Column =
       array((0 until m).map { sub =>
         val sv = slice(vec, sub * subDim + 1, subDim)
         val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
-          val cent = array(vals.map(lit): _*)
+          val cent = litArr(vals)
           val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
           struct(round(key, 6).as("d"), lit(i).as("i"))
         }: _*)
@@ -777,7 +826,7 @@ object Similarity {
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
         array(codebook(sub).map { vals =>
-          val cent = array(vals.map(lit): _*)
+          val cent = litArr(vals)
           dot(sv, cent)
         }: _*)
       }: _*))
@@ -815,15 +864,15 @@ object Similarity {
     * q229 candidate and rank paths so routing cannot desynchronize.
     */
   private def assignCellsOn(df: DataFrame, id: String, vec: String,
-      cents: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+      cents: Seq[(Int, Seq[Double])], keep: Int): DataFrame =
     df.filter(col(vec).isNotNull && size(col(vec)) > 0)
-      .crossJoin(cents)
-      .withColumn("cdot", dot(col(vec), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
-  }
+      .select(col("*"),
+        posexplode(bestCells(col(vec), cents, keep)).as(Seq("bp", "bc")))
+      .withColumn("cell", col("bc").getField("cell"))
+      .withColumn("cvec", centroidOf(col("cell"), cents))
+      .withColumn("cdot", col("bc").getField("cdot"))
+      .withColumn("rn", (col("bp") + 1).cast("int"))
+      .drop("bp", "bc")
 
   /** The candidate pairs the explicit-centroid IVF routing admits
     * (corpus keep=1, queries keep=nProbe, cell equi-join, self-pairs
@@ -836,8 +885,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
         cents, 1)
@@ -887,7 +935,7 @@ object Similarity {
     array((0 until m).map { sub =>
       val sv = slice(vec, sub * subDim + 1, subDim)
       val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
-        val cent = array(vals.map(lit): _*)
+        val cent = litArr(vals)
         val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
         struct(round(key, 6).as("d"), lit(i).as("i"))
       }: _*)
@@ -907,8 +955,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     assignCellsOn(corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
       .withColumn("nrm", norm(col("vec")))
@@ -936,8 +983,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     assignCellsOn(corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
       .withColumn("nrm", norm(col("vec")))
@@ -964,8 +1010,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val c = index.select(col("cell"), col("id").as("n_id"),
       col("code").as("n_code"))
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
@@ -975,7 +1020,7 @@ object Similarity {
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
-        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+        array(codebook(sub).map(vals => dot(sv, litArr(vals))): _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
     val w = Window.partitionBy(col("q_id"))
@@ -1011,8 +1056,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val c = index.select(col("cell"), col("id").as("n_id"),
       col("code").as("n_code"))
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
@@ -1022,7 +1066,7 @@ object Similarity {
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = permSub(col("q_vec"), perm, sub, subDim)
-        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+        array(codebook(sub).map(vals => dot(sv, litArr(vals))): _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
     val w = Window.partitionBy(col("q_id"))
@@ -1055,8 +1099,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val c = index.select(col("cell"), col("id").as("n_id"),
       col("code").as("n_code"))
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
@@ -1066,7 +1109,7 @@ object Similarity {
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
-        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+        array(codebook(sub).map(vals => dot(sv, litArr(vals))): _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"),
         col("cdot").as("coarse"), col("rn").as("crank"))
@@ -1100,8 +1143,7 @@ object Similarity {
       coarse: Seq[(Int, Seq[Double])], probes: Seq[Int]): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("q_vec")), "q_id", "q_vec",
         cents, probes.max)
@@ -1130,7 +1172,7 @@ object Similarity {
     array((0 until m).map { sub =>
       val sv = permSub(vec, perm, sub, subDim)
       val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
-        val cent = array(vals.map(lit): _*)
+        val cent = litArr(vals)
         val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
         struct(round(key, 6).as("d"), lit(i).as("i"))
       }: _*)
@@ -1155,8 +1197,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
         cents, 1)
@@ -1172,7 +1213,7 @@ object Similarity {
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = permSub(col("q_vec"), perm, sub, subDim)
-        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+        array(codebook(sub).map(vals => dot(sv, litArr(vals))): _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
     val w = Window.partitionBy(col("q_id"))
@@ -1253,8 +1294,7 @@ object Similarity {
       m: Int = 8, subDim: Int = 8, nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = broadcast(coarse.map { case (cl, vs) => (cl.toLong, vs) }
-      .toDF("cell", "cvec"))
+    val cents = coarse
     def codesFor(vec: Column): Column = pqCodesWith(codebook, m, subDim)(vec)
     val c = assignCellsOn(corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("n_vec")), "n_id", "n_vec",
@@ -1272,7 +1312,7 @@ object Similarity {
       .filter(col("q_norm") > 0)
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = slice(col("q_vec"), sub * subDim + 1, subDim)
-        array(codebook(sub).map(vals => dot(sv, array(vals.map(lit): _*))): _*)
+        array(codebook(sub).map(vals => dot(sv, litArr(vals))): _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"), col("cdot").as("coarse"))
     val w = Window.partitionBy(col("q_id"))
@@ -1297,12 +1337,12 @@ object Similarity {
       m: Int = 8, subDim: Int = 8,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     def codesFor(vec: Column): Column =
       array((0 until m).map { sub =>
         val sv = permSub(vec, perm, sub, subDim)
         val cands = array(codebook(sub).zipWithIndex.map { case (vals, i) =>
-          val cent = array(vals.map(lit): _*)
+          val cent = litArr(vals)
           val key = dot(cent, cent) - lit(2.0) * dot(sv, cent)
           struct(round(key, 6).as("d"), lit(i).as("i"))
         }: _*)
@@ -1320,7 +1360,7 @@ object Similarity {
       .withColumn("lut", array((0 until m).map { sub =>
         val sv = permSub(col("q_vec"), perm, sub, subDim)
         array(codebook(sub).map { vals =>
-          dot(sv, array(vals.map(lit): _*))
+          dot(sv, litArr(vals))
         }: _*)
       }: _*))
       .select(col("cell"), col("q_id"), col("lut"))
@@ -1387,7 +1427,7 @@ object Similarity {
         // inside cands would re-fold all 16 keys per candidate); total
         // per-sub work stays 2*nCents+1 subDim-length folds
         def keyFor(c: Int): Column = {
-          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          val cent = litArr((0 until subDim).map(i => pqVal(sub, c, i)))
           dot(cent, cent) - lit(2.0) * dot(sv, cent)
         }
         val keys = array((0 until nCents).map(keyFor): _*)
@@ -1456,7 +1496,7 @@ object Similarity {
       .select(col("id"), posexplode(array((0 until m).map { sub =>
         val sv = slice(v, sub * subDim + 1, subDim)
         val cands = array((0 until nCents).map { c =>
-          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          val cent = litArr((0 until subDim).map(i => pqVal(sub, c, i)))
           struct(round(dot(cent, cent) - lit(2.0) * dot(sv, cent), 6).as("d"),
             lit(c).as("c"))
         }: _*)
@@ -1492,7 +1532,7 @@ object Similarity {
       // keys and cands from independent folds (CSE-exempt lambdas,
       // same note as pqDistortion)
       def keyFor(vals: Seq[Double]): Column = {
-        val cent = array(vals.map(lit): _*)
+        val cent = litArr(vals)
         dot(cent, cent) - lit(2.0) * dot(sv, cent)
       }
       val keys = array(cents.map(c => keyFor(c._2)): _*)
@@ -1594,7 +1634,7 @@ object Similarity {
       .select(col("id"), posexplode(array((0 until m).map { sub =>
         val sv = permSub(v, perm, sub, subDim)
         val cands = array((0 until nCents).map { c =>
-          val cent = array((0 until subDim).map(i => lit(pqVal(sub, c, i))): _*)
+          val cent = litArr((0 until subDim).map(i => pqVal(sub, c, i)))
           struct(round(dot(cent, cent) - lit(2.0) * dot(sv, cent), 6).as("d"),
             lit(c).as("c"))
         }: _*)
@@ -1627,7 +1667,7 @@ object Similarity {
     val v = col("vec")
     def minErr(sv: Column, cents: Seq[(Int, Seq[Double])]): Column = {
       def keyFor(vals: Seq[Double]): Column = {
-        val cent = array(vals.map(lit): _*)
+        val cent = litArr(vals)
         dot(cent, cent) - lit(2.0) * dot(sv, cent)
       }
       val keys = array(cents.map(c => keyFor(c._2)): _*)
@@ -1674,7 +1714,7 @@ object Similarity {
       vecCol: String, heldSide: Column => Column, tau: Double,
       nCells: Int = 16, cellCap: Int = 10000): DataFrame = {
     val dim = probeDim(corpus, vecCol)
-    val cents = centroidFrame(corpus.sparkSession, nCells, dim)
+    val cents = centroidSeq(nCells, dim)
     val assigned = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")),
       "id", "vec", cents, 1)

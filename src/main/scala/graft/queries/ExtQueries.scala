@@ -1458,10 +1458,9 @@ object ExtQueries {
       // (non-null, non-empty, norm > 0): the downstream null/empty
       // filters alone would let a zero-norm vector desynchronize the
       // trained artifacts between engines (ADVICE r16 #2)
-      val emb0 = Tables.embeddings(s, d).filter(expr(
-        """aggregate(zip_with(CAST(embedding AS array<double>),
-           CAST(embedding AS array<double>), (p, q) -> p * q),
-           0D, (a, v) -> a + v) > 0"""))
+      val emb0 = Tables.embeddings(s, d).filter(
+        Similarity.dotFold(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")) > 0)
       val emb = if (baseOnly)
         emb0.filter(!substring(md5(col("vec_id").cast("string")), 1, 1)
           .isin("0", "1", "2"))
@@ -1495,25 +1494,18 @@ object ExtQueries {
     */
   private def residualFrameOf(emb: DataFrame,
       coarse: Seq[(Int, Seq[Double])],
-      vecCol: String = "embedding"): DataFrame = {
-    val s = emb.sparkSession
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(coarse
-      .map { case (cl, vs) => (cl.toLong, vs) }.toDF("cell", "cvec"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("cdot"), 6).desc, col("cell").asc)
+      vecCol: String = "embedding"): DataFrame =
+    // scan-stage argmax + literal centroid gather (round 18): the
+    // former crossJoin(16 cells) + window shuffled the 16× vector
+    // fan-out by vec_id just to pick the argmax — same rounded-dot/
+    // low-cell discipline, zero exchanges now
     emb
       .select(col("vec_id"), col(vecCol).cast("array<double>").as("vec"))
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
-      .crossJoin(cents)
-      .withColumn("cdot",
-        expr("aggregate(zip_with(vec, cvec, (p, q) -> p * q), 0D, (a, v) -> a + v)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn("cell", Similarity.bestCellOf(col("vec"), coarse))
       .select(col("vec_id"),
-        zip_with(col("vec"), col("cvec"), (a, b) => a - b).as("resid"))
-  }
+        zip_with(col("vec"), Similarity.centroidOf(col("cell"), coarse),
+          (a, b) => a - b).as("resid"))
 
   /** The ANISOTROPIC rehearsal slice for the OPQ-lite family
     * (q183/q184): usable embeddings with dims 0–7 scaled 4× — the
@@ -1534,8 +1526,7 @@ object ExtQueries {
       .select(col("vec_id"),
         transform(col("v0"),
           (x, i) => x * when(i < lit(8), lit(4.0)).otherwise(lit(1.0))).as("vec"))
-      .filter(expr(
-        "aggregate(zip_with(vec, vec, (p, q) -> p * q), 0D, (a, v) -> a + v) > 0"))
+      .filter(Similarity.dotFold(col("vec"), col("vec")) > 0)
 
   /** q184's per-dimension variance artifact + the variance-balanced
     * layout derived from it — ONE corpus aggregate (64 rounded
@@ -1640,10 +1631,9 @@ object ExtQueries {
       d: String): (DataFrame, DataFrame, DataFrame) = {
     def isDelta(c: Column): Column =
       substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2")
-    val usable = Tables.embeddings(s, d).filter(expr(
-      """aggregate(zip_with(CAST(embedding AS array<double>),
-         CAST(embedding AS array<double>), (p, q) -> p * q),
-         0D, (a, v) -> a + v) > 0"""))
+    val usable = Tables.embeddings(s, d).filter(
+      Similarity.dotFold(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")) > 0)
     val base = usable.filter(!isDelta(col("vec_id")))
       .select(col("vec_id"), col("embedding").cast("array<double>")
         .as("embedding"))
@@ -1721,10 +1711,8 @@ object ExtQueries {
       // the exact training population ivfPqTrained(base) saw: the
       // oracle's usableVec contract + the md5 base rule
       val baseEmb = Tables.embeddings(s, d)
-        .filter(expr(
-          """aggregate(zip_with(CAST(embedding AS array<double>),
-             CAST(embedding AS array<double>), (p, q) -> p * q),
-             0D, (a, v) -> a + v) > 0"""))
+        .filter(Similarity.dotFold(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")) > 0)
         .filter(!substring(md5(col("vec_id").cast("string")), 1, 1)
           .isin("0", "1", "2"))
       val rf = graft.util.Persist(residualFrameOf(baseEmb, coarse))
@@ -1804,7 +1792,9 @@ object ExtQueries {
       val rep0 = concat(lit(SS), regexp_replace(w, "(.)", "$1" + SS))
       val repN = merges.foldLeft(rep0) { case (r, (_, a, b, _)) =>
         replace(r, lit(S + a + SS + b + S), lit(S + a + b + S)) }
-      size(filter(split(repN, SS), x => x =!= lit("")))
+      // same length-arithmetic segment count as q126's lenOf (round 18)
+      ((length(repN) - length(replace(repN, lit(S), lit("")))) / 2 - 1)
+        .cast("int")
     }
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -2590,7 +2580,13 @@ object ExtQueries {
       val S = "\u0001"; val SS = S + S
       val merges = bpeTrainedMerges(s, d)
       def lenOf(rep: Column): Column =
-        size(filter(split(rep, SS), x => x =!= lit(""))).cast("long")
+        // rep is always "SS t1 SS t2 ... SS" (tokens never contain S),
+        // so non-empty SS-split segments = (#S chars)/2 - 1 — length
+        // arithmetic instead of split + filter: no per-step array, no
+        // interpreted lambda, ×(merges+1) per word (round 18; pinned ≡
+        // the split form in Wave30Spec, values oracle-checked by q126)
+        ((length(rep) - length(replace(rep, lit(S), lit("")))) / 2 - 1)
+          .cast("long")
       Tables.documents(s, d)
         .select(TA.wsTokens(lower(col("text"))).as("toks"))
         .select(explode(col("toks")).as("w"))
@@ -8339,7 +8335,10 @@ object ExtQueries {
       // every doc phased under the FROZEN v1 thresholds
       val nt = Tables.documents(s, d).select(col("doc_id"),
         size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
-      val ph = q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
+      // persisted (round 18): the chained ffdPack folds each replay
+      // the quality-score + tokenize lineage otherwise (guide §5)
+      val ph = graft.util.Persist(
+        q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
         .withColumn("phase",
           when(col("quality_score") <= col("t1"), 1L)
             .when(col("quality_score") <= col("t2"), 2L)
@@ -8347,7 +8346,7 @@ object ExtQueries {
         .select(col("doc_id"),
           concat_ws(":", col("phase"), col("source")).as("source"),
           col("n_tokens"))
-        .filter(col("n_tokens") > 0)
+        .filter(col("n_tokens") > 0))
       // released fold (v1 alone) + the delta fold with its seq ids
       // offset past the released per-(phase:source) max (q233)
       val relPack = graft.util.Persist(ffdPack(ph.filter(!isD)))
@@ -8637,9 +8636,8 @@ object ExtQueries {
         aniso.select(col("vec_id").as("n_id"), col("vec").as("n_vec"))
           .join(broadcast(short), Seq("n_id"))
           .join(broadcast(qv), Seq("q_id"))
-          .withColumn("ip", round(expr(
-            "aggregate(zip_with(q_vec, n_vec, (p, q) -> p * q), 0D, (a, v) -> a + v)"),
-            6))
+          .withColumn("ip",
+            round(Similarity.dotFold(col("q_vec"), col("n_vec")), 6))
           .select(col("q_id"), col("n_id"), col("rank"), col("ip")))
       val exact = graft.util.Persist(
         Similarity.bruteForceDotTopK(q, aniso, "vec_id", "vec", k = 3)
@@ -8960,7 +8958,10 @@ object ExtQueries {
         .select(col("lang").as("source"), col("final_epochs"))
       val nt = Tables.documents(s, d).select(col("doc_id"),
         size(TA.wsTokens(col("text"))).cast("long").as("n_tokens"))
-      val ph = q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
+      // persisted (round 18): the chained ffdPack folds each replay
+      // the quality-score + tokenize lineage otherwise (guide §5)
+      val ph = graft.util.Persist(
+        q.join(nt, Seq("doc_id")).crossJoin(broadcast(th))
         .withColumn("phase",
           when(col("quality_score") <= col("t1"), 1L)
             .when(col("quality_score") <= col("t2"), 2L)
@@ -8968,7 +8969,7 @@ object ExtQueries {
         .select(col("doc_id"),
           concat_ws(":", col("phase"), col("source")).as("source"),
           col("n_tokens"))
-        .filter(col("n_tokens") > 0)
+        .filter(col("n_tokens") > 0))
       def seqsOf(df: DataFrame) = df.groupBy(col("source"), col("seq_id"))
         .agg(sum(col("n_kept")).as("kept_tokens"))
         .select(split(col("source"), ":").getItem(0).cast("long").as("phase"),
@@ -9053,7 +9054,12 @@ object ExtQueries {
               .withColumn("block_pos", col("block_pos") + col("tc"))
               .drop("tc")
           }
-        val tagged = shifted.withColumn("origin", lit(name))
+        // persisted (round 18): each released block is re-read by every
+        // later step's cumPs/cumTot cursor aggregates AND the final
+        // union — without this, step 1's window stack evaluates up to
+        // 5× inside one action (guide §5)
+        val tagged = graft.util.Persist(
+          shifted.withColumn("origin", lit(name)))
         out = if (out == null) tagged else out.unionByName(tagged)
       }
       out.select(col("block_pos").as("global_pos"), col("phase"),
@@ -9100,9 +9106,8 @@ object ExtQueries {
           .join(broadcast(swept.select(col("n_probe"), col("q_id"),
             col("rank"), col("n_id"))), Seq("n_id"))
           .join(broadcast(qv), Seq("q_id"))
-          .withColumn("ip", round(expr(
-            "aggregate(zip_with(q_vec, n_vec, (p, q) -> p * q), 0D, (a, v) -> a + v)"),
-            6))
+          .withColumn("ip",
+            round(Similarity.dotFold(col("q_vec"), col("n_vec")), 6))
           .select(col("n_probe"), col("q_id"), col("n_id"), col("rank"),
             col("ip")))
       val cost = Similarity.ivfPqProbeCosts(q, idx, "vec_id", "vec",
