@@ -406,15 +406,18 @@ object Similarity {
   def bestCellOf(vec: Column, coarse: Seq[(Int, Seq[Double])]): Column =
     array_min(cellCands(vec, coarse)).getField("cell")
 
-  /** Literal centroid gather by cell id — a bounded CASE over the
-    * collected coarse artifact, for sites that need the winning
-    * centroid VECTOR (residual encode) after [[bestCellOf]].
+  /** Literal centroid gather by cell id — one map-literal lookup, for
+    * sites that need the winning centroid VECTOR (residual encode)
+    * after [[bestCellOf]]. Deliberately NOT a CASE chain: ProjectCollapse
+    * inlines the `cell` argument into every reference, and a 16-branch
+    * CASE re-evaluated the full argmax expression per branch test
+    * (measured: q240 9.2 → 21.3 s under the CASE form) — element_at on
+    * the map references `cell` exactly once. Missing key → null, same
+    * as the un-defaulted CASE.
     */
   def centroidOf(cell: Column, coarse: Seq[(Int, Seq[Double])]): Column =
-    coarse.tail.foldLeft(when(cell === coarse.head._1.toLong,
-        litArr(coarse.head._2))) { case (acc, (c, vs)) =>
-      acc.when(cell === c.toLong, litArr(vs))
-    }
+    element_at(
+      typedLit(coarse.map { case (c, vs) => c.toLong -> vs }.toMap), cell)
 
   /** Assign each vector to its `keep` best coarse cells (argmax rounded
     * dot, cell-id tie-break) — scan-stage (see [[bestCells]]). NULL/
