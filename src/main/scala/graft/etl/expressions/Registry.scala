@@ -33,6 +33,9 @@ object Registry {
     "char_bigrams" -> (es => CharBigrams(es.head)),
     "dot_fold" -> (es => DotFold(es(0), es(1))),
     "dot_fold_long" -> (es => DotFoldLong(es(0), es(1))),
+    "vec_sub" -> (es => VecSub(es(0), es(1))),
+    "max_abs_fold" -> (es => MaxAbsFold(es.head)),
+    "quantize_int8" -> (es => QuantizeInt8(es(0), es(1))),
     "cdc_chunks" -> (es => CdcChunks(es(0),
       intArg(es(1), "cdc_chunks"), intArg(es(2), "cdc_chunks"))))
 

@@ -43,6 +43,21 @@ object Similarity {
     */
   def dotFold(x: Column, y: Column): Column = dot(x, y)
 
+  /** Element-wise difference — the residual-encode step (vec −
+    * centroid) of every IVF-PQ build/maintenance/search path.
+    * Compiled as the codegen'd [[graft.etl.expressions.VecSub]]
+    * kernel (round 18, guide §4): value-identical to the former
+    * `zip_with(a, b, (x, y) => x - y)` — same null/padding semantics,
+    * same IEEE subtraction per element — but one primitive loop
+    * instead of an interpreted lambda invocation per element. Pinned
+    * ≡ the HOF form in Wave30Spec.
+    */
+  def vecSub(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.VecSub(
+        org.apache.spark.sql.GraftBridge.expression(x),
+        org.apache.spark.sql.GraftBridge.expression(y)))
+
   /** One TYPED array literal instead of CreateArray over `dim` scalar
     * literals (round 18): value-identical — CreateArray of foldable
     * children constant-folds to exactly this Literal — but the
@@ -139,8 +154,10 @@ object Similarity {
     val scale = math.sqrt(dim.toDouble)
     array((0 until outDim).map { p =>
       val row = litArr((0 until dim).map(i => signVal(p, i)))
-      round(aggregate(zip_with(v, row, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x) / scale * 1e6).cast("long")
+      // dot == the former aggregate(zip_with(v,row,*),0D,+) HOF fold,
+      // compiled (DotFold, round 18): outDim interpreted lambda passes
+      // per row become outDim primitive loops (guide §4)
+      round(dot(v, row) / scale * 1e6).cast("long")
     }: _*)
   }
 
@@ -151,9 +168,12 @@ object Similarity {
     val v = vec.cast("array<double>")
     (0 until nPlanes).map { p =>
       val plane = litArr((0 until dim).map(i => planeVal(p, i)))
-      val proj = aggregate(
-        zip_with(v, plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      // dot == the former aggregate(zip_with(v,plane,*),0D,+) HOF fold,
+      // compiled (DotFold, round 18): the signature is evaluated once
+      // per corpus row AND once per query/delta row in every LSH path
+      // (lshTopK, q36, q102/q114, streaming sig ingest), each paying
+      // nPlanes interpreted lambda passes before this (guide §4)
+      val proj = dot(v, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -206,7 +226,13 @@ object Similarity {
     * shuffle, so it streams at scan speed at any corpus size.
     */
   def int8Scale(vec: Column): Column =
-    aggregate(vec.cast("array<double>"), lit(0.0), (a, x) => greatest(a, abs(x)))
+    // == the former aggregate(v, 0D, (a,x) => greatest(a, abs(x)))
+    // HOF fold, compiled (MaxAbsFold, round 18, guide §4): same
+    // null-skip/NaN-greatest semantics, pinned in Wave30Spec
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.MaxAbsFold(
+        org.apache.spark.sql.GraftBridge.expression(
+          vec.cast("array<double>"))))
 
   /** q_i = round(x_i * 127 / scale) — the int8 code for each element.
     * Callers project the scale ONCE and pass it in (lambda expressions
@@ -214,9 +240,16 @@ object Similarity {
     * inside would double the per-element work).
     */
   def quantizeInt8(vec: Column, scale: Column): Column =
-    transform(vec.cast("array<double>"), x =>
-      when(scale > 0, round(x * lit(127.0) / scale).cast("int"))
-        .otherwise(lit(0)))
+    // == the former transform(v, x => when(scale > 0,
+    // round(x*127/scale).cast("int")).otherwise(0)) interpreted
+    // lambda, compiled (QuantizeInt8, round 18, guide §4): same
+    // round-HALF_UP / non-ANSI cast / null-scale→0 semantics,
+    // pinned in Wave30Spec
+    org.apache.spark.sql.GraftBridge.column(
+      graft.etl.expressions.QuantizeInt8(
+        org.apache.spark.sql.GraftBridge.expression(
+          vec.cast("array<double>")),
+        org.apache.spark.sql.GraftBridge.expression(scale.cast("double"))))
 
   /** Exact integer dot product of two int-code array columns, in LONG
     * arithmetic — no floating point until the final normalization, so
@@ -963,7 +996,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
       .withColumn("nrm", norm(col("vec")))
       .filter(col("nrm") > 0)
-      .withColumn("resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+      .withColumn("resid", vecSub(col("vec"), col("cvec")))
       .select(col("cell"), col("id"),
         pqCodesWith(codebook, m, subDim)(col("resid")).as("code"))
   }
@@ -991,7 +1024,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("vec")), "id", "vec", cents, 1)
       .withColumn("nrm", norm(col("vec")))
       .filter(col("nrm") > 0)
-      .withColumn("resid", zip_with(col("vec"), col("cvec"), (a, b) => a - b))
+      .withColumn("resid", vecSub(col("vec"), col("cvec")))
       .select(col("cell"), col("id"),
         pqCodesWithPerm(codebook, perm, m, subDim)(col("resid")).as("code"))
   }
@@ -1206,7 +1239,7 @@ object Similarity {
         cents, 1)
       .withColumn("n_norm", norm(col("n_vec")))
       .filter(col("n_norm") > 0)
-      .withColumn("enc", zip_with(col("n_vec"), col("cvec"), (a, b) => a - b))
+      .withColumn("enc", vecSub(col("n_vec"), col("cvec")))
       .select(col("cell"), col("n_id"),
         pqCodesWithPerm(codebook, perm, m, subDim)(col("enc")).as("n_code"))
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),
@@ -1305,7 +1338,7 @@ object Similarity {
       .withColumn("n_norm", norm(col("n_vec")))
       .filter(col("n_norm") > 0)
       .withColumn("enc", if (residual)
-          zip_with(col("n_vec"), col("cvec"), (a, b) => a - b)
+          vecSub(col("n_vec"), col("cvec"))
         else col("n_vec"))
       .select(col("cell"), col("n_id"), codesFor(col("enc")).as("n_code"))
     val q = assignCellsOn(queries.select(col(idCol).as("q_id"),

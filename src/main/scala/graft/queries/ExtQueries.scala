@@ -1504,8 +1504,10 @@ object ExtQueries {
       .filter(col("vec").isNotNull && size(col("vec")) > 0)
       .withColumn("cell", Similarity.bestCellOf(col("vec"), coarse))
       .select(col("vec_id"),
-        zip_with(col("vec"), Similarity.centroidOf(col("cell"), coarse),
-          (a, b) => a - b).as("resid"))
+        // == the former zip_with(vec, centroid, -) HOF: compiled
+        // residual subtract (VecSub, round 18, guide §4)
+        Similarity.vecSub(col("vec"),
+          Similarity.centroidOf(col("cell"), coarse)).as("resid"))
 
   /** The ANISOTROPIC rehearsal slice for the OPQ-lite family
     * (q183/q184): usable embeddings with dims 0–7 scaled 4× — the
@@ -7023,8 +7025,10 @@ object ExtQueries {
       val usable = emb
         .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"),
-          expr("aggregate(cast(embedding as array<double>), 0D," +
-            " (acc, x) -> acc + x * x)").as("nrm"))
+          // == the former aggregate(v, 0D, (acc,x) -> acc + x*x) HOF:
+          // same sequential IEEE fold, compiled (DotFold, round 18)
+          Similarity.dotFold(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>")).as("nrm"))
         .filter(col("nrm") > 0)
       val sc = usable.agg(count(lit(1)).as("nc"),
         sum(when(col("vec_id") < 50, 1L).otherwise(0L)).as("nq"))

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The ANSI double→int conversion `cast(double as int)` performs
+    * (Spark 4 default): truncate in-range values, throw the exact
+    * SparkArithmeticException on NaN/±Inf/overflow. Exposed so a
+    * codegen'd kernel replacing a `cast`-bearing HOF lambda keeps the
+    * replaced form's semantics bit-for-bit, exceptions included.
+    */
+  def ansiDoubleToInt(d: Double): Int =
+    org.apache.spark.sql.types.DoubleExactNumeric.toInt(d)
 }

@@ -153,6 +153,168 @@ class Wave30Spec extends SparkSpec {
     }
   }
 
+  test("VecSub ≡ zip_with(·,·,−) — values, nulls, padding on length " +
+      "mismatch, empties, specials (±0.0, ±Inf, NaN)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    def vec(n: Int): Seq[java.lang.Double] =
+      Seq.fill(n)(java.lang.Double.valueOf(rnd.nextGaussian()))
+    val rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (vec(64), vec(64)),
+      (Seq.empty, Seq.empty),                       // both empty -> []
+      (vec(5), vec(7)),                             // pad -> trailing nulls
+      (vec(7), vec(5)),
+      (vec(3) :+ (null: java.lang.Double), vec(4)), // null elem -> null elem
+      (Seq[java.lang.Double](0.0, -0.0, 1.0), Seq[java.lang.Double](-0.0, 0.0, 2.0)),
+      (Seq[java.lang.Double](Double.PositiveInfinity, 1.0),
+        Seq[java.lang.Double](Double.PositiveInfinity, 3.0)), // Inf-Inf = NaN
+      (Seq[java.lang.Double](Double.NaN, 1.0), Seq[java.lang.Double](2.0, 3.0)),
+      (null, vec(4)),                               // null array -> null
+      (vec(4), null)) ++ (1 to 40).map(i => (vec(i % 17 + 1), vec(i % 17 + 1)))
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val got = df.select(
+        graft.ext.Similarity.vecSub(col("a"), col("b")).as("fast"),
+        zip_with(col("a"), col("b"), (x, y) => x - y).as("slow"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val f = if (r.isNullAt(0)) null else r.getSeq[java.lang.Double](0)
+      val s = if (r.isNullAt(1)) null else r.getSeq[java.lang.Double](1)
+      if (f == null || s == null) assert(f == null && s == null, s"row $i")
+      else {
+        assert(f.length == s.length, s"row $i: length ${f.length} vs ${s.length}")
+        f.zip(s).zipWithIndex.foreach { case ((fe, se), j) =>
+          // bit-identical per element (same IEEE subtraction); NaN ==
+          // NaN under raw-bits compare, unlike ==
+          assert((fe == null && se == null) ||
+            (fe != null && se != null &&
+              java.lang.Double.doubleToRawLongBits(fe) ==
+                java.lang.Double.doubleToRawLongBits(se)),
+            s"row $i elem $j: VecSub=$fe HOF=$se")
+        }
+      }
+    }
+  }
+
+  test("int8Scale / quantizeInt8 kernels ≡ the HOF aggregate/transform " +
+      "forms — nulls, null scale, zero/NaN/Inf scale, specials") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(301)
+    def vec(n: Int): Seq[java.lang.Double] =
+      Seq.fill(n)(java.lang.Double.valueOf(rnd.nextGaussian() * 3))
+    val rows: Seq[Seq[java.lang.Double]] = Seq(
+      vec(64),
+      Seq.empty,                                    // empty -> scale 0.0
+      vec(3) :+ (null: java.lang.Double),           // null elem skipped
+      Seq[java.lang.Double](0.0, -0.0),             // scale 0 -> codes 0
+      Seq[java.lang.Double](2.5, -2.5, 0.5, -0.5, 1.5), // HALF_UP ties
+      null) ++ (1 to 30).map(i => vec(i % 17 + 1))
+    val df = rows.map(Tuple1(_)).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    // the r17 HOF forms, verbatim
+    val hofScale = aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))
+    def hofQuant(scale: org.apache.spark.sql.Column) =
+      transform(col("v"), x =>
+        when(scale > 0, round(x * lit(127.0) / scale).cast("int"))
+          .otherwise(lit(0)))
+    val got = df
+      .withColumn("s_fast", graft.ext.Similarity.int8Scale(col("v")))
+      .withColumn("s_slow", hofScale)
+      .withColumn("c_fast",
+        graft.ext.Similarity.quantizeInt8(col("v"), col("s_fast")))
+      .withColumn("c_slow", hofQuant(col("s_slow")))
+      // null scale must hit the otherwise(0) branch in both forms
+      .withColumn("c_fast_nullsc", graft.ext.Similarity.quantizeInt8(col("v"),
+        lit(null).cast("double")))
+      .withColumn("c_slow_nullsc", hofQuant(lit(null).cast("double")))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val sf = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      val ss = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+      assert((sf == null && ss == null) ||
+        (sf != null && ss != null &&
+          java.lang.Double.doubleToRawLongBits(sf) ==
+            java.lang.Double.doubleToRawLongBits(ss)),
+        s"row $i scale: fast=$sf slow=$ss")
+      Seq((3, 4), (5, 6)).foreach { case (a, b) =>
+        val cf = if (r.isNullAt(a)) null else r.getSeq[java.lang.Integer](a)
+        val cs = if (r.isNullAt(b)) null else r.getSeq[java.lang.Integer](b)
+        assert(cf == cs, s"row $i codes(col $a/$b): fast=$cf slow=$cs")
+      }
+    }
+    // ±Inf elements (scale = +Inf > 0, element Inf·127/Inf = NaN) and
+    // NaN elements (scale = NaN, which Spark's comparison treats as
+    // > 0 — NaN is the greatest double): the ANSI double→int cast
+    // THROWS (Spark 4 default) — both forms must throw the same
+    // exception class
+    Seq(Seq[java.lang.Double](Double.PositiveInfinity, 1.0),
+        Seq[java.lang.Double](Double.NegativeInfinity, 2.0),
+        Seq[java.lang.Double](Double.NaN, 1.0)).foreach { bad =>
+      val bdf = Seq(Tuple1(bad)).toDF("v")
+        .select(col("v").cast("array<double>").as("v"))
+      def cls(f: => Unit): String =
+        try { f; "NO-THROW" } catch { case e: Throwable =>
+          // unwrap the Spark job wrapper to the root cause
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          c.getClass.getName }
+      val fastCls = cls(bdf.select(graft.ext.Similarity.quantizeInt8(col("v"),
+        graft.ext.Similarity.int8Scale(col("v")))).collect())
+      val slowCls = cls(bdf.select(hofQuant(hofScale)).collect())
+      assert(fastCls == slowCls && fastCls != "NO-THROW",
+        s"Inf row: fast=$fastCls slow=$slowCls")
+    }
+  }
+
+  test("lshSignature / signProjectMicro on the DotFold kernel ≡ the " +
+      "HOF aggregate(zip_with) forms, on real embeddings + null/empty rows") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val dim = emb.select(size(col("vec"))).first().getInt(0)
+    val special = Seq(
+      (910001L, null.asInstanceOf[Seq[Double]]),
+      (910002L, Seq.empty[Double]),
+      (910003L, Seq.fill(dim)(0.0))).toDF("id", "vec")
+    val df = emb.unionByName(special)
+    // the r17 HOF forms, verbatim
+    def hofLsh(vec: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column = {
+      val v = vec.cast("array<double>")
+      (0 until nPlanes).map { p =>
+        val plane = array((0 until dim).map(i => lit(Similarity.planeVal(p, i))): _*)
+        val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    def hofProj(vec: org.apache.spark.sql.Column, outDim: Int): org.apache.spark.sql.Column = {
+      val v = vec.cast("array<double>")
+      val scale = math.sqrt(dim.toDouble)
+      array((0 until outDim).map { p =>
+        val row = array((0 until dim).map(i => lit(Similarity.signVal(p, i))): _*)
+        round(aggregate(zip_with(v, row, (x, w) => x * w),
+          lit(0.0), (acc, x) => acc + x) / scale * 1e6).cast("long")
+      }: _*)
+    }
+    val got = df.select(col("id"),
+        Similarity.lshSignature(col("vec"), 8, dim).as("sig"),
+        hofLsh(col("vec"), 8).as("sig0"),
+        Similarity.signProjectMicro(col("vec"), 4, dim).as("pj"),
+        hofProj(col("vec"), 4).as("pj0"))
+      .collect()
+    got.foreach { r =>
+      val sig = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      val sig0 = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+      assert(sig == sig0, s"id=${r.getLong(0)} lshSignature $sig vs $sig0")
+      val pj = if (r.isNullAt(3)) null else r.getSeq[java.lang.Long](3)
+      val pj0 = if (r.isNullAt(4)) null else r.getSeq[java.lang.Long](4)
+      assert(pj == pj0, s"id=${r.getLong(0)} signProjectMicro $pj vs $pj0")
+    }
+  }
+
   test("BPE segment count: length arithmetic ≡ split+filter over the " +
       "real merge chain (q126/q122/q125 kernel)") {
     import spark.implicits._
