@@ -10,6 +10,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // Align Spark's whole-stage-codegen size cap with HotSpot's JIT
+      // compile limit (-XX:DontCompileHugeMethods = 8000 bytecodes;
+      // Spark's default 65535 admits methods the JVM will NEVER JIT,
+      // leaving the stage's hot loop running interpreted bytecode).
+      // The ANN assignment/encode stages fuse one large single
+      // expression (16-centroid argmax array) that cannot be
+      // method-split, so past the JIT limit the whole stage slows
+      // 3-10x (measured: q237 17.5 -> 7.6 s, q94 5.3 -> 1.7 s,
+      // q97 5.4 -> 2.1 s at sf0.1); past-limit stages now fall back
+      // to per-operator codegen whose small methods JIT normally.
+      // Host-independent (a JVM constant, not a scale knob).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,8 @@ object ProfileOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // mirror Bench: JIT-aligned codegen size cap (round 18)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm run (JIT/codegen/footers), then cold-cache like Bench

@@ -14,6 +14,8 @@ object TimeOne {
       // broadcasts there but not under the 10MB default — a plan
       // difference that would make a bench-only slowdown unreproducible
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // mirror Bench: JIT-aligned codegen size cap (round 18)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false").getOrCreate()
     // WARN, not ERROR: surfacing plan-level warnings (e.g. WindowExec
     // "No Partition Defined") is part of what this tool is for

@@ -301,10 +301,21 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
       .withColumn("scale0", int8Scale(col("v")))
+      // == the former filter(cnorm > 0), row-for-row: scale0 > 0 ⟹
+      // the max-|x| element quantizes to round(±127) = ±127 ⟹
+      // cnorm ≥ 127; scale0 = 0 ⟹ all codes 0 ⟹ cnorm = 0; NaN
+      // scale0 counts as > 0 (Spark comparison) and the encode throws
+      // on evaluation either way. Filtering BEFORE the encode keeps
+      // the predicate the optimizer pushes below this project to one
+      // max_abs_fold instead of the substituted
+      // sqrt(dot(quantize, quantize)) monster — which, once the
+      // encode kernels became codegen-able, dominated the stage's
+      // whole-stage-codegen COMPILE time at bench scale (round 18;
+      // at corpus scale it also halves the per-row filter work)
+      .filter(col("scale0") > 0)
       .select(col("id"), quantizeInt8(col("v"), col("scale0")).as("code"),
         col("scale0").as("scale"))
       .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
-      .filter(col("cnorm") > 0)
     qz.withColumn("cell",
         bestCellOf(col("code").cast("array<double>"), cents))
       .select(col("cell"), col("id"), col("code"), col("scale"), col("cnorm"))
@@ -323,10 +334,11 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("v"))
         .filter(col("v").isNotNull && size(col("v")) > 0)
         .withColumn("scale0", int8Scale(col("v")))
+        // == filter(cnorm > 0) row-for-row — see [[quantizedIndex]]
+        .filter(col("scale0") > 0)
         .select(col(id), quantizeInt8(col("v"), col("scale0")).as("code"),
           col("scale0").as("scale"))
         .withColumn("cnorm", sqrt(dotInt(col("code"), col("code")).cast("double")))
-        .filter(col("cnorm") > 0)
 
     def assign(df: DataFrame, id: String, keep: Int): DataFrame =
       df.withColumn("bc",
